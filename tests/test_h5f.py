@@ -1,0 +1,72 @@
+"""Roundtrip + append tests for the h5features-compatible container."""
+
+import numpy as np
+import pytest
+
+from abnet3_tpu.io import (read_h5features, read_h5features_index,
+                           read_h5features_item, write_h5features)
+
+
+def _mk(n, d, seed):
+    rng = np.random.RandomState(seed)
+    feats = rng.randn(n, d).astype(np.float32)
+    times = np.arange(n, dtype=np.float64) * 0.01 + 0.0025
+    return feats, times
+
+
+def test_roundtrip(tmp_path):
+    path = str(tmp_path / "feats.h5f")
+    f1, t1 = _mk(100, 40, 0)
+    f2, t2 = _mk(150, 40, 1)
+    write_h5features(path, "/features/", ["file1", "file2"], [t1, t2],
+                     [f1, f2])
+
+    data = read_h5features(path, "features")
+    assert data.items() == ["file1", "file2"]
+    np.testing.assert_allclose(data.dict_features()["file1"], f1)
+    np.testing.assert_allclose(data.dict_features()["file2"], f2)
+    np.testing.assert_allclose(data.dict_labels()["file2"], t2)
+
+
+def test_append_batches(tmp_path):
+    """The features pipeline writes in batches of files to one container
+    (reference features.py:178-203)."""
+    path = str(tmp_path / "feats.h5f")
+    all_items, all_feats = [], {}
+    for batch in range(3):
+        items, times, feats = [], [], []
+        for k in range(4):
+            name = f"f{batch}_{k}"
+            f, t = _mk(10 + k, 8, batch * 10 + k)
+            items.append(name)
+            times.append(t)
+            feats.append(f)
+            all_items.append(name)
+            all_feats[name] = f
+        write_h5features(path, "features", items, times, feats)
+
+    assert read_h5features_index(path) == all_items
+    data = read_h5features(path)
+    for name in all_items:
+        np.testing.assert_allclose(data.dict_features()[name],
+                                   all_feats[name])
+
+
+def test_single_item_read(tmp_path):
+    path = str(tmp_path / "feats.h5f")
+    f1, t1 = _mk(30, 5, 2)
+    f2, t2 = _mk(20, 5, 3)
+    write_h5features(path, "features", ["a", "b"], [t1, t2], [f1, f2])
+    t, f = read_h5features_item(path, "b")
+    np.testing.assert_allclose(f, f2)
+    np.testing.assert_allclose(t, t2)
+    with pytest.raises(KeyError):
+        read_h5features_item(path, "zz")
+
+
+def test_duplicate_item_rejected(tmp_path):
+    path = str(tmp_path / "feats.h5f")
+    f1, t1 = _mk(10, 4, 4)
+    write_h5features(path, "features", ["a"], [t1], [f1])
+    with pytest.raises(ValueError):
+        write_h5features(path, "features", ["a"], [t1], [f1])
