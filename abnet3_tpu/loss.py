@@ -1,0 +1,149 @@
+"""Contrastive losses as pure JAX functions + class wrappers.
+
+Same math as the reference (reference loss.py:37-182) expressed with masks
+instead of boolean fancy-indexing so everything jits with static shapes, and
+extended with an optional per-example ``weights`` vector so padded frames in
+ragged on-device batches contribute zero loss (the reference never pads
+because it builds batches serially on the host).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+__all__ = [
+    "cosine_similarity", "coscos2_fn", "cosmargin_fn", "kl_loss_fn",
+    "LossBuilder", "coscos2", "cosmargin", "KLLoss", "weighted_loss_multi",
+]
+
+
+def cosine_similarity(x1: jnp.ndarray, x2: jnp.ndarray,
+                      eps: float = 1e-6) -> jnp.ndarray:
+    """Row-wise cosine similarity, torch.nn.CosineSimilarity semantics
+    (denominator clamped at eps; reference loss.py:57-59)."""
+    n1 = jnp.sqrt(jnp.sum(x1 * x1, axis=1))
+    n2 = jnp.sqrt(jnp.sum(x2 * x2, axis=1))
+    denom = jnp.maximum(n1, eps) * jnp.maximum(n2, eps)
+    return jnp.sum(x1 * x2, axis=1) / denom
+
+
+def _reduce(values: jnp.ndarray, weights: Optional[jnp.ndarray],
+            avg: bool) -> jnp.ndarray:
+    if weights is not None:
+        total = jnp.sum(values * weights)
+        if avg:
+            return total / jnp.maximum(jnp.sum(weights), 1.0)
+        return total
+    if avg:
+        return jnp.mean(values)
+    return jnp.sum(values)
+
+
+def coscos2_fn(input1, input2, y, weights=None, avg=True):
+    """same -> (1-cos)/2 ; diff -> cos^2 (reference loss.py:59-67)."""
+    c = cosine_similarity(input1, input2)
+    vals = jnp.where(y > 0, (1.0 - c) / 2.0, c * c)
+    return _reduce(vals, weights, avg)
+
+
+def cosmargin_fn(input1, input2, y, margin=0.5, weights=None, avg=True):
+    """same -> 1-cos ; diff -> max(0, cos - margin)
+    (reference loss.py:97-105)."""
+    c = cosine_similarity(input1, input2)
+    vals = jnp.where(y > 0, 1.0 - c, jnp.maximum(c - margin, 0.0))
+    return _reduce(vals, weights, avg)
+
+
+def kl_loss_fn(input1, input2, y, margin=1.0, weights=None, avg=True):
+    """Symmetric contrastive KL with hinge on diff pairs
+    (reference loss.py:127-137). Inputs must be positive distributions
+    (e.g. softmax outputs)."""
+    kld1 = jnp.sum(input1 * jnp.log(input1 / input2), axis=1)
+    kld2 = jnp.sum(input2 * jnp.log(input2 / input1), axis=1)
+    # HingeEmbeddingLoss: x if y==1 else max(0, margin - x)
+    h1 = jnp.where(y > 0, kld1, jnp.maximum(margin - kld1, 0.0))
+    h2 = jnp.where(y > 0, kld2, jnp.maximum(margin - kld2, 0.0))
+    return _reduce(h1, weights, avg) + _reduce(h2, weights, avg)
+
+
+class LossBuilder:
+    """Generic loss wrapper (reference loss.py:15-34)."""
+
+    def __init__(self, *args, **kwargs):
+        pass
+
+    def __call__(self, *args, **kwargs):
+        raise NotImplementedError("Unimplemented __call__ for class:",
+                                  self.__class__.__name__)
+
+    # parity alias: reference losses are nn.Modules called via forward
+    def forward(self, *args, **kwargs):
+        return self(*args, **kwargs)
+
+    def whoami(self):
+        return {"params": {k: v for k, v in self.__dict__.items()
+                           if not k.startswith("_")},
+                "class_name": self.__class__.__name__}
+
+
+class coscos2(LossBuilder):
+    def __init__(self, avg=True, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.avg = avg
+
+    def __call__(self, input1, input2, y, weights=None):
+        assert input1.shape == input2.shape, "Input not the same size"
+        return coscos2_fn(input1, input2, y, weights=weights, avg=self.avg)
+
+
+class cosmargin(LossBuilder):
+    def __init__(self, avg=True, margin=0.5, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        assert 0 <= margin <= 1
+        self.margin = margin
+        self.avg = avg
+
+    def __call__(self, input1, input2, y, weights=None):
+        assert input1.shape == input2.shape, "Input not the same size"
+        return cosmargin_fn(input1, input2, y, margin=self.margin,
+                            weights=weights, avg=self.avg)
+
+
+class KLLoss(LossBuilder):
+    def __init__(self, margin=1, avg=True, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.margin = margin
+        self.avg = avg
+
+    def __call__(self, input1, input2, y, weights=None):
+        return kl_loss_fn(input1, input2, y, margin=self.margin,
+                          weights=weights, avg=self.avg)
+
+
+class weighted_loss_multi(LossBuilder):
+    """weight*loss_spk + (1-weight)*loss_phn for multitask training
+    (reference loss.py:140-182)."""
+
+    def __init__(self, avg=True, loss_phn=None, loss_spk=None, weight=0.5,
+                 *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        assert isinstance(weight, float)
+        assert 0 <= weight <= 1
+        self.weight = weight
+        self.avg = avg
+        self.loss_phn = loss_phn
+        self.loss_spk = loss_spk
+
+    def __call__(self, emb_spk1, emb_phn1, emb_spk2, emb_phn2, y_spk, y_phn,
+                 weights=None):
+        out_spk = self.loss_spk(emb_spk1, emb_spk2, y_spk, weights=weights)
+        out_phn = self.loss_phn(emb_phn1, emb_phn2, y_phn, weights=weights)
+        return self.weight * out_spk + (1.0 - self.weight) * out_phn
+
+    def whoami(self):
+        return {"params": {"weight": self.weight, "avg": self.avg,
+                           "loss_phn": self.loss_phn.whoami(),
+                           "loss_spk": self.loss_spk.whoami()},
+                "class_name": self.__class__.__name__}

@@ -1,0 +1,197 @@
+"""Minimal functional NN primitives for the TPU-native models.
+
+The reference builds `nn.Sequential` stacks of
+Linear -> Dropout -> [BatchNorm1d] -> activation (reference model.py:134-168).
+Here each tower is a pure function over a parameter pytree so the whole
+siamese forward/backward fuses into one XLA computation: parameters are
+plain nested dicts, dropout threads an explicit PRNG key, and batch-norm
+running statistics live in a separate `state` pytree returned by `apply`.
+
+Weight init matches torch semantics: xavier_uniform / xavier_normal /
+orthogonal with `calculate_gain(activation)` (reference model.py:25-27,
+172-177).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "ACTIVATIONS", "calculate_gain", "init_dense", "Tower", "TowerSpec",
+]
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# activations (reference model.py:19-23)
+# ---------------------------------------------------------------------------
+
+ACTIVATIONS = {
+    "relu": jax.nn.relu,
+    "sigmoid": jax.nn.sigmoid,
+    "tanh": jnp.tanh,
+    "softmax": lambda x: jax.nn.softmax(x, axis=-1),
+    None: lambda x: x,
+}
+
+
+def calculate_gain(nonlinearity: Optional[str]) -> float:
+    """torch.nn.init.calculate_gain equivalents for the supported set."""
+    if nonlinearity == "relu":
+        return math.sqrt(2.0)
+    if nonlinearity == "tanh":
+        return 5.0 / 3.0
+    # sigmoid / softmax / linear
+    return 1.0
+
+
+# ---------------------------------------------------------------------------
+# initializers (reference model.py:25-27)
+# ---------------------------------------------------------------------------
+
+def _xavier_uniform(key, shape, gain):
+    fan_in, fan_out = shape[0], shape[1]
+    a = gain * math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, jnp.float32, -a, a)
+
+
+def _xavier_normal(key, shape, gain):
+    fan_in, fan_out = shape[0], shape[1]
+    std = gain * math.sqrt(2.0 / (fan_in + fan_out))
+    return std * jax.random.normal(key, shape, jnp.float32)
+
+
+def _orthogonal(key, shape, gain):
+    return gain * jax.nn.initializers.orthogonal()(key, shape, jnp.float32)
+
+
+INITS = {
+    "xavier_uni": _xavier_uniform,
+    "xavier_normal": _xavier_normal,
+    "orthogonal": _orthogonal,
+}
+
+
+def init_dense(key, in_dim: int, out_dim: int, type_init: str,
+               gain: float) -> Params:
+    """Dense params stored (in_dim, out_dim); bias zero-filled
+    (reference model.py:172-177)."""
+    w = INITS[type_init](key, (in_dim, out_dim), gain)
+    return {"w": w, "b": jnp.zeros((out_dim,), jnp.float32)}
+
+
+# ---------------------------------------------------------------------------
+# tower: a stack of Linear -> Dropout -> [BN] -> activation blocks
+# ---------------------------------------------------------------------------
+
+class TowerSpec:
+    """Static description of one MLP tower.
+
+    `dims` is the full dimension chain [in, h1, ..., out]; `activations` has
+    one entry per layer (None = identity, used for last_non_linearity=None,
+    reference model.py:161-166).
+    """
+
+    def __init__(self, dims: Sequence[int], activations: Sequence[Optional[str]],
+                 p_dropout: float = 0.0, batch_norm: bool = False,
+                 type_init: str = "xavier_uni",
+                 gain_activation: Optional[str] = None):
+        assert len(activations) == len(dims) - 1
+        self.dims = list(dims)
+        self.activations = list(activations)
+        self.p_dropout = float(p_dropout)
+        self.batch_norm = bool(batch_norm)
+        self.type_init = type_init
+        # torch applies one gain (from the main activation) to every layer
+        # (reference model.py:172-177)
+        self.gain_activation = gain_activation
+
+    @property
+    def num_layers(self) -> int:
+        return len(self.dims) - 1
+
+
+class Tower:
+    """Pure-functional MLP tower."""
+
+    def __init__(self, spec: TowerSpec):
+        self.spec = spec
+
+    def init(self, key) -> Tuple[Params, Params]:
+        spec = self.spec
+        gain = calculate_gain(spec.gain_activation)
+        keys = jax.random.split(key, spec.num_layers)
+        layers, bn_state = [], []
+        for i in range(spec.num_layers):
+            p = init_dense(keys[i], spec.dims[i], spec.dims[i + 1],
+                           spec.type_init, gain)
+            if spec.batch_norm:
+                p["bn_scale"] = jnp.ones((spec.dims[i + 1],), jnp.float32)
+                p["bn_bias"] = jnp.zeros((spec.dims[i + 1],), jnp.float32)
+                bn_state.append({
+                    "mean": jnp.zeros((spec.dims[i + 1],), jnp.float32),
+                    "var": jnp.ones((spec.dims[i + 1],), jnp.float32),
+                })
+            layers.append(p)
+        params = {f"layer_{i}": p for i, p in enumerate(layers)}
+        state = ({f"bn_{i}": s for i, s in enumerate(bn_state)}
+                 if spec.batch_norm else {})
+        return params, state
+
+    def apply(self, params: Params, state: Params, x: jnp.ndarray,
+              rng=None, train: bool = False,
+              bn_momentum: float = 0.1, bn_eps: float = 1e-5,
+              save_partials: bool = False):
+        """Run the tower. Returns (out, new_state[, partials]).
+
+        `partials` (when requested) holds the input of each Linear layer,
+        mirroring SequentialPartialSave used by the multimodal attention
+        (reference utils.py:313-352).
+        """
+        spec = self.spec
+        new_state = dict(state)
+        partials: List[jnp.ndarray] = []
+        if train and spec.p_dropout > 0.0:
+            assert rng is not None, "dropout at train time needs an rng"
+            drop_keys = jax.random.split(rng, spec.num_layers)
+        for i in range(spec.num_layers):
+            p = params[f"layer_{i}"]
+            if save_partials:
+                partials.append(x)
+            x = jnp.dot(x, p["w"], preferred_element_type=jnp.float32)
+            x = x + p["b"]
+            if train and spec.p_dropout > 0.0:
+                keep = 1.0 - spec.p_dropout
+                mask = jax.random.bernoulli(drop_keys[i], keep, x.shape)
+                x = jnp.where(mask, x / keep, 0.0)
+            if spec.batch_norm:
+                scale, bias = p["bn_scale"], p["bn_bias"]
+                st = state[f"bn_{i}"]
+                if train:
+                    mean = jnp.mean(x, axis=0)
+                    var = jnp.var(x, axis=0)
+                    n = x.shape[0]
+                    unbiased = var * n / max(n - 1, 1)
+                    new_state[f"bn_{i}"] = {
+                        "mean": (1 - bn_momentum) * st["mean"]
+                                + bn_momentum * mean,
+                        "var": (1 - bn_momentum) * st["var"]
+                               + bn_momentum * unbiased,
+                    }
+                else:
+                    mean, var = st["mean"], st["var"]
+                x = (x - mean) * jax.lax.rsqrt(var + bn_eps) * scale + bias
+            x = ACTIVATIONS[spec.activations[i]](x)
+        if save_partials:
+            return x, new_state, partials
+        return x, new_state
+
+
+def count_params(params) -> int:
+    return int(sum(np.prod(x.shape) for x in jax.tree_util.tree_leaves(params)))

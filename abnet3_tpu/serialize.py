@@ -1,0 +1,75 @@
+"""Pytree checkpoint IO.
+
+Networks are saved as flattened-key npz payloads (written through BytesIO so
+the file keeps whatever extension the caller chose — the gridsearch YAML
+contract names weight files ``<output_path>.pth``, reference
+gridsearch.py:201, model.py:204-205; here the content is a safe npz archive,
+not a torch pickle).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+from typing import Any, Dict
+
+import numpy as np
+
+__all__ = ["save_pytree", "load_pytree"]
+
+_SEP = "::"
+
+
+def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    if isinstance(tree, dict):
+        for k in sorted(tree):
+            out.update(_flatten(tree[k], f"{prefix}{k}{_SEP}"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}#{i}{_SEP}"))
+    else:
+        out[prefix[:-len(_SEP)]] = np.asarray(tree)
+    return out
+
+
+def save_pytree(path: str, tree: Any, meta: Dict = None) -> None:
+    flat = _flatten(tree)
+    buf = io.BytesIO()
+    arrays = {f"a{i}": v for i, v in enumerate(flat.values())}
+    keymap = {f"a{i}": k for i, k in enumerate(flat.keys())}
+    arrays["__keymap__"] = np.frombuffer(
+        json.dumps(keymap).encode("utf-8"), dtype=np.uint8)
+    if meta:
+        arrays["__meta__"] = np.frombuffer(
+            json.dumps(meta).encode("utf-8"), dtype=np.uint8)
+    np.savez(buf, **arrays)
+    with open(path, "wb") as fh:
+        fh.write(buf.getvalue())
+
+
+def load_pytree(path: str):
+    """Returns (nested dict of np arrays, meta dict)."""
+    with open(path, "rb") as fh:
+        data = np.load(io.BytesIO(fh.read()), allow_pickle=False)
+        keymap = json.loads(bytes(data["__keymap__"]).decode("utf-8"))
+        meta = (json.loads(bytes(data["__meta__"]).decode("utf-8"))
+                if "__meta__" in data else {})
+        tree: Dict[str, Any] = {}
+        for akey, flatkey in keymap.items():
+            parts = flatkey.split(_SEP)
+            node = tree
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = np.asarray(data[akey])
+    return _relist(tree), meta
+
+
+def _relist(node):
+    """Convert {'#0': ..., '#1': ...} dicts back into lists."""
+    if not isinstance(node, dict):
+        return node
+    keys = list(node.keys())
+    if keys and all(k.startswith("#") for k in keys):
+        return [_relist(node[f"#{i}"]) for i in range(len(keys))]
+    return {k: _relist(v) for k, v in node.items()}
