@@ -1,0 +1,195 @@
+"""Batched on-device DTW alignment.
+
+The reference aligns each same-word token pair with a per-pair Cython DTW
+call on the host inside batch construction — its hottest loop (reference
+dataloader.py:183-206 calling utils.py:147-153). Here the whole pair batch
+is aligned on the TPU in one jitted computation:
+
+1. :func:`pairwise_angular_distance` computes all B cost matrices with one
+   batched matmul on the MXU (angular cosine distance, the same metric as
+   reference utils.py:40-60).
+
+2. :func:`dtw_costs` runs the DP with a **row scan**: the classic
+   anti-diagonal wavefront has T1+T2-1 sequential steps of ragged vectors;
+   instead we exploit that the within-row recurrence
+
+       D[i,j] = c[i,j] + min(m[j], D[i,j-1]),   m[j] = min(D[i-1,j], D[i-1,j-1])
+
+   is a (min,+) linear scan whose closed form is
+
+       D[i,j] = S[j] + min(x0, min_{1<=k<=j}(m[k] - S[k-1])),
+       S[j] = sum_{t=1..j} c[i,t]
+
+   i.e. one cumsum + one cumulative-min per row — both fully parallel on
+   the VPU — leaving only T1 sequential steps, each vectorized over the
+   whole (B, T2) plane.
+
+3. :func:`dtw_backtrace` walks the DP matrix back from each pair's true
+   endpoint (lengths are passed separately; padding never needs masking
+   because the DP flows strictly from (0,0) outward).
+
+All shapes are static (pairs are padded to bucket sizes) so everything jits
+once per bucket.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "pairwise_angular_distance", "dtw_costs", "dtw_backtrace",
+    "dtw_align_batch", "align_diff_batch", "gather_aligned",
+]
+
+_BIG = jnp.float32(1e30)
+
+
+def pairwise_angular_distance(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Batched angular cosine distance arccos(cos)/pi in [0, 1].
+
+    x: (B, T1, d), y: (B, T2, d) -> (B, T1, T2). Zero-norm frames are
+    distance 1 from everything except other zero-norm frames (distance 0),
+    matching reference utils.py:40-60.
+    """
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    nx = jnp.sqrt(jnp.sum(x * x, axis=-1))          # (B, T1)
+    ny = jnp.sqrt(jnp.sum(y * y, axis=-1))          # (B, T2)
+    zx = nx == 0.0
+    zy = ny == 0.0
+    dots = jnp.einsum("bid,bjd->bij", x, y,
+                      preferred_element_type=jnp.float32)
+    denom = (jnp.where(zx, 1.0, nx)[:, :, None]
+             * jnp.where(zy, 1.0, ny)[:, None, :])
+    sim = jnp.clip(dots / denom, -1.0, 1.0)
+    d = jnp.arccos(sim) / jnp.pi
+    d = jnp.where(zx[:, :, None] | zy[:, None, :], 1.0, d)
+    d = jnp.where(zx[:, :, None] & zy[:, None, :], 0.0, d)
+    return d
+
+
+def dtw_costs(dist: jnp.ndarray) -> jnp.ndarray:
+    """Full DP cost tensor D for batched DTW.
+
+    dist: (B, T1, T2) -> D: (B, T1, T2) with
+    D[i,j] = dist[i,j] + min(D[i-1,j], D[i,j-1], D[i-1,j-1]).
+    """
+    B, T1, T2 = dist.shape
+    row0 = jnp.cumsum(dist[:, 0, :], axis=1)
+
+    def row_step(prev, c_row):
+        # m[j] = min(D[i-1, j], D[i-1, j-1])
+        shifted = jnp.concatenate(
+            [jnp.full((B, 1), _BIG), prev[:, :-1]], axis=1)
+        m = jnp.minimum(prev, shifted)
+        x0 = prev[:, :1] + c_row[:, :1]                       # D[i, 0]
+        # S[j] = sum_{t=1..j} c[i,t], S[0] = 0
+        S = jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.float32),
+             jnp.cumsum(c_row[:, 1:], axis=1)], axis=1)
+        # b[k] = m[k] - S[k-1] for k >= 1; b[0] = m[0] + BIG is a sentinel
+        # excluded from the running min, so x[0] = x0
+        b = m - jnp.concatenate(
+            [jnp.full((B, 1), -_BIG), S[:, :-1]], axis=1)
+        cm = jax.lax.associative_scan(jnp.minimum, b, axis=1)
+        x = S + jnp.minimum(cm, x0)
+        return x, x
+
+    _, rows = jax.lax.scan(row_step, row0,
+                           jnp.moveaxis(dist[:, 1:, :], 1, 0))
+    return jnp.concatenate([row0[:, None, :],
+                            jnp.moveaxis(rows, 0, 1)], axis=1)
+
+
+def dtw_backtrace(D: jnp.ndarray, n1: jnp.ndarray, n2: jnp.ndarray
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Backtrace optimal paths from each pair's true endpoint.
+
+    D: (B, T1, T2); n1, n2: (B,) true lengths.
+    Returns (path1, path2, path_len), paths (B, L) with L = T1+T2-1 in
+    *increasing* order, padded past path_len by repeating the endpoint.
+    Tie-breaking prefers the diagonal step (matches the host oracle
+    utils.dtw_numpy).
+    """
+    B, T1, T2 = D.shape
+    L = T1 + T2 - 1
+
+    def one(Db, i0, j0):
+        def step(carry, _):
+            i, j = carry
+            diag = jnp.where((i > 0) & (j > 0), Db[i - 1, j - 1], _BIG)
+            up = jnp.where(i > 0, Db[i - 1, j], _BIG)
+            left = jnp.where(j > 0, Db[i, j - 1], _BIG)
+            take_diag = (diag <= up) & (diag <= left)
+            take_up = jnp.logical_not(take_diag) & (up <= left)
+            ni = jnp.where(take_diag | take_up, i - 1, i)
+            nj = jnp.where(take_diag | (~take_diag & ~take_up), j - 1, j)
+            done = (i == 0) & (j == 0)
+            ni = jnp.where(done, 0, jnp.maximum(ni, 0))
+            nj = jnp.where(done, 0, jnp.maximum(nj, 0))
+            return (ni, nj), (i, j)
+
+        (_, _), (ris, rjs) = jax.lax.scan(step, (i0, j0), None, length=L)
+        # ris/rjs go from the endpoint back to (0,0) then repeat (0,0);
+        # path length = number of steps until (0,0) inclusive
+        at_origin = (ris == 0) & (rjs == 0)
+        plen = L - jnp.sum(at_origin) + 1
+        # flip to increasing order: fwd[s] = rev[plen-1-s]; pad repeats end
+        s = jnp.arange(L)
+        idx = jnp.clip(plen - 1 - s, 0, L - 1)
+        return ris[idx], rjs[idx], plen
+
+    return jax.vmap(one)(D, n1 - 1, n2 - 1)
+
+
+@jax.jit
+def dtw_align_batch(f1: jnp.ndarray, f2: jnp.ndarray,
+                    n1: jnp.ndarray, n2: jnp.ndarray):
+    """End-to-end batched DTW alignment of padded token pairs.
+
+    f1: (B, T1, d), f2: (B, T2, d) zero-padded; n1, n2: (B,) true lengths.
+    Returns (path1, path2, path_len) as in :func:`dtw_backtrace`.
+    """
+    dist = pairwise_angular_distance(f1, f2)
+    D = dtw_costs(dist)
+    return dtw_backtrace(D, n1, n2)
+
+
+def align_diff_batch(n1: jnp.ndarray, n2: jnp.ndarray, T1: int, T2: int,
+                     align_different_words: bool = False):
+    """Alignment index paths for *different*-word pairs.
+
+    - truncate mode (default): both words cut to min(n1, n2)
+      (reference dataloader.py:227-228)
+    - diagonal mode: the shorter word is stretched along the diagonal with
+      rounded linspace indices (reference dataloader.py:217-225; the
+      reference also swaps so X1 holds the longer word — the losses are
+      symmetric in (X1, X2) so we keep the input order)
+
+    Returns (path1, path2, path_len) with L = max(T1, T2) static.
+    """
+    L = max(T1, T2)
+    s = jnp.arange(L, dtype=jnp.float32)[None, :]      # (1, L)
+    n1f = n1.astype(jnp.float32)[:, None]
+    n2f = n2.astype(jnp.float32)[:, None]
+    if align_different_words:
+        plen = jnp.maximum(n1, n2)
+        denom = jnp.maximum(plen.astype(jnp.float32)[:, None] - 1.0, 1.0)
+        p1 = jnp.rint(s * (n1f - 1.0) / denom).astype(jnp.int32)
+        p2 = jnp.rint(s * (n2f - 1.0) / denom).astype(jnp.int32)
+    else:
+        plen = jnp.minimum(n1, n2)
+        p1 = jnp.minimum(s, n1f - 1.0).astype(jnp.int32)
+        p2 = jnp.minimum(s, n2f - 1.0).astype(jnp.int32)
+    p1 = jnp.clip(p1, 0, T1 - 1)
+    p2 = jnp.clip(p2, 0, T2 - 1)
+    return p1, p2, plen
+
+
+def gather_aligned(f: jnp.ndarray, path: jnp.ndarray) -> jnp.ndarray:
+    """Gather aligned frames: f (B, T, d), path (B, L) -> (B, L, d)."""
+    return jnp.take_along_axis(f, path[:, :, None], axis=1)
