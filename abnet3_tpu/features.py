@@ -1,0 +1,373 @@
+#!/usr/bin/env python3
+"""Acoustic feature generation: wav -> (log-mel | MFCC) -> CMVN -> stacking.
+
+Same public surface and file contract as the reference FeaturesGenerator
+(reference features.py:20-404): h5features output, ``run`` lifecycle modes,
+global / per-file / per-channel / VAD-masked normalization, 7-frame
+stacking. The spectral transform itself runs as a jitted JAX pipeline on
+device (:mod:`abnet3_tpu.ops.dsp`) instead of the external `spectral`
+package; waveforms are padded to 1-second buckets so XLA compiles one
+kernel per bucket.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from abnet3_tpu.io.h5f import (read_h5features, read_h5features_index,
+                               read_h5features_item, write_h5features)
+from abnet3_tpu.ops import dsp
+from abnet3_tpu.utils import Features_Accessor, read_feats, read_vad_file
+
+__all__ = ["FeaturesGenerator", "main"]
+
+
+class FeaturesGenerator:
+    """Feature pipeline driver (reference features.py:20-97 for the
+    parameter contract)."""
+
+    def __init__(self, files=None, output_path=None,
+                 load_mean_variance_path=None,
+                 save_mean_variance_path=None,
+                 vad_file=None,
+                 n_filters=40, method="fbanks", normalization=True,
+                 norm_per_file=True, stack=True,
+                 nframes=7, deltas=False, deltasdeltas=False,
+                 norm_per_channel=False,
+                 run="once"):
+        self.files = files
+        self.output_path = output_path
+        self.load_mean_variance_path = load_mean_variance_path
+        self.save_mean_variance_path = save_mean_variance_path
+        self.vad_file = vad_file
+        self.n_filters = n_filters
+        self.method = method
+        self.normalization = normalization
+        self.stack = stack
+        self.nframes = nframes
+        self.deltas = deltas
+        self.deltasdeltas = deltasdeltas
+        self.norm_per_file = norm_per_file
+        self.norm_per_channel = norm_per_channel
+        self.run = run
+
+        if self.method not in ["mfcc", "fbanks"]:
+            raise ValueError("Method %s not recognized" % self.method)
+        assert self.run in ["never", "once", "always", "if_none"]
+
+        if (load_mean_variance_path is not None
+                and save_mean_variance_path is not None):
+            raise ValueError("You can't both read and save mean and variance")
+        if not self.normalization and self.norm_per_file:
+            raise ValueError("You can't set normalization to False "
+                             "and normalization per file to True.")
+        if self.norm_per_file and (load_mean_variance_path is not None
+                                   or save_mean_variance_path is not None):
+            raise ValueError("You can't compute mean and variance "
+                             "per file and loading / saving it.")
+
+    def whoami(self):
+        return {"params": dict(self.__dict__),
+                "class_name": self.__class__.__name__}
+
+    # -- spectral transforms (device) -----------------------------------
+
+    @staticmethod
+    def _read_wav(fname):
+        from scipy.io import wavfile
+        srate, sound = wavfile.read(fname)
+        sound = np.asarray(sound)
+        if sound.ndim > 1:
+            sound = sound[:, 0]
+        return srate, sound.astype(np.float32)
+
+    @staticmethod
+    def _pad_bucket(sound, srate):
+        """Pad to whole-second buckets to bound XLA recompiles."""
+        bucket = int(np.ceil(max(len(sound), srate) / srate)) * srate
+        out = np.zeros(bucket, np.float32)
+        out[:len(sound)] = sound
+        return out
+
+    def do_fbank(self, fname):
+        """40-filter log-mel filterbanks at 100 fps / 25 ms / nfft 1024
+        (reference features.py:99-114)."""
+        srate, sound = self._read_wav(fname)
+        nf = dsp.num_frames(len(sound), srate)
+        padded = self._pad_bucket(sound, srate)
+        feats = dsp.logmel_frames(padded, int(srate), nfft=1024,
+                                  nfilt=self.n_filters)
+        feats = dsp.add_deltas(feats, self.deltas, self.deltasdeltas)
+        return np.asarray(feats)[:nf].astype(np.float32)
+
+    def do_mfccs(self, fname):
+        """13-cep MFCCs, nfft 512, mel band 100..6855.5 Hz
+        (reference features.py:116-133)."""
+        srate, sound = self._read_wav(fname)
+        nf = dsp.num_frames(len(sound), srate)
+        padded = self._pad_bucket(sound, srate)
+        feats = dsp.mfcc_frames(padded, int(srate), nfilt=self.n_filters,
+                                ncep=13)
+        feats = dsp.add_deltas(feats, self.deltas, self.deltasdeltas)
+        return np.asarray(feats)[:nf].astype(np.float32)
+
+    def stack_fbanks(self, features, nframes=7):
+        """Frame stacking with zero-padded edges
+        (reference features.py:135-159)."""
+        features = np.asarray(features)
+        return np.asarray(dsp.stack_frames(features, nframes=nframes))
+
+    # -- corpus-level h5features plumbing --------------------------------
+
+    def h5features_compute(self, files, h5f, featfunc=None, timefunc=None):
+        """Stream features for many files into one h5features container in
+        batches of 500 (reference features.py:161-203)."""
+        if featfunc is None:
+            featfunc = self.do_fbank
+        batch_size = 500
+        features, times, internal_files = [], [], []
+        for f in files:
+            if len(features) == batch_size:
+                write_h5features(h5f, "/features/", internal_files, times,
+                                 features)
+                features, times, internal_files = [], [], []
+            data = featfunc(f)
+            features.append(data)
+            if timefunc is None:
+                time = np.arange(data.shape[0], dtype=float) * 0.01 + 0.0025
+            else:
+                time = timefunc(f)
+            times.append(time)
+            internal_files.append(
+                os.path.basename(os.path.splitext(f)[0]))
+        if features:
+            write_h5features(h5f, "/features/", internal_files, times,
+                             features)
+
+    # -- normalization ----------------------------------------------------
+
+    def mean_variance_normalisation(self, h5f, mvn_h5f, params=None,
+                                    vad_file=None):
+        """Global CMVN: one mean/std over the whole corpus (per channel if
+        norm_per_channel), optionally restricted to VAD regions for the
+        statistics (reference features.py:205-244)."""
+        axis = 0 if self.norm_per_channel else None
+        data = read_h5features(h5f, "features")
+        feats_list = data.features()
+
+        if params is not None:
+            mean = params["mean"]
+            std = params["variance"]
+        else:
+            if vad_file is not None:
+                # VAD restricts the statistics of files that *have* VAD
+                # entries; files without entries contribute all frames
+                # (reference features.py:246-259 + test_features VAD case)
+                vad_data = read_vad_file(vad_file)
+                acc = Features_Accessor(data.dict_labels(),
+                                        data.dict_features())
+                stat_feats = []
+                for item, feats in zip(data.items(), feats_list):
+                    if item in vad_data:
+                        for start, end in vad_data[item]:
+                            stat_feats.append(acc.get(item, start, end))
+                    else:
+                        stat_feats.append(feats)
+                stat = np.vstack(stat_feats)
+            else:
+                stat = np.vstack(feats_list)
+            mean = np.mean(stat, axis=axis)
+            std = np.std(stat, axis=axis)
+
+        epsilon = np.finfo(feats_list[0].dtype).eps
+        norm_feats = [(f - mean) / (std + epsilon) for f in feats_list]
+        if os.path.exists(mvn_h5f):
+            os.remove(mvn_h5f)
+        write_h5features(mvn_h5f, "features", data.items(), data.labels(),
+                         norm_feats)
+        return mean, std
+
+    def filter_vad_one_file(self, feature, time, vad_data):
+        filtered = [Features_Accessor.get_features_between(
+            feature, time, start, end) for start, end in vad_data]
+        return np.concatenate(filtered)
+
+    def mean_var_norm_per_file(self, h5f, mvn_h5f, vad_file=None):
+        """Per-file CMVN (reference features.py:268-297)."""
+        axis = 0 if self.norm_per_channel else None
+        vad_data = read_vad_file(vad_file) if vad_file is not None else None
+        means_vars = []
+        for f in read_h5features_index(h5f):
+            times, features = read_h5features_item(h5f, f)
+            stat = features
+            if vad_data is not None and f in vad_data:
+                stat = self.filter_vad_one_file(features, times, vad_data[f])
+            mean = np.mean(stat, axis=axis)
+            std = np.std(stat, axis=axis)
+            features = (features - mean) / (std
+                                            + np.finfo(features.dtype).eps)
+            write_h5features(mvn_h5f, "/features/", [f], [times], [features])
+            means_vars.append((f, mean, std))
+        return means_vars
+
+    def h5features_feats2stackedfeats(self, fb_h5f, stackedfb_h5f,
+                                      nframes=7):
+        """Stacked-frame copy of an h5features file
+        (reference features.py:299-320)."""
+        files = read_h5features_index(fb_h5f)
+
+        def aux(f):
+            return self.stack_fbanks(read_h5features_item(fb_h5f, f)[1],
+                                     nframes=nframes)
+
+        def time_f(f):
+            return read_h5features_item(fb_h5f, f)[0]
+
+        self.h5features_compute(files, stackedfb_h5f, featfunc=aux,
+                                timefunc=time_f)
+
+    def save_mean_variance(self, mean, variance, output_file):
+        """Two-row text file: mean then variance
+        (reference features.py:322-334)."""
+        np.savetxt(output_file, np.vstack((mean, variance)))
+
+    def load_mean_variance(self, file_path):
+        mean_var = np.loadtxt(file_path)
+        return {"mean": mean_var[0], "variance": mean_var[1]}
+
+    def normalize(self, input_features, output_features):
+        print("Normalizing")
+        if self.norm_per_file:
+            self.mean_var_norm_per_file(input_features, output_features,
+                                        vad_file=self.vad_file)
+        else:
+            params = None
+            if self.load_mean_variance_path is not None:
+                params = self.load_mean_variance(
+                    self.load_mean_variance_path)
+            mean, variance = self.mean_variance_normalisation(
+                input_features, output_features, params=params,
+                vad_file=self.vad_file)
+            if self.save_mean_variance_path is not None:
+                self.save_mean_variance(
+                    mean, variance,
+                    output_file=self.save_mean_variance_path)
+
+    # -- driver -----------------------------------------------------------
+
+    def generate(self):
+        """Full pipeline: wavs -> features -> [CMVN] -> [stacking] -> output
+        (reference features.py:365-404)."""
+        functions = {"mfcc": self.do_mfccs, "fbanks": self.do_fbank}
+        if isinstance(self.files, str):
+            if not os.path.isdir(self.files):
+                raise ValueError(
+                    "files must be a directory or a list of files")
+            self.files = [os.path.join(self.files, f)
+                          for f in sorted(os.listdir(self.files))
+                          if f.endswith(".wav")]
+        f = functions[self.method]
+
+        tempdir = os.path.join(
+            os.path.dirname(os.path.abspath(self.output_path)), "tmp")
+        os.makedirs(tempdir, exist_ok=True)
+        try:
+            h5_temp1 = os.path.join(tempdir, "temp1")
+            print("Spectral transforming with %s" % self.method)
+            self.h5features_compute(self.files, h5_temp1, featfunc=f)
+            if self.normalization:
+                h5_temp2 = os.path.join(tempdir, "temp2")
+                self.normalize(h5_temp1, h5_temp2)
+            else:
+                h5_temp2 = h5_temp1
+            if os.path.exists(self.output_path):
+                os.remove(self.output_path)
+            if self.stack:
+                print("Stacking frames")
+                self.h5features_feats2stackedfeats(
+                    h5_temp2, self.output_path, nframes=self.nframes)
+            else:
+                shutil.copy(h5_temp2, self.output_path)
+        finally:
+            shutil.rmtree(tempdir)
+
+
+def main_wav(args):
+    features_generator = FeaturesGenerator(
+        files=args.wav_dir,
+        output_path=args.output_path,
+        method=args.method,
+        n_filters=args.n_filters,
+        save_mean_variance_path=args.save_mean_var,
+        load_mean_variance_path=args.load_mean_var,
+        vad_file=args.vad,
+        normalization=args.normalization,
+        stack=args.stack,
+        norm_per_file=args.norm_per_file,
+        norm_per_channel=args.norm_per_channel,
+    )
+    features_generator.generate()
+
+
+def main_normalize(args):
+    features_generator = FeaturesGenerator(
+        save_mean_variance_path=args.save_mean_var,
+        load_mean_variance_path=args.load_mean_var,
+        vad_file=args.vad,
+        normalization=True,
+        norm_per_file=args.norm_per_file,
+        norm_per_channel=args.norm_per_channel,
+    )
+    features_generator.normalize(args.input_features, args.output_features)
+
+
+def main():
+    """CLI with wav / norm subcommands (reference features.py:441-493)."""
+    parser = argparse.ArgumentParser()
+    subparsers = parser.add_subparsers(help="sub-command help")
+
+    parser_wav = subparsers.add_parser("wav")
+    parser_wav.add_argument("wav_dir", help="Path to wav directory")
+    parser_wav.add_argument("output_path", help="Path to output h5f file")
+    parser_wav.add_argument("method", choices=["mfcc", "fbanks"],
+                            help="which features to generate")
+    parser_wav.add_argument("--vad",
+                            help="Path to vad file (CSV with header)")
+    parser_wav.add_argument("--normalization", "-n", action="store_true")
+    parser_wav.add_argument("--norm-per-file", action="store_true",
+                            help="Independent normalization for each file")
+    parser_wav.add_argument("--norm-per-channel", action="store_true",
+                            help="Normalize each channel independently")
+    parser_wav.add_argument("--n-filters", type=int, default=40)
+    parser_wav.add_argument("--save-mean-var", type=str,
+                            help="Where mean/var will be saved")
+    parser_wav.add_argument("--load-mean-var", type=str,
+                            help="Where mean/var are saved (test features)")
+    parser_wav.add_argument("--stack", action="store_true",
+                            help="stack the features")
+    parser_wav.set_defaults(func=main_wav)
+
+    parser_normalize = subparsers.add_parser("norm")
+    parser_normalize.add_argument("input_features")
+    parser_normalize.add_argument("output_features")
+    parser_normalize.add_argument("--vad")
+    parser_normalize.add_argument("--norm-per-file", action="store_true")
+    parser_normalize.add_argument("--norm-per-channel", action="store_true")
+    parser_normalize.add_argument("--save-mean-var", type=str)
+    parser_normalize.add_argument("--load-mean-var", type=str)
+    parser_normalize.set_defaults(func=main_normalize)
+
+    args = parser.parse_args()
+    if hasattr(args, "func"):
+        args.func(args)
+    else:
+        parser.print_help()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,242 @@
+"""Feature pipeline tests: mirrors the reference's exactness suite
+(reference test/test_features.py) plus DSP front-end sanity checks."""
+
+import numpy as np
+import pytest
+
+from abnet3_tpu.features import FeaturesGenerator
+from abnet3_tpu.io import read_h5features, write_h5features
+from abnet3_tpu.ops import dsp
+
+
+def _write_corpus(path, features, items):
+    times = [np.arange(f.shape[0], dtype=float) * 0.01 + 0.0025
+             for f in features]
+    write_h5features(str(path), "/features/", items, times, features)
+
+
+class TestNormalization:
+
+    def test_save_load_mean_variance(self, tmp_path):
+        mean, variance = np.random.randn(10), np.random.randn(10)
+        fg = FeaturesGenerator()
+        p = str(tmp_path / "mv.txt")
+        fg.save_mean_variance(mean, variance, p)
+        saved = fg.load_mean_variance(p)
+        assert (saved["mean"] == mean).all()
+        assert (saved["variance"] == variance).all()
+
+    def test_stack(self):
+        fg = FeaturesGenerator()
+        features = np.random.rand(100, 40).astype(np.float32)
+        result = fg.stack_fbanks(features, nframes=7)
+        assert result.shape == (100, 280)
+        # center block of row t is frame t; edges zero-padded
+        np.testing.assert_allclose(result[10, 3 * 40:4 * 40], features[10],
+                                   rtol=1e-6)
+        np.testing.assert_allclose(result[0, :3 * 40], 0.0)
+        np.testing.assert_allclose(result[99, 4 * 40:], 0.0)
+        # neighbor ordering: first block of row t is frame t-3
+        np.testing.assert_allclose(result[10, :40], features[7], rtol=1e-6)
+
+    def test_global_normalization(self, tmp_path):
+        h5f = str(tmp_path / "h5.features")
+        features = [np.full((100, 40), 1.0, np.float32),
+                    np.full((150, 40), 2.0, np.float32)]
+        _write_corpus(h5f, features, ["file1", "file2"])
+
+        fg = FeaturesGenerator(norm_per_channel=True)
+        out = str(tmp_path / "h5-norm.features")
+        mean, variance = fg.mean_variance_normalisation(h5f, out)
+        stacked = np.vstack(features)
+        assert mean == pytest.approx(np.mean(stacked, axis=0))
+        assert variance == pytest.approx(np.std(stacked, axis=0))
+
+        data = np.vstack(read_h5features(out).features())
+        assert np.mean(data, axis=0) == pytest.approx(0.0, abs=1e-6)
+        assert np.std(data, axis=0) == pytest.approx(1.0, abs=1e-4)
+
+        # whole-spectrum normalization
+        fg = FeaturesGenerator(norm_per_channel=False)
+        out2 = str(tmp_path / "h5-norm2.features")
+        mean, variance = fg.mean_variance_normalisation(h5f, out2)
+        assert mean == pytest.approx(np.mean(stacked))
+        assert variance == pytest.approx(np.std(stacked))
+
+    def test_normalization_per_file(self, tmp_path):
+        h5f = str(tmp_path / "h5.features")
+        f1 = np.vstack([np.full((100, 40), 1.0), np.full((100, 40), -1.0)])
+        f2 = np.vstack([np.full((100, 40), 1.0), np.full((100, 40), 2.0)])
+        _write_corpus(h5f, [f1.astype(np.float32), f2.astype(np.float32)],
+                      ["file1", "file2"])
+
+        out = str(tmp_path / "h5-norm.features")
+        fg = FeaturesGenerator(norm_per_file=True, norm_per_channel=False)
+        meansvars = fg.mean_var_norm_per_file(h5f, out)
+        assert meansvars[0][0] == "file1"
+        assert meansvars[0][1] == pytest.approx(0.0)
+        assert meansvars[0][2] == pytest.approx(np.std(f1))
+        assert meansvars[1][1] == pytest.approx(1.5)
+
+        data = read_h5features(out)
+        for f in data.items():
+            assert np.mean(data.dict_features()[f]) == pytest.approx(
+                0, abs=1e-6)
+            assert np.std(data.dict_features()[f]) == pytest.approx(
+                1, abs=1e-4)
+
+    def test_normalization_with_vad(self, tmp_path):
+        """VAD restricts stats for listed files only; normalization still
+        applies to all frames (reference test_features VAD case)."""
+        h5f = str(tmp_path / "h5.features")
+        vad_file = str(tmp_path / "vad")
+        with open(vad_file, "w") as fh:
+            fh.write("file,start,stop\n"
+                     "file1,0.0025,0.5000\n"
+                     "file1,0.7525,1.000\n")
+        f1 = np.vstack([np.full((50, 40), 1.0),
+                        np.full((50, 40), -1.0)]).astype(np.float32)
+        f2 = f1.copy()
+        _write_corpus(h5f, [f1, f2], ["file1", "file2"])
+
+        out = str(tmp_path / "h5-norm.features")
+        fg = FeaturesGenerator(norm_per_channel=True)
+        mean, var = fg.mean_variance_normalisation(h5f, out,
+                                                   vad_file=vad_file)
+        expected_stat = np.vstack([f1[:75], f2])
+        assert mean == pytest.approx(np.mean(expected_stat, axis=0))
+        assert var == pytest.approx(np.std(expected_stat, axis=0))
+
+        data = read_h5features(out)
+        np.testing.assert_allclose(
+            data.dict_features()["file1"],
+            (f1 - mean) / (var + np.finfo(np.float32).eps), rtol=1e-5)
+
+    def test_norm_per_file_with_vad(self, tmp_path):
+        h5f = str(tmp_path / "h5.features")
+        vad_file = str(tmp_path / "vad")
+        with open(vad_file, "w") as fh:
+            fh.write("file,start,stop\n"
+                     "file1,0.0025,0.5000\n"
+                     "file1,0.7525,1.000\n")
+        f1 = np.vstack([np.full((50, 40), 1.0),
+                        np.full((50, 40), -1.0)]).astype(np.float32)
+        f2 = f1.copy()
+        _write_corpus(h5f, [f1, f2], ["file1", "file2"])
+
+        out = str(tmp_path / "h5-norm.features")
+        fg = FeaturesGenerator(norm_per_file=True, norm_per_channel=False)
+        meansvars = fg.mean_var_norm_per_file(h5f, out, vad_file=vad_file)
+        assert meansvars[0][1] == pytest.approx(np.mean(f1[:75]))
+        assert meansvars[0][2] == pytest.approx(np.std(f1[:75]))
+        assert meansvars[1][1] == pytest.approx(np.mean(f2))
+
+    def test_constructor_guards(self):
+        with pytest.raises(ValueError):
+            FeaturesGenerator(load_mean_variance_path="a",
+                              save_mean_variance_path="b")
+        with pytest.raises(ValueError):
+            FeaturesGenerator(normalization=False, norm_per_file=True)
+        with pytest.raises(ValueError):
+            FeaturesGenerator(norm_per_file=True,
+                              save_mean_variance_path="b")
+        with pytest.raises(ValueError):
+            FeaturesGenerator(method="plp")
+
+
+class TestDSP:
+
+    def test_num_frames(self):
+        # 1s at 16kHz, 25ms windows, 10ms hop -> 98 full windows
+        assert dsp.num_frames(16000, 16000) == 98
+        assert dsp.num_frames(300, 16000) == 0
+
+    def test_logmel_shapes_and_finite(self):
+        fs = 16000
+        t = np.arange(fs, dtype=np.float32)
+        wave = np.sin(2 * np.pi * 440.0 * t / fs) * 1000
+        feats = np.asarray(dsp.logmel_frames(wave, fs, nfft=1024, nfilt=40))
+        assert feats.shape == (98, 40)
+        assert np.all(np.isfinite(feats))
+
+    def test_logmel_peak_tracks_frequency(self):
+        """A higher-frequency tone must peak in a higher mel channel."""
+        fs = 16000
+        t = np.arange(fs, dtype=np.float32)
+        low = np.sin(2 * np.pi * 300.0 * t / fs) * 1000
+        high = np.sin(2 * np.pi * 4000.0 * t / fs) * 1000
+        fl = np.asarray(dsp.logmel_frames(low, fs)).mean(0)
+        fh = np.asarray(dsp.logmel_frames(high, fs)).mean(0)
+        assert np.argmax(fl) < np.argmax(fh)
+
+    def test_mfcc_shape(self):
+        fs = 16000
+        wave = np.random.RandomState(0).randn(fs).astype(np.float32) * 100
+        feats = np.asarray(dsp.mfcc_frames(wave, fs))
+        assert feats.shape == (98, 13)
+        assert np.all(np.isfinite(feats))
+
+    def test_deltas_shapes(self):
+        import jax.numpy as jnp
+        x = jnp.asarray(np.random.rand(50, 40).astype(np.float32))
+        assert dsp.add_deltas(x, True, False).shape == (50, 80)
+        assert dsp.add_deltas(x, True, True).shape == (50, 120)
+        assert dsp.add_deltas(x, False, False).shape == (50, 40)
+        # constant signal -> zero deltas
+        c = jnp.ones((20, 4))
+        d = np.asarray(dsp.add_deltas(c, True, False))[:, 4:]
+        np.testing.assert_allclose(d, 0.0, atol=1e-7)
+
+    def test_mel_matrix_properties(self):
+        fb = dsp.mel_filterbank_matrix(40, 1024, 16000.0)
+        assert fb.shape == (513, 40)
+        assert np.all(fb >= 0)
+        assert np.all(fb.max(axis=0) > 0)  # every filter nonempty
+
+
+class TestGenerate:
+
+    def _write_wavs(self, d, n_files=3, fs=16000):
+        from scipy.io import wavfile
+        rng = np.random.RandomState(0)
+        paths = []
+        for i in range(n_files):
+            w = (rng.randn(int(fs * (0.5 + 0.3 * i))) * 1000).astype(np.int16)
+            p = str(d / f"utt{i}.wav")
+            wavfile.write(p, fs, w)
+            paths.append(p)
+        return paths
+
+    def test_generate_end_to_end(self, tmp_path):
+        wavdir = tmp_path / "wavs"
+        wavdir.mkdir()
+        self._write_wavs(wavdir)
+        out = str(tmp_path / "feats.h5f")
+        fg = FeaturesGenerator(files=str(wavdir), output_path=out,
+                               n_filters=40, method="fbanks",
+                               normalization=True, norm_per_file=False,
+                               norm_per_channel=True, stack=True, nframes=7)
+        fg.generate()
+        data = read_h5features(out)
+        assert data.items() == ["utt0", "utt1", "utt2"]
+        for f in data.features():
+            assert f.shape[1] == 280
+        # stacked center channels (frame t itself) are normalized
+        centers = np.vstack([f[:, 120:160] for f in data.features()])
+        assert np.abs(np.mean(centers, axis=0)).max() < 0.2
+
+    def test_generate_no_stack_no_norm(self, tmp_path):
+        wavdir = tmp_path / "wavs"
+        wavdir.mkdir()
+        self._write_wavs(wavdir, n_files=2)
+        out = str(tmp_path / "feats.h5f")
+        fg = FeaturesGenerator(files=str(wavdir), output_path=out,
+                               method="fbanks", normalization=False,
+                               norm_per_file=False, stack=False)
+        fg.generate()
+        data = read_h5features(out)
+        assert data.features()[0].shape[1] == 40
+        # timestamps at 10ms centers
+        t = data.labels()[0]
+        assert t[0] == pytest.approx(0.0025)
+        assert t[1] - t[0] == pytest.approx(0.01)
