@@ -1,0 +1,841 @@
+"""Dataloaders: token-pair files + h5features -> device-ready frame batches.
+
+The reference builds every minibatch serially on the host: slice token
+features, run Cython DTW per same-pair, vstack, shuffle, then push to the
+GPU (reference dataloader.py:166-312). That interleaved CPU work is its
+throughput bottleneck. Here batch construction is split TPU-first:
+
+- the host only slices token features and pads them into bucketed
+  ``(B, T, d)`` arrays (pure memcpy work, overlapped with device compute via
+  :func:`prefetch_iterator`);
+- alignment (DTW for same pairs, truncate/diagonal for diff pairs), frame
+  gathering and masking all run on device inside one jitted computation
+  (:mod:`abnet3_tpu.ops.dtw`), so a yielded batch is already a set of
+  device arrays with a padding-weight vector the losses consume directly.
+
+Every loader also keeps a ``align_backend='host'`` parity path that
+reproduces the reference's exact numpy semantics (used in tests).
+
+Loader zoo parity (reference dataloader.py):
+- OriginalDataLoader (:43), PairsDataLoader (:355),
+  TemporalCoherenceDataLoader (:549), FramesDataLoader (:580),
+  MultiTaskDataLoader (:742), MultimodalDataLoader (:794).
+"""
+
+from __future__ import annotations
+
+import os
+import queue as queue_mod
+import random
+import threading
+from collections import defaultdict
+from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from abnet3_tpu.ops.dtw import (align_diff_batch, dtw_align_batch,
+                                gather_aligned)
+from abnet3_tpu.utils import (Features_Accessor, get_dtw_alignment,
+                              group_pairs, read_dataset, read_feats,
+                              read_spkid_file)
+
+__all__ = ["Batch", "DataLoader", "OriginalDataLoader", "PairsDataLoader",
+           "TemporalCoherenceDataLoader", "FramesDataLoader",
+           "MultiTaskDataLoader", "MultimodalDataLoader",
+           "prefetch_iterator"]
+
+
+class Batch(NamedTuple):
+    """One training batch of aligned frame pairs.
+
+    ``weights`` is None on the host parity path (all frames valid);
+    ``y_spk`` is set only by the multitask loader. ``x1``/``x2`` are lists
+    for the multimodal loader, arrays otherwise.
+    """
+    x1: object
+    x2: object
+    y: object
+    weights: object = None
+    y_spk: object = None
+
+
+def prefetch_iterator(iterator, size: int = 2):
+    """Run `iterator` in a background thread, keeping `size` batches ready
+    (replaces the reference's serial batch-build/step interleaving)."""
+    q: queue_mod.Queue = queue_mod.Queue(maxsize=size)
+    sentinel = object()
+    err: List[BaseException] = []
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        except BaseException as e:  # propagate into the consumer
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
+def _bucket(n: int, minimum: int = 8) -> int:
+    """Round up to a power-of-two bucket to bound XLA recompiles."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+def _pad_tokens(feats: Sequence[np.ndarray], T: int) -> Tuple[np.ndarray,
+                                                              np.ndarray]:
+    d = feats[0].shape[1]
+    out = np.zeros((len(feats), T, d), np.float32)
+    lens = np.zeros((len(feats),), np.int32)
+    for i, f in enumerate(feats):
+        n = min(len(f), T)
+        out[i, :n] = f[:n]
+        lens[i] = n
+    return out, lens
+
+
+class DataLoader:
+    """Base interface (reference dataloader.py:29-40)."""
+
+    def batch_iterator(self, train_mode=True):
+        raise NotImplementedError(
+            "You must implement batch_iterator in DataLoader class.")
+
+    def whoami(self):
+        raise NotImplementedError(
+            "You must implement whoami in DataLoader class")
+
+
+class OriginalDataLoader(DataLoader):
+    """Pair files -> DTW-aligned frame-pair batches
+    (reference dataloader.py:43-352)."""
+
+    TCL_DISTANCE_SAME = [1]
+    TCL_DISTANCES_DIFF = [15, 20, 25, 30]
+
+    def __init__(self, pairs_path, features_path, num_max_minibatches=1000,
+                 seed=None, batch_size=8, shuffle_between_epochs=False,
+                 align_different_words=False, tcl=0.0,
+                 align_backend="device"):
+        assert 0 <= tcl < 1
+        assert align_backend in ("device", "host")
+        self.pairs_path = pairs_path
+        self.features_path = features_path
+        self.statistics_training = defaultdict(int)
+        self.seed = seed
+        self.num_max_minibatches = num_max_minibatches
+        self.batch_size = batch_size
+        self.features: Optional[Features_Accessor] = None
+        self.shuffle_between_epochs = shuffle_between_epochs
+        self.align_different_words = align_different_words
+        self.tcl = tcl
+        self.align_backend = align_backend
+        self.train_files = None
+        self.pairs = {"train": None, "dev": None}
+        self._rng = np.random.RandomState(seed)
+
+    def whoami(self):
+        return {"params": {
+            "pairs_path": self.pairs_path,
+            "features_path": self.features_path,
+            "seed": self.seed,
+            "num_max_minibatches": self.num_max_minibatches,
+            "batch_size": self.batch_size,
+            "align_backend": self.align_backend,
+            "tcl": self.tcl,
+        }, "class_name": self.__class__.__name__}
+
+    # -- data ------------------------------------------------------------
+
+    def load_data(self):
+        """Load features + pair lists once (reference dataloader.py:125-145).
+        """
+        if self.features is None:
+            print("Loading features")
+            features, _, _ = read_feats(self.features_path)
+            self.features = features
+        if self.pairs["train"] is None:
+            print("Loading word pairs")
+            self.pairs["train"] = read_dataset(
+                os.path.join(self.pairs_path, "train_pairs/dataset"))
+        if self.pairs["dev"] is None:
+            self.pairs["dev"] = read_dataset(
+                os.path.join(self.pairs_path, "dev_pairs/dataset"))
+        self.train_files = list(
+            {p[0] for p in self.pairs["train"]}
+            | {p[3] for p in self.pairs["train"]})
+
+    def get_token_feats(self, pairs, frames=False):
+        """Slice unique token features (reference dataloader.py:147-164)."""
+        token_feats = {}
+        get_features = (self.features.get_between_frames if frames
+                        else self.features.get)
+        for group in ("same", "diff"):
+            for f1, s1, e1, f2, s2, e2 in pairs[group]:
+                if (f1, s1, e1) not in token_feats:
+                    token_feats[f1, s1, e1] = get_features(f1, s1, e1)
+                if (f2, s2, e2) not in token_feats:
+                    token_feats[f2, s2, e2] = get_features(f2, s2, e2)
+        return token_feats
+
+    # -- device batch construction ----------------------------------------
+
+    def _collect_pair_feats(self, pairs, token_feats, group):
+        """Valid pairs of (feat1, feat2); drops degenerate tokens the
+        reference skips (reference dataloader.py:184-190)."""
+        out = []
+        meta = []
+        for f1, s1, e1, f2, s2, e2 in pairs[group]:
+            if (s1 > e1) or (s2 > e2):
+                continue
+            feat1 = token_feats[f1, s1, e1]
+            feat2 = token_feats[f2, s2, e2]
+            if len(feat1) == 0 or len(feat2) == 0:
+                continue
+            out.append((feat1, feat2))
+            meta.append((f1, f2))
+        return out, meta
+
+    def load_frames_from_pairs_device(self, pairs, fid2spk=None):
+        """Device-aligned batch: (X1, X2, y, weights[, y_spk]) padded
+        arrays. The functional replacement for the reference's host loop
+        (reference dataloader.py:166-261)."""
+        token_feats = self.get_token_feats(pairs)
+        return self._assemble_device(pairs, token_feats, fid2spk)
+
+    def _assemble_device(self, pairs, token_feats, fid2spk=None):
+        same, same_meta = self._collect_pair_feats(pairs, token_feats,
+                                                   "same")
+        diff, diff_meta = self._collect_pair_feats(pairs, token_feats,
+                                                   "diff")
+        segs_x1, segs_x2, segs_y, segs_w, segs_yspk = [], [], [], [], []
+
+        def run_group(group, meta, is_same):
+            T1 = _bucket(max(len(a) for a, _ in group))
+            T2 = _bucket(max(len(b) for _, b in group))
+            f1, n1 = _pad_tokens([a for a, _ in group], T1)
+            f2, n2 = _pad_tokens([b for _, b in group], T2)
+            if is_same:
+                p1, p2, plen = dtw_align_batch(
+                    jnp.asarray(f1), jnp.asarray(f2),
+                    jnp.asarray(n1), jnp.asarray(n2))
+            else:
+                p1, p2, plen = align_diff_batch(
+                    jnp.asarray(n1), jnp.asarray(n2), T1, T2,
+                    align_different_words=self.align_different_words)
+            x1 = gather_aligned(jnp.asarray(f1), p1)   # (B, L, d)
+            x2 = gather_aligned(jnp.asarray(f2), p2)
+            L = x1.shape[1]
+            mask = (jnp.arange(L)[None, :]
+                    < plen[:, None]).astype(jnp.float32)
+            d = x1.shape[-1]
+            segs_x1.append(x1.reshape(-1, d))
+            segs_x2.append(x2.reshape(-1, d))
+            segs_y.append(jnp.full((x1.shape[0] * L,),
+                                   1.0 if is_same else -1.0))
+            segs_w.append(mask.reshape(-1))
+            key = "SameType" if is_same else "DiffType"
+            self.statistics_training[key] += len(group)
+            if fid2spk is not None:
+                spk_same = np.asarray(
+                    [1.0 if fid2spk[a] == fid2spk[b] else -1.0
+                     for a, b in meta], np.float32)
+                segs_yspk.append(jnp.repeat(jnp.asarray(spk_same), L))
+                for a, b in meta:
+                    tag = "SameSpk" if fid2spk[a] == fid2spk[b] \
+                        else "DiffSpk"
+                    self.statistics_training[key + tag] += 1
+
+        if same:
+            run_group(same, same_meta, True)
+        if diff:
+            run_group(diff, diff_meta, False)
+        if not segs_x1:
+            return None
+        x1 = jnp.concatenate(segs_x1, axis=0)
+        x2 = jnp.concatenate(segs_x2, axis=0)
+        y = jnp.concatenate(segs_y, axis=0)
+        w = jnp.concatenate(segs_w, axis=0)
+        y_spk = (jnp.concatenate(segs_yspk, axis=0)
+                 if fid2spk is not None else None)
+        return Batch(x1, x2, y, w, y_spk=y_spk)
+
+    # -- host (parity) batch construction ---------------------------------
+
+    def load_frames_from_pairs(self, pairs, seed=0, fid2spk=None,
+                               frames=False):
+        """Reference-exact host batch construction
+        (reference dataloader.py:166-261)."""
+        token_feats = self.get_token_feats(pairs, frames=frames)
+        X1, X2, y_phn, y_spk = [], [], [], []
+        for f1, s1, e1, f2, s2, e2 in pairs["same"]:
+            if (s1 > e1) or (s2 > e2):
+                continue
+            feat1 = token_feats[f1, s1, e1]
+            feat2 = token_feats[f2, s2, e2]
+            try:
+                path1, path2 = get_dtw_alignment(feat1, feat2)
+            except Exception:
+                continue
+            self.statistics_training["SameType"] += 1
+            if fid2spk:
+                same_spk = fid2spk[f1] == fid2spk[f2]
+                y_spk.append((1.0 if same_spk else -1.0)
+                             * np.ones(len(path1)))
+                self.statistics_training[
+                    "SameTypeSameSpk" if same_spk
+                    else "SameTypeDiffSpk"] += 1
+            X1.append(feat1[path1, :])
+            X2.append(feat2[path2, :])
+            y_phn.append(np.ones(len(path1)))
+
+        for f1, s1, e1, f2, s2, e2 in pairs["diff"]:
+            if (s1 > e1) or (s2 > e2):
+                continue
+            feat1 = token_feats[f1, s1, e1]
+            feat2 = token_feats[f2, s2, e2]
+            n1, n2 = feat1.shape[0], feat2.shape[0]
+            if self.align_different_words:
+                min_word, max_word = sorted((feat1, feat2), key=len)
+                mapping = np.rint(np.linspace(
+                    0, len(min_word) - 1, num=len(max_word))).astype(int)
+                word1, word2 = max_word, min_word[mapping, :]
+            else:
+                word1 = feat1[:min(n1, n2), :]
+                word2 = feat2[:min(n1, n2), :]
+            X1.append(word1)
+            X2.append(word2)
+            y_phn.append(-1 * np.ones(len(word1)))
+            self.statistics_training["DiffType"] += 1
+            if fid2spk:
+                same_spk = fid2spk[f1] == fid2spk[f2]
+                y_spk.append((1.0 if same_spk else -1.0)
+                             * np.ones(len(word1)))
+                self.statistics_training[
+                    "DiffTypeSameSpk" if same_spk
+                    else "DiffTypeDiffSpk"] += 1
+
+        X1, X2 = np.vstack(X1), np.vstack(X2)
+        y_phn = np.concatenate(y_phn)
+        rng = np.random.RandomState(seed)
+        ind = rng.permutation(len(y_phn))
+        X1, X2, y_phn = X1[ind, :], X2[ind, :], y_phn[ind]
+        if fid2spk:
+            return X1, X2, np.concatenate(y_spk)[ind], y_phn
+        return X1, X2, y_phn
+
+    # -- iteration ----------------------------------------------------------
+
+    def _select_batches(self, pairs):
+        num_pairs = len(pairs)
+        if self.shuffle_between_epochs:
+            self._rng.shuffle(pairs)
+        sliced = range(0, num_pairs, self.batch_size)
+        batches = [pairs[i:i + self.batch_size] for i in sliced]
+        if self.num_max_minibatches < len(batches):
+            selected = self._rng.choice(len(batches),
+                                        self.num_max_minibatches,
+                                        replace=False)
+        else:
+            print("Number of batches not sufficient,"
+                  " iterating over all the batches")
+            selected = self._rng.permutation(len(batches))
+        return batches, selected
+
+    def batch_iterator(self, train_mode=True):
+        """Yield Batch tuples for one epoch (an 'epoch' samples
+        num_max_minibatches random pair batches, reference
+        dataloader.py:263-312)."""
+        self.load_data()
+        mode = "train" if train_mode else "dev"
+        batches, selected = self._select_batches(list(self.pairs[mode]))
+        for batch_id in selected:
+            grouped = group_pairs(batches[batch_id])
+            if self.align_backend == "device":
+                batch = self.load_frames_from_pairs_device(grouped)
+                if batch is None:
+                    continue
+                if self.tcl > 0:
+                    batch = self._add_tcl(batch)
+                yield batch
+            else:
+                X1, X2, y = self.load_frames_from_pairs(grouped)
+                if self.tcl > 0:
+                    X1, X2, y = self.add_tcl_to_batch((X1, X2, y))
+                yield Batch(jnp.asarray(X1), jnp.asarray(X2),
+                            jnp.asarray(y))
+
+    # -- temporal coherence loss pairs --------------------------------------
+
+    def temporal_coherence_loss(self, num_pairs):
+        """Close-frame positives (dt=1) and far negatives (dt in
+        {15,20,25,30}) sampled from train files
+        (reference dataloader.py:324-352)."""
+        X1, X2, Y = [], [], []
+        per_iter = (len(self.TCL_DISTANCES_DIFF)
+                    + len(self.TCL_DISTANCE_SAME))
+        files = list(self.features.features.keys())
+        if self.train_files is not None:
+            files = self.train_files
+        max_delta = max(self.TCL_DISTANCES_DIFF)
+        for _ in range(round(num_pairs / per_iter)):
+            f = random.choice(files)
+            file_features = self.features.features[
+                self.features._key(f)]
+            if len(file_features) <= max_delta:
+                continue
+            t = random.randrange(len(file_features) - max_delta)
+            for delta in self.TCL_DISTANCE_SAME:
+                X1.append(file_features[t])
+                X2.append(file_features[t + delta])
+                Y.append(1)
+            for delta in self.TCL_DISTANCES_DIFF:
+                X1.append(file_features[t])
+                X2.append(file_features[t + delta])
+                Y.append(-1)
+        if not X1:
+            return (np.zeros((0, 1), np.float32),) * 2 + (np.zeros(0),)
+        return np.vstack(X1), np.vstack(X2), np.array(Y, np.float32)
+
+    def add_tcl_to_batch(self, batch):
+        """Mix tcl fraction of coherence pairs into a host batch
+        (reference dataloader.py:314-322)."""
+        X1, X2, Y = batch
+        num_pairs = len(Y)
+        num_to_add = int((self.tcl * num_pairs) / (1 - self.tcl))
+        X1_t, X2_t, Y_t = self.temporal_coherence_loss(num_to_add)
+        return (np.vstack((X1, X1_t)), np.vstack((X2, X2_t)),
+                np.concatenate((Y, Y_t)))
+
+    def _add_tcl(self, batch: Batch) -> Batch:
+        n_valid = float(np.asarray(jnp.sum(batch.weights))) \
+            if batch.weights is not None else len(batch.y)
+        num_to_add = int((self.tcl * n_valid) / (1 - self.tcl))
+        X1_t, X2_t, Y_t = self.temporal_coherence_loss(num_to_add)
+        if len(Y_t) == 0:
+            return batch
+        w_t = np.ones(len(Y_t), np.float32)
+        w = batch.weights if batch.weights is not None \
+            else jnp.ones((len(batch.y),), jnp.float32)
+        return Batch(
+            jnp.concatenate([batch.x1, jnp.asarray(X1_t)], axis=0),
+            jnp.concatenate([batch.x2, jnp.asarray(X2_t)], axis=0),
+            jnp.concatenate([batch.y, jnp.asarray(Y_t)], axis=0),
+            jnp.concatenate([w, jnp.asarray(w_t)], axis=0),
+            batch.y_spk)
+
+
+class PairsDataLoader(OriginalDataLoader):
+    """Numeric-frame KNN pair files (reference dataloader.py:355-546)."""
+
+    SPLIT_FILES = "files"
+    SPLIT_EACH_FILE = "split_each_file"
+    SPLIT_METHODS = [SPLIT_FILES, SPLIT_EACH_FILE]
+
+    def __init__(self, pairs_path, features_path, id_to_file,
+                 ratio_split_train_test=0.7, batch_size=8,
+                 train_iterations=10000, test_iterations=500,
+                 proportion_positive_pairs=0.5,
+                 align_different_words=True,
+                 split_method=SPLIT_EACH_FILE,
+                 align_backend="device"):
+        super().__init__(pairs_path, features_path, batch_size=batch_size,
+                         align_different_words=align_different_words,
+                         align_backend=align_backend)
+        self.id_to_file = id_to_file
+        self.pairs = {"train": None, "test": None}
+        self.ratio_split_train_test = ratio_split_train_test
+        self.iterations = {"train": train_iterations,
+                           "test": test_iterations}
+        self.proportion_positive_pairs = proportion_positive_pairs
+        self.split_method = split_method
+        assert split_method in self.SPLIT_METHODS
+        self.tokens = {"train": [], "test": []}
+        self.files = set()
+        self.seed = 0
+
+    def load_data(self):
+        if self.pairs["train"] is None:
+            self.load_pairs()
+        if self.features is None:
+            print("Loading features")
+            features, _, _ = read_feats(self.features_path)
+            self.features = features
+
+    def load_pairs(self):
+        """Parse ``f1 f2 b1 e1 b2 e2 dist`` integer-frame pair lines with
+        optional id->filename mapping (reference dataloader.py:430-462)."""
+        pairs = []
+        file_mapping = {}
+        if self.id_to_file is not None:
+            with open(self.id_to_file, "r") as f:
+                for line in f:
+                    i, name = line.strip().split()
+                    file_mapping[int(i)] = name
+        with open(self.pairs_path, "r") as f:
+            for line in f:
+                file1, file2, b1, e1, b2, e2, _dist = line.split(" ")
+                file1 = file_mapping.get(int(file1), int(file1))
+                file2 = file_mapping.get(int(file2), int(file2))
+                self.files.add(file1)
+                self.files.add(file2)
+                pairs.append([file1, int(b1), int(e1),
+                              file2, int(b2), int(e2)])
+        if self.split_method == self.SPLIT_FILES:
+            self.pairs["train"], self.pairs["test"] = \
+                self.split_train_test(pairs)
+        else:
+            self.pairs["train"], self.pairs["test"] = \
+                self.split_train_test_each_file(pairs)
+        for mode in ("train", "test"):
+            toks = set()
+            for f1, b1, e1, f2, b2, e2 in self.pairs[mode]:
+                toks.add((f1, b1, e1))
+                toks.add((f2, b2, e2))
+            self.tokens[mode] = sorted(toks, key=str)
+
+    def split_train_test(self, pairs):
+        """File-level split; cross pairs dropped
+        (reference dataloader.py:464-481)."""
+        num_test = int(len(self.files) * (1 - self.ratio_split_train_test))
+        dev_files = set(random.sample(sorted(self.files, key=str),
+                                      num_test))
+        print("File selected for validation set : %s" % dev_files)
+        train_pairs, dev_pairs = [], []
+        for pair in pairs:
+            f1, _, _, f2, _, _ = pair
+            if f1 in dev_files and f2 in dev_files:
+                dev_pairs.append(pair)
+            elif f1 not in dev_files and f2 not in dev_files:
+                train_pairs.append(pair)
+        return train_pairs, dev_pairs
+
+    def split_train_test_each_file(self, pairs):
+        """Time split within each file (reference dataloader.py:483-505)."""
+        len_files = defaultdict(int)
+        for f1, b1, e1, f2, b2, e2 in pairs:
+            len_files[f1] = max(len_files[f1], e1)
+            len_files[f2] = max(len_files[f2], e2)
+        thr = {f: l * self.ratio_split_train_test
+               for f, l in len_files.items()}
+        train_pairs, dev_pairs = [], []
+        for p in pairs:
+            f1, b1, e1, f2, b2, e2 = p
+            if b1 > thr[f1] and b2 > thr[f2]:
+                dev_pairs.append(p)
+            elif b1 < thr[f1] and b2 <= thr[f2]:
+                train_pairs.append(p)
+        return train_pairs, dev_pairs
+
+    def batch_iterator(self, train_mode=True):
+        """Sample positive pairs + wrongly-aligned same-token negatives
+        (reference dataloader.py:507-546)."""
+        print("constructing batches")
+        mode = "train" if train_mode else "test"
+        self.load_data()
+        iterations = self.iterations[mode]
+        all_positive = self.pairs[mode]
+        tokens = self.tokens[mode]
+
+        num_pairs = iterations * self.batch_size
+        num_pos = int(num_pairs * self.proportion_positive_pairs)
+        if num_pos > len(all_positive):
+            print("Not enough positive pairs to sample this number of "
+                  "iterations. There is only {}, but {} requested"
+                  .format(len(all_positive), num_pos))
+            num_pos = len(all_positive)
+        num_neg = num_pairs - num_pos
+        positive = [p + ["same"]
+                    for p in random.sample(all_positive, num_pos)]
+        toks = random.choices(tokens, k=2 * num_neg)
+        negative = [list(toks[i]) + list(toks[i + 1]) + ["diff"]
+                    for i in range(0, len(toks), 2)]
+        pairs = positive + negative
+        random.shuffle(pairs)
+        print("done constructing batches for epoch")
+        for i in range(iterations):
+            chunk = pairs[i * self.batch_size:(i + 1) * self.batch_size]
+            if not chunk:
+                break
+            grouped = group_pairs([tuple(p) for p in chunk])
+            if self.align_backend == "device":
+                token_feats = self.get_token_feats(grouped, frames=True)
+                batch = self._assemble_device(grouped, token_feats)
+                if batch is not None:
+                    yield batch
+            else:
+                X1, X2, y = self.load_frames_from_pairs(grouped,
+                                                        frames=True)
+                yield Batch(jnp.asarray(X1), jnp.asarray(X2),
+                            jnp.asarray(y))
+
+
+class TemporalCoherenceDataLoader(OriginalDataLoader):
+    """Trains purely on temporal-coherence pairs; dev uses sampled pairs
+    (reference dataloader.py:549-577)."""
+
+    def __init__(self, pairs_path, features_path, batch_size=500,
+                 test_words_batch_size=8, num_max_minibatches=1000,
+                 align_backend="device"):
+        super().__init__(pairs_path, features_path,
+                         num_max_minibatches=num_max_minibatches,
+                         batch_size=test_words_batch_size,
+                         align_backend=align_backend)
+        self.batch_size = batch_size
+
+    def batch_iterator(self, train_mode=True):
+        self.load_data()
+        if train_mode:
+            for _ in range(self.num_max_minibatches):
+                X1, X2, Y = self.temporal_coherence_loss(
+                    num_pairs=self.batch_size)
+                if len(Y) == 0:
+                    continue
+                yield Batch(jnp.asarray(X1), jnp.asarray(X2),
+                            jnp.asarray(Y))
+        else:
+            # dev evaluation falls back to the word-pair batches; restore
+            # the word batch size for the parent iterator
+            saved = self.batch_size
+            self.batch_size = 8
+            try:
+                yield from super().batch_iterator(train_mode)
+            finally:
+                self.batch_size = saved
+
+
+class FramesDataLoader(OriginalDataLoader):
+    """Epoch-level frame shuffling: align *all* pairs once (on device, in
+    bucketed mega-batches), store frame-index pairs into one concatenated
+    feature table, then yield fixed-size frame batches — every batch is
+    two gathers with fully static shapes (reference dataloader.py:580-739
+    built the same frame list with per-pair host DTW)."""
+
+    def __init__(self, pairs_path, features_path, batch_size=100,
+                 randomize_dataset=True, max_batches_per_epoch=None,
+                 align_backend="device", align_chunk=256):
+        super().__init__(pairs_path, features_path,
+                         align_backend=align_backend)
+        self.randomize_dataset = randomize_dataset
+        self.batch_size = batch_size
+        self.max_batches_per_epoch = max_batches_per_epoch
+        self.align_chunk = align_chunk
+        self.token_features = {"train": None, "dev": None}
+        self.frame_pairs = {"train": None, "dev": None}
+        if self.max_batches_per_epoch is not None:
+            self.batch_position = 0
+
+    def load_data(self):
+        super().load_data()
+        for mode in ("train", "dev"):
+            if self.token_features[mode] is None:
+                print(f"Loading all frames ({mode})..", end="", flush=True)
+                self.token_features[mode], self.frame_pairs[mode] = \
+                    self.load_all_frames(self.pairs[mode])
+                print(" Done. %s frame pairs in total."
+                      % len(self.frame_pairs[mode]))
+
+    def _token_table(self, pairs):
+        """Concatenate unique token features into one (N, d) table with a
+        token -> row-offset index."""
+        grouped = group_pairs(pairs)
+        token_feats = self.get_token_feats(grouped)
+        keys = list(token_feats.keys())
+        offsets = {}
+        mats = []
+        pos = 0
+        for k in keys:
+            f = token_feats[k]
+            offsets[k] = pos
+            pos += len(f)
+            mats.append(f)
+        table = np.vstack(mats).astype(np.float32) if mats else \
+            np.zeros((0, 1), np.float32)
+        return grouped, token_feats, offsets, table
+
+    def load_all_frames(self, pairs):
+        """Return (feature table, frame-index pair array).
+
+        frame pairs: int array (P, 3) of (row1, row2, label)."""
+        grouped, token_feats, offsets, table = self._token_table(pairs)
+        idx1, idx2, labels = [], [], []
+
+        same, _ = self._collect_pair_feats(grouped, token_feats, "same")
+        same_keys = [
+            ((f1, s1, e1), (f2, s2, e2))
+            for f1, s1, e1, f2, s2, e2 in grouped["same"]
+            if not (s1 > e1 or s2 > e2)
+            and len(token_feats[f1, s1, e1]) > 0
+            and len(token_feats[f2, s2, e2]) > 0]
+        # device DTW in chunks of align_chunk pairs
+        for c0 in range(0, len(same), self.align_chunk):
+            chunk = same[c0:c0 + self.align_chunk]
+            kchunk = same_keys[c0:c0 + self.align_chunk]
+            T1 = _bucket(max(len(a) for a, _ in chunk))
+            T2 = _bucket(max(len(b) for _, b in chunk))
+            f1p, n1 = _pad_tokens([a for a, _ in chunk], T1)
+            f2p, n2 = _pad_tokens([b for _, b in chunk], T2)
+            p1, p2, plen = dtw_align_batch(
+                jnp.asarray(f1p), jnp.asarray(f2p),
+                jnp.asarray(n1), jnp.asarray(n2))
+            p1, p2, plen = map(np.asarray, (p1, p2, plen))
+            for b, (k1, k2) in enumerate(kchunk):
+                L = int(plen[b])
+                idx1.append(offsets[k1] + p1[b, :L])
+                idx2.append(offsets[k2] + p2[b, :L])
+                labels.append(np.ones(L, np.int32))
+                self.statistics_training["SameType"] += 1
+
+        for f1, s1, e1, f2, s2, e2 in grouped["diff"]:
+            if (s1 > e1) or (s2 > e2):
+                continue
+            n1 = len(token_feats[f1, s1, e1])
+            n2 = len(token_feats[f2, s2, e2])
+            n = min(n1, n2)
+            if n == 0:
+                continue
+            idx1.append(offsets[f1, s1, e1] + np.arange(n))
+            idx2.append(offsets[f2, s2, e2] + np.arange(n))
+            labels.append(-np.ones(n, np.int32))
+            self.statistics_training["DiffType"] += 1
+
+        if idx1:
+            frames = np.stack([np.concatenate(idx1),
+                               np.concatenate(idx2),
+                               np.concatenate(labels)], axis=1)
+        else:
+            frames = np.zeros((0, 3), np.int64)
+        self._rng.shuffle(frames)
+        return table, frames
+
+    def _epoch_batch_ids(self, mode, num_batches):
+        if mode == "dev" or self.max_batches_per_epoch is None:
+            if self.randomize_dataset:
+                self._rng.shuffle(self.frame_pairs[mode])
+            return range(num_batches)
+        if self.batch_position >= num_batches:
+            print("Arrived at the end of the dataset. Starting over.")
+            if self.randomize_dataset:
+                self._rng.shuffle(self.frame_pairs[mode])
+            self.batch_position = 0
+        ids = range(self.batch_position,
+                    min(self.batch_position + self.max_batches_per_epoch,
+                        num_batches))
+        self.batch_position += self.max_batches_per_epoch
+        return ids
+
+    def batch_iterator(self, train_mode=True):
+        self.load_data()
+        mode = "train" if train_mode else "dev"
+        frames = self.frame_pairs[mode]
+        table = self.token_features[mode]
+        num_batches = max(len(frames) // self.batch_size, 1)
+        for i in self._epoch_batch_ids(mode, num_batches):
+            chunk = frames[i * self.batch_size:(i + 1) * self.batch_size]
+            if len(chunk) == 0:
+                continue
+            X1 = table[chunk[:, 0]]
+            X2 = table[chunk[:, 1]]
+            y = chunk[:, 2].astype(np.float32)
+            yield Batch(jnp.asarray(X1), jnp.asarray(X2), jnp.asarray(y))
+
+
+class MultiTaskDataLoader(OriginalDataLoader):
+    """Adds speaker labels for the multitask network
+    (reference dataloader.py:742-792)."""
+
+    def __init__(self, pairs_path, features_path, fid2spk_file=None,
+                 **kwargs):
+        super().__init__(pairs_path, features_path, **kwargs)
+        self.fid2spk_file = fid2spk_file
+
+    def batch_iterator(self, train_mode=True):
+        self.load_data()
+        mode = "train" if train_mode else "dev"
+        fid2spk = read_spkid_file(self.fid2spk_file)
+        batches, selected = self._select_batches(list(self.pairs[mode]))
+        for idx in selected:
+            grouped = group_pairs(batches[idx])
+            if self.align_backend == "device":
+                batch = self.load_frames_from_pairs_device(grouped,
+                                                           fid2spk=fid2spk)
+                if batch is not None:
+                    yield batch
+            else:
+                X1, X2, y_spk, y_phn = self.load_frames_from_pairs(
+                    grouped, fid2spk=fid2spk)
+                yield Batch(jnp.asarray(X1), jnp.asarray(X2),
+                            jnp.asarray(y_phn), None,
+                            y_spk=jnp.asarray(y_spk))
+
+
+class MultimodalDataLoader(FramesDataLoader):
+    """Frame batches over multiple feature files; DTW paths come from the
+    first modality (reference dataloader.py:794-980)."""
+
+    def __init__(self, pairs_path, features_path, batch_size=500,
+                 randomize_dataset=False, max_batches_per_epoch=None,
+                 align_backend="device"):
+        assert isinstance(features_path, (list, tuple)), \
+            "MultimodalDataLoader takes a list of feature paths"
+        super().__init__(pairs_path, features_path, batch_size,
+                         randomize_dataset, max_batches_per_epoch,
+                         align_backend=align_backend)
+        self.features_dict = None
+        self.token_tables = {"train": None, "dev": None}
+
+    def load_data(self):
+        if self.features_dict is None:
+            print("Loading features")
+            self.features_dict = {}
+            for path in self.features_path:
+                self.features_dict[path], _, _ = read_feats(path)
+        if self.pairs["train"] is None:
+            print("Loading word pairs")
+            self.pairs["train"] = read_dataset(
+                os.path.join(self.pairs_path, "train_pairs/dataset"))
+            self.pairs["dev"] = read_dataset(
+                os.path.join(self.pairs_path, "dev_pairs/dataset"))
+        for mode in ("train", "dev"):
+            if self.token_tables[mode] is None:
+                # alignment on the first modality
+                self.features = self.features_dict[self.features_path[0]]
+                table0, frames = self.load_all_frames(self.pairs[mode])
+                tables = [table0]
+                # same token row layout for the other modalities (assumes
+                # equal per-token lengths across modalities, as the
+                # reference does, reference dataloader.py:673-684)
+                for path in self.features_path[1:]:
+                    self.features = self.features_dict[path]
+                    _, _, _, table = self._token_table(self.pairs[mode])
+                    tables.append(table)
+                self.token_tables[mode] = tables
+                self.frame_pairs[mode] = frames
+
+    def batch_iterator(self, train_mode=True):
+        self.load_data()
+        mode = "train" if train_mode else "dev"
+        frames = self.frame_pairs[mode]
+        tables = self.token_tables[mode]
+        num_batches = max(len(frames) // self.batch_size, 1)
+        for i in self._epoch_batch_ids(mode, num_batches):
+            chunk = frames[i * self.batch_size:(i + 1) * self.batch_size]
+            if len(chunk) == 0:
+                continue
+            X1_list = [jnp.asarray(t[chunk[:, 0]]) for t in tables]
+            X2_list = [jnp.asarray(t[chunk[:, 1]]) for t in tables]
+            y = jnp.asarray(chunk[:, 2].astype(np.float32))
+            yield Batch(X1_list, X2_list, y)

@@ -1,0 +1,208 @@
+#!/usr/bin/env python3
+"""Embedders: trained network -> h5features embedding export.
+
+Parity with the reference embedder surface (reference embedder.py:19-221)
+with a TPU-first inference path: all file chunks are padded to one static
+``(batch_size, d)`` shape so the whole corpus runs through a single
+compiled forward kernel (the reference re-traces per chunk length and pays
+a host->device->host round trip per chunk, reference embedder.py:85-96);
+only one tower runs (the reference computes both siamese branches and
+throws one away, reference embedder.py:92).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from abnet3_tpu.io.h5f import read_h5features, write_h5features
+from abnet3_tpu.utils import EmbeddingObserver
+
+__all__ = ["EmbedderBuilder", "EmbedderSiamese", "EmbedderSiameseMultitask",
+           "MultimodalEmbedder"]
+
+
+class EmbedderBuilder:
+    """Generic embedder (reference embedder.py:19-50)."""
+
+    def __init__(self, network=None, network_path=None, feature_path=None,
+                 output_path=None, cuda=True, batch_size=5000):
+        if network is None:
+            raise ValueError("network is None.")
+        self.network = network
+        self.network_path = network_path
+        self.feature_path = feature_path
+        self.output_path = output_path
+        self.cuda = cuda  # kept for YAML compat
+        self.batch_size = batch_size
+
+    def _load(self):
+        if self.network_path is not None:
+            self.network.load_network(self.network_path)
+        else:
+            self.network.ensure_init()
+        print("Done loading network weights")
+
+    def _forward_fn(self):
+        network = self.network
+
+        @jax.jit
+        def forward(params, state, x):
+            out, _ = network.forward_once(params, state, x, train=False)
+            return out
+        return forward
+
+    def _embed_corpus(self, forward, feats_list) -> list:
+        """Embed every file's frames through fixed-size padded chunks.
+
+        Fully pipelined: all chunk forwards are dispatched asynchronously
+        and device->host copies are started as results complete, so
+        compute, h2d and d2h transfers overlap across the whole corpus
+        (the reference synchronizes per chunk, reference embedder.py:88-96).
+        """
+        bs = self.batch_size
+        params, state = self.network.params, self.network.state
+        pending = []  # (file_idx, valid_rows, device_buffer)
+        for fi, feat in enumerate(feats_list):
+            if feat.dtype != np.float32:
+                feat = feat.astype(np.float32)
+            for c0 in range(0, len(feat), bs):
+                chunk = feat[c0:c0 + bs]
+                pad = bs - len(chunk)
+                if pad:
+                    chunk = np.vstack([chunk, np.zeros(
+                        (pad, feat.shape[1]), np.float32)])
+                emb = forward(params, state, jnp.asarray(chunk))
+                try:
+                    emb.copy_to_host_async()
+                except AttributeError:
+                    pass
+                pending.append((fi, bs - pad, emb))
+        outputs = [[] for _ in feats_list]
+        for fi, valid, emb in pending:
+            outputs[fi].append(np.asarray(emb)[:valid])
+        return [np.vstack(chunks) for chunks in outputs]
+
+    def _embed_array(self, forward, feat: np.ndarray) -> np.ndarray:
+        """Embed one file (kept for API compat); see _embed_corpus."""
+        return self._embed_corpus(forward, [feat])[0]
+
+    def embed(self):
+        raise NotImplementedError("Unimplemented embed for class:",
+                                  self.__class__.__name__)
+
+
+class EmbedderSiamese(EmbedderBuilder):
+    """Monotask embedding export (reference embedder.py:53-100)."""
+
+    def embed(self):
+        self._load()
+        data = read_h5features(self.feature_path, "features")
+        print("Done loading input feature file")
+        forward = self._forward_fn()
+        embeddings = self._embed_corpus(forward, data.features())
+        if _exists(self.output_path):
+            _remove(self.output_path)
+        write_h5features(self.output_path, "features", data.items(),
+                         data.labels(), embeddings)
+
+
+class EmbedderSiameseMultitask(EmbedderBuilder):
+    """Writes separate .spk / .phn embedding files
+    (reference embedder.py:103-149)."""
+
+    def embed(self):
+        self._load()
+        data = read_h5features(self.feature_path, "features")
+        network = self.network
+
+        @jax.jit
+        def forward(params, state, x):
+            spk, phn, _ = network.forward_once(params, state, x,
+                                               train=False)
+            return spk, phn
+
+        params, state = network.params, network.state
+        emb_spk, emb_phn = [], []
+        bs = self.batch_size
+        for feat in data.features():
+            feat = feat.astype(np.float32)
+            n = len(feat)
+            spk_chunks, phn_chunks = [], []
+            for c0 in range(0, n, bs):
+                chunk = feat[c0:c0 + bs]
+                pad = bs - len(chunk)
+                if pad:
+                    chunk = np.vstack([chunk, np.zeros(
+                        (pad, feat.shape[1]), np.float32)])
+                s, p = forward(params, state, jnp.asarray(chunk))
+                s, p = np.asarray(s), np.asarray(p)
+                if pad:
+                    s, p = s[:-pad], p[:-pad]
+                spk_chunks.append(s)
+                phn_chunks.append(p)
+            emb_spk.append(np.vstack(spk_chunks))
+            emb_phn.append(np.vstack(phn_chunks))
+
+        for suffix, embs in ((".spk", emb_spk), (".phn", emb_phn)):
+            path = self.output_path + suffix
+            if _exists(path):
+                _remove(path)
+            write_h5features(path, "features", data.items(), data.labels(),
+                             embs)
+
+
+class MultimodalEmbedder(EmbedderBuilder):
+    """Multimodal embedding export with attention-weight observers
+    (reference embedder.py:151-221)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.observers: List[EmbeddingObserver] = []
+        from abnet3_tpu.integration import BiWeightedDeepLearnt
+        if isinstance(getattr(self.network, "integration_unit", None),
+                      BiWeightedDeepLearnt):
+            print("Placing observer to save learnt attention weights")
+            self.observers.append(EmbeddingObserver(
+                self.network.integration_unit.get_weights,
+                self.output_path + "attention_weights.features"))
+
+    def embed(self):
+        self._load()
+        datasets = [read_h5features(p, "features")
+                    for p in self.feature_path]
+        items = datasets[0].items()
+        times = datasets[0].labels()
+        print("Done loading input feature file")
+        network = self.network
+        params, state = network.params, network.state
+
+        embeddings = []
+        for feats in zip(*(d.features() for d in datasets)):
+            x_list = [jnp.asarray(f.astype(np.float32)) for f in feats]
+            emb, _ = network.forward_once(params, state, x_list,
+                                          train=False)
+            embeddings.append(np.asarray(emb))
+            for observer in self.observers:
+                observer.register_status()
+
+        path = self.output_path + "embedded.features"
+        if _exists(path):
+            _remove(path)
+        write_h5features(path, "features", items, times, embeddings)
+        for observer in self.observers:
+            observer.save(items, times)
+
+
+def _exists(path):
+    import os
+    return os.path.exists(path)
+
+
+def _remove(path):
+    import os
+    os.remove(path)

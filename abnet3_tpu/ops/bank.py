@@ -1,0 +1,67 @@
+"""Device-resident token bank: the whole training corpus lives in HBM.
+
+The reference re-copies every token's frames host->GPU on every batch
+(reference trainer.py:218-221). A 1-hour speech corpus is only ~0.4 GB of
+stacked filterbanks — it fits in TPU HBM whole. So we upload every unique
+token once, padded into one (N_tokens, T_max, d) bank, and each training
+step receives only int32 token-index arrays (a few hundred bytes): pair
+assembly becomes an on-device gather feeding the fused
+DTW-align + train step, and steady-state training streams no feature bytes
+from the host at all.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["TokenBank"]
+
+
+def _bucket(n: int, minimum: int = 8) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+class TokenBank:
+    """Padded device array of token feature matrices + host key index."""
+
+    def __init__(self, token_feats: Dict, max_frames: int = None):
+        """token_feats: {key: (T_i, d) float32 array}."""
+        self.keys = list(token_feats.keys())
+        self.key_to_id = {k: i for i, k in enumerate(self.keys)}
+        lens = [len(token_feats[k]) for k in self.keys]
+        T = _bucket(max(max(lens), 1))
+        if max_frames is not None:
+            T = min(T, _bucket(max_frames))
+        d = next(iter(token_feats.values())).shape[1]
+        bank = np.zeros((len(self.keys), T, d), np.float32)
+        for i, k in enumerate(self.keys):
+            f = token_feats[k]
+            n = min(len(f), T)
+            bank[i, :n] = f[:n]
+        self.max_len = T
+        self.dim = d
+        self.bank = jnp.asarray(bank)          # one-time h2d upload
+        self.lengths = jnp.asarray(
+            np.minimum(np.asarray(lens, np.int32), T))
+
+    def __len__(self):
+        return len(self.keys)
+
+    @property
+    def nbytes(self) -> int:
+        return int(np.prod(self.bank.shape)) * 4
+
+    def ids(self, keys: Sequence) -> np.ndarray:
+        return np.asarray([self.key_to_id[k] for k in keys], np.int32)
+
+    def take(self, idx: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """On-device gather: (B,) token ids -> ((B, T, d) frames, (B,)
+        lengths)."""
+        return self.bank[idx], self.lengths[idx]

@@ -1,0 +1,9 @@
+"""Multi-chip scaling: device meshes, shardings, fused sharded train step."""
+
+from abnet3_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    make_fused_train_step,
+    make_indexed_train_step,
+    param_shardings,
+    shard_array,
+)

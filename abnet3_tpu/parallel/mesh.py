@@ -1,0 +1,197 @@
+"""Device meshes and sharded training.
+
+The reference is single-device: its only notion of placement is
+``.cuda()`` pushes per batch (reference trainer.py:218-221) and a global
+``torch.cuda.set_device`` (reference gridsearch.py:322-323). Here scaling is
+expressed the TPU way: a ``jax.sharding.Mesh`` over the chips, NamedSharding
+annotations on batches (data-parallel axis) and parameters (optional
+tensor-parallel axis over hidden units), and one jitted **fused train step**
+— on-device DTW alignment + frame gather + both siamese towers + loss +
+backward + optimizer update — compiled once over the whole mesh; XLA/GSPMD
+inserts the gradient all-reduces over ICI.
+
+Axes:
+- ``data``: batch of token pairs (pure DP; gradients psum'd by GSPMD)
+- ``model``: hidden dimension of the MLP towers (TP; free with GSPMD —
+  useful when hidden_dim is large or many chips share one batch)
+
+Pipeline/sequence/expert parallelism do not apply to this model family
+(frame-independent MLP towers, no layer pipeline, no experts); the
+sequence-length-scaling analogue here is the batched wavefront DTW itself
+(see SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from abnet3_tpu.ops.dtw import (align_diff_batch, dtw_costs, dtw_backtrace,
+                                gather_aligned, pairwise_angular_distance)
+
+__all__ = ["make_mesh", "param_shardings", "shard_array",
+           "make_fused_train_step", "make_indexed_train_step"]
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices=None) -> Mesh:
+    """Build a ('data', 'model') mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    assert n_data * n_model <= len(devices), \
+        f"need {n_data * n_model} devices, have {len(devices)}"
+    dev_array = np.asarray(devices[:n_data * n_model]).reshape(
+        (n_data, n_model))
+    return Mesh(dev_array, ("data", "model"))
+
+
+def shard_array(x, mesh: Mesh, spec: P):
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def param_shardings(params, mesh: Mesh):
+    """Tensor-parallel layout for MLP tower params: every hidden-layer
+    weight matrix splits its output dim over 'model'; biases follow.
+    With a trivial 'model' axis this degrades to full replication."""
+    def spec_for(path, leaf):
+        if leaf.ndim == 2:
+            return P(None, "model")
+        if leaf.ndim == 1:
+            return P("model")
+        return P()
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, spec_for(path, leaf)),
+        params)
+
+
+def _align_and_flatten(network, loss, f1s, f2s, n1s, n2s,
+                       f1d, f2d, n1d, n2d):
+    """Shared fused-step body: on-device alignment + flattened frame
+    batch with padding weights."""
+    dist = pairwise_angular_distance(f1s, f2s)
+    D = dtw_costs(dist)
+    p1s, p2s, plens = dtw_backtrace(D, n1s, n2s)
+    x1s = gather_aligned(f1s, p1s)
+    x2s = gather_aligned(f2s, p2s)
+    Ls = x1s.shape[1]
+    ws = (jnp.arange(Ls)[None, :] < plens[:, None]).astype(jnp.float32)
+
+    Td1, Td2 = f1d.shape[1], f2d.shape[1]
+    p1d, p2d, plend = align_diff_batch(n1d, n2d, Td1, Td2)
+    x1d = gather_aligned(f1d, p1d)
+    x2d = gather_aligned(f2d, p2d)
+    Ld = x1d.shape[1]
+    wd = (jnp.arange(Ld)[None, :] < plend[:, None]).astype(jnp.float32)
+
+    d = x1s.shape[-1]
+    x1 = jnp.concatenate([x1s.reshape(-1, d), x1d.reshape(-1, d)])
+    x2 = jnp.concatenate([x2s.reshape(-1, d), x2d.reshape(-1, d)])
+    y = jnp.concatenate([jnp.ones(x1s.shape[0] * Ls),
+                         -jnp.ones(x1d.shape[0] * Ld)])
+    w = jnp.concatenate([ws.reshape(-1), wd.reshape(-1)])
+    return x1, x2, y, w
+
+
+def make_indexed_train_step(network, loss, optimizer, bank, mesh: Mesh):
+    """Fused train step over a device-resident TokenBank: each call
+    receives only int32 token-id arrays (same/diff pair ids); the feature
+    gather, DTW alignment, both towers, backward and update all run in one
+    XLA computation with zero per-step feature transfer."""
+    dp = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+
+    def step(params, state, opt_state, rng, ids1s, ids2s, ids1d, ids2d):
+        f1s, n1s = bank.take(ids1s)
+        f2s, n2s = bank.take(ids2s)
+        f1d, n1d = bank.take(ids1d)
+        f2d, n2d = bank.take(ids2d)
+        x1, x2, y, w = _align_and_flatten(network, loss, f1s, f2s, n1s,
+                                          n2s, f1d, f2d, n1d, n2d)
+
+        def loss_fn(p):
+            e1, e2, new_state = network.forward(p, state, x1, x2, rng=rng,
+                                                train=True)
+            return loss(e1, e2, y, weights=w), new_state
+
+        (value, new_state), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, new_opt = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_state, new_opt, \
+            value
+
+    cache = {}
+
+    def compiled(params, state, opt_state, rng, *ids):
+        if "jit" not in cache:
+            p_shard = param_shardings(params, mesh)
+            cache["jit"] = jax.jit(
+                step,
+                in_shardings=(p_shard, None, None, rep) + (dp,) * 4,
+                out_shardings=(p_shard, None, None, None))
+        return cache["jit"](params, state, opt_state, rng, *ids)
+
+    return compiled
+
+
+def make_fused_train_step(network, loss, optimizer, mesh: Mesh):
+    """One jitted SPMD training step over raw padded pair batches.
+
+    Inputs per step (all sharded over 'data' on their leading pair axis):
+    - f1s, f2s (Bs, Ts, d), n1s, n2s (Bs,): same-word pairs -> DTW align
+    - f1d, f2d (Bd, Td, d), n1d, n2d (Bd,): diff-word pairs -> truncate
+
+    Everything after the host padding — cost matrices, DP scan, backtrace,
+    frame gathers, both towers, loss, backward, optimizer update — is one
+    XLA computation; GSPMD all-reduces the gradients over ICI.
+    """
+    dp = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+
+    def step(params, state, opt_state, rng,
+             f1s, f2s, n1s, n2s, f1d, f2d, n1d, n2d):
+        x1, x2, y, w = _align_and_flatten(network, loss, f1s, f2s, n1s,
+                                          n2s, f1d, f2d, n1d, n2d)
+
+        # --- fused siamese fwd/bwd + update -----------------------------
+        def loss_fn(p):
+            e1, e2, new_state = network.forward(p, state, x1, x2, rng=rng,
+                                                train=True)
+            return loss(e1, e2, y, weights=w), new_state
+
+        (value, new_state), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, new_opt = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_state, new_opt, \
+            value
+
+    # params carry an explicit TP sharding; state/opt_state shardings are
+    # inferred from the arguments (optimizer moments inherit the param
+    # layout when opt_state is initialised from sharded params); batch
+    # arrays are annotated data-parallel. out_shardings pin the updated
+    # params to the same layout so the step is placement-stable across
+    # iterations (no per-step resharding).
+    cache = {}
+
+    def compiled(params, state, opt_state, rng, *batch):
+        if "jit" not in cache:
+            p_shard = param_shardings(params, mesh)
+            cache["jit"] = jax.jit(
+                step,
+                in_shardings=(p_shard, None, None, rep) + (dp,) * 8,
+                out_shardings=(p_shard, None, None, None))
+            # place the initial params once; afterwards the step's outputs
+            # already carry the right sharding
+            cache["placed"] = jax.device_put(params, p_shard)
+            params = cache["placed"]
+        return cache["jit"](params, state, opt_state, rng, *batch)
+
+    return compiled

@@ -1,0 +1,504 @@
+#!/usr/bin/env python3
+"""Trainers: epoch loop + early stopping around one jitted train step.
+
+Parity with the reference trainer surface (reference trainer.py:32-365):
+optimizers {sgd, adadelta, adam, adagrad, RMSprop, LBFGS}, dev-loss early
+stopping with patience, an epoch-0 eval-only pass, best-network checkpoints
++ pickled ``whoami`` params, TensorBoard train/dev scalars.
+
+TPU-first redesign: forward-both-towers + loss + backward + optimizer
+update is **one jitted function** over device-resident (params, state,
+opt_state); batches stream from the dataloader through a prefetch thread;
+batch rows are padded to power-of-two buckets so XLA compiles a handful of
+step variants instead of one per shape (the reference pays a host->device
+transfer and separate kernel launches per stage, reference
+trainer.py:211-242).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import pickle
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from abnet3_tpu.dataloader import Batch, prefetch_iterator
+
+__all__ = ["TrainerBuilder", "TrainerSiamese", "TrainerSiameseMultitask",
+           "MultimodalTrainer", "build_optimizer", "MetricsWriter"]
+
+
+def build_optimizer(optimizer_type: str, lr: float, momentum: float = 0.9):
+    """The reference's optimizer zoo via optax
+    (reference trainer.py:68-87)."""
+    assert optimizer_type in ("sgd", "adadelta", "adam", "adagrad",
+                              "RMSprop", "LBFGS")
+    if optimizer_type == "sgd":
+        return optax.sgd(lr, momentum=momentum)
+    if optimizer_type == "adadelta":
+        return optax.adadelta(lr)
+    if optimizer_type == "adam":
+        return optax.adam(lr)
+    if optimizer_type == "adagrad":
+        return optax.adagrad(lr)
+    if optimizer_type == "RMSprop":
+        return optax.rmsprop(lr)
+    return optax.lbfgs(lr, linesearch=None)
+
+
+class MetricsWriter:
+    """TensorBoard scalar writer with a JSONL fallback
+    (reference logs via tensorboardX, reference trainer.py:132-152)."""
+
+    def __init__(self, log_dir: str):
+        os.makedirs(log_dir, exist_ok=True)
+        self._tb = None
+        try:
+            from tensorboardX import SummaryWriter
+            self._tb = SummaryWriter(log_dir=str(log_dir))
+        except Exception:
+            pass
+        self._jsonl = open(os.path.join(str(log_dir), "metrics.jsonl"), "a")
+
+    def add_scalar(self, tag: str, value: float, step: int):
+        if self._tb is not None:
+            self._tb.add_scalar(tag, value, step)
+        self._jsonl.write('{"tag": "%s", "value": %r, "step": %d}\n'
+                          % (tag, float(value), step))
+        self._jsonl.flush()
+
+    def close(self):
+        if self._tb is not None:
+            self._tb.close()
+        self._jsonl.close()
+
+
+def _round_bucket(n: int, minimum: int = 256) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+class TrainerBuilder:
+    """Generic trainer (reference trainer.py:32-200)."""
+
+    def __init__(self, network=None, loss=None,
+                 num_epochs=200, patience=20,
+                 optimizer_type="sgd", lr=0.001, momentum=0.9, cuda=True,
+                 seed=0, dataloader=None, log_dir=None,
+                 feature_generator=None, checkpoints=False,
+                 prefetch=2):
+        self.network = network
+        self.loss = loss
+        self.num_epochs = num_epochs
+        self.patience = patience
+        self.lr = lr
+        self.momentum = momentum
+        self.best_epoch = 0
+        self.seed = seed
+        self.cuda = cuda  # kept for YAML compat; devices come from jax
+        self.statistics_training = {}
+        self.dataloader = dataloader
+        self.feature_generator = feature_generator
+        self.checkpoints = checkpoints
+        self.prefetch = prefetch
+        self.optimizer_type = optimizer_type
+
+        if log_dir is None:
+            self.log_dir = Path("./runs/%s"
+                                % time.strftime("%m-%d-%Hh%M-%S"))
+        else:
+            self.log_dir = Path(log_dir) / (
+                "%s" % time.strftime("%m-%d-%Hh%M-%S"))
+        self.optimizer = build_optimizer(optimizer_type, lr, momentum)
+        self._opt_state = None
+        self._step_fns = {}
+
+    # -- bookkeeping -------------------------------------------------------
+
+    def params(self):
+        skip = {"dataloader", "feature_generator", "network", "loss",
+                "optimizer", "statistics_training"}
+        return {k: v for k, v in self.__dict__.items()
+                if not k.startswith("_") and k not in skip}
+
+    def whoami(self):
+        whoami = {
+            "params": self.params(),
+            "network": self.network.whoami(),
+            "loss": self.loss.whoami(),
+            "class_name": self.__class__.__name__,
+            "dataloader": self.dataloader.whoami(),
+        }
+        if self.feature_generator is not None:
+            whoami["feature_generator"] = self.feature_generator.whoami()
+        return whoami
+
+    def save_whoami(self):
+        state = {k: (str(v) if isinstance(v, Path) else v)
+                 for k, v in self.whoami().items()}
+        with open(self.network.output_path + ".params", "wb") as fh:
+            pickle.dump(state, fh)
+
+    def optimize_model(self, do_training=True):
+        raise NotImplementedError("Unimplemented optimize_model for class:",
+                                  self.__class__.__name__)
+
+    # -- training loop ------------------------------------------------------
+
+    def train(self):
+        """Early-stopping epoch loop (reference trainer.py:117-173)."""
+        self.patience_dev = 0
+        self.best_dev = None
+        self.train_losses = []
+        self.dev_losses = []
+
+        self.network.ensure_init(self.seed)
+        self.network.save_network()
+
+        train_writer = MetricsWriter(str(self.log_dir / "train_loss"))
+        dev_writer = MetricsWriter(str(self.log_dir / "dev_loss"))
+
+        _ = self.optimize_model(do_training=False)
+        train_writer.add_scalar("loss", self.train_losses[-1], 0)
+        dev_writer.add_scalar("loss", self.dev_losses[-1], 0)
+        if self.checkpoints:
+            self.network.save_network(epoch=0)
+        for key in self.statistics_training:
+            self.statistics_training[key] = 0
+
+        for epoch in range(self.num_epochs):
+            dev_loss = self.optimize_model(do_training=True)
+            train_writer.add_scalar("loss", self.train_losses[-1],
+                                    epoch + 1)
+            dev_writer.add_scalar("loss", self.dev_losses[-1], epoch + 1)
+
+            if self.best_dev is None or dev_loss < self.best_dev:
+                self.best_dev = dev_loss
+                self.patience_dev = 0
+                print("Saving best model so far, "
+                      "epoch {}... ".format(epoch + 1), end="", flush=True)
+                if self.checkpoints:
+                    self.network.save_network(epoch=epoch + 1)
+                self.network.save_network()
+                self.save_whoami()
+                print("Done.")
+                self.best_epoch = epoch
+            else:
+                self.patience_dev += 1
+                if self.patience_dev > self.patience:
+                    print("No improvements after {} iterations, "
+                          "stopping now".format(self.patience))
+                    print("Finished Training")
+                    break
+        print("Saving best checkpoint network")
+        train_writer.close()
+        dev_writer.close()
+
+    def plot_train_erros(self):
+        """Train/dev loss curves to PDF (fixes the reference's missing
+        matplotlib import, reference trainer.py:175-184)."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig = plt.figure()
+        x = range(len(self.train_losses))
+        plt.plot(x, self.train_losses, "r-")
+        plt.plot(x, self.dev_losses, "b+")
+        fig.savefig(self.network.output_path + "_plot.pdf",
+                    bbox_inches="tight")
+
+    def plot_summary_statistics(self):
+        print(" ***** Statistics for the training step ***** ")
+        for key, stats in self.statistics_training.items():
+            print(" Number of {} pairs seen: {} \t\t".format(key, stats))
+
+    def pretty_print_losses(self, train_loss, dev_loss):
+        print("  training loss:\t\t{:.6f}".format(train_loss))
+        print("  dev loss:\t\t\t{:.6f}".format(dev_loss))
+
+
+class TrainerSiamese(TrainerBuilder):
+    """Siamese trainer: fused jitted step (reference trainer.py:203-256)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._train_step_cache = {}
+        self._eval_step_cache = {}
+
+    # -- jitted steps -------------------------------------------------------
+
+    def _make_train_step(self):
+        network, loss, optimizer = self.network, self.loss, self.optimizer
+
+        @jax.jit
+        def step(params, state, opt_state, rng, x1, x2, y, w):
+            def loss_fn(p):
+                e1, e2, new_state = network.forward(p, state, x1, x2,
+                                                    rng=rng, train=True)
+                return loss(e1, e2, y, weights=w), new_state
+            (value, new_state), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, new_opt = optimizer.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            return new_params, new_state, new_opt, value
+        return step
+
+    def _make_eval_step(self):
+        network, loss = self.network, self.loss
+
+        @jax.jit
+        def step(params, state, x1, x2, y, w):
+            e1, e2, _ = network.forward(params, state, x1, x2, train=False)
+            return loss(e1, e2, y, weights=w)
+        return step
+
+    def _pad_batch(self, batch: Batch):
+        """Pad rows to a power-of-two bucket so step shapes repeat."""
+        n = batch.x1.shape[0]
+        bucket = _round_bucket(n)
+        if bucket == n:
+            w = batch.weights if batch.weights is not None else \
+                jnp.ones((n,), jnp.float32)
+            return batch._replace(weights=w)
+        pad = bucket - n
+        d = batch.x1.shape[1]
+        zx = jnp.zeros((pad, d), batch.x1.dtype)
+        w = batch.weights if batch.weights is not None else \
+            jnp.ones((n,), jnp.float32)
+        return Batch(
+            jnp.concatenate([batch.x1, zx]),
+            jnp.concatenate([batch.x2, zx]),
+            jnp.concatenate([batch.y, jnp.ones((pad,), batch.y.dtype)]),
+            jnp.concatenate([w, jnp.zeros((pad,), jnp.float32)]),
+            None if batch.y_spk is None else jnp.concatenate(
+                [batch.y_spk, jnp.ones((pad,), batch.y_spk.dtype)]))
+
+    def give_batch_to_network(self, batch, do_training, rng):
+        """One step; returns the batch loss value
+        (reference trainer.py:211-224)."""
+        b = self._pad_batch(batch)
+        if do_training:
+            if "train" not in self._step_fns:
+                self._step_fns["train"] = self._make_train_step()
+            step = self._step_fns["train"]
+            params, state, opt, value = step(
+                self.network.params, self.network.state, self._opt_state,
+                rng, b.x1, b.x2, b.y, b.weights)
+            self.network.params = params
+            self.network.state = state
+            self._opt_state = opt
+            return value
+        if "eval" not in self._step_fns:
+            self._step_fns["eval"] = self._make_eval_step()
+        return self._step_fns["eval"](
+            self.network.params, self.network.state, b.x1, b.x2, b.y,
+            b.weights)
+
+    # -- epoch ---------------------------------------------------------------
+
+    def optimize_model(self, do_training=True):
+        """One train pass + one dev pass (reference trainer.py:226-256)."""
+        params, state = self.network.ensure_init(self.seed)
+        if self._opt_state is None:
+            self._opt_state = self.optimizer.init(params)
+        epoch_idx = len(self.train_losses)
+        base_rng = jax.random.fold_in(jax.random.PRNGKey(self.seed),
+                                      epoch_idx)
+
+        train_loss, num_batches_train = 0.0, 0
+        losses = []
+        for i, batch in enumerate(prefetch_iterator(
+                self.dataloader.batch_iterator(train_mode=True),
+                self.prefetch)):
+            rng = jax.random.fold_in(base_rng, i)
+            losses.append(self.give_batch_to_network(batch, do_training,
+                                                     rng))
+            num_batches_train += 1
+        train_loss = float(np.sum([np.asarray(l) for l in losses])) \
+            if losses else 0.0
+
+        dev_loss, num_batches_dev = 0.0, 0
+        losses = []
+        for batch in prefetch_iterator(
+                self.dataloader.batch_iterator(train_mode=False),
+                self.prefetch):
+            losses.append(self.give_batch_to_network(batch, False, None))
+            num_batches_dev += 1
+        dev_loss = float(np.sum([np.asarray(l) for l in losses])) \
+            if losses else 0.0
+
+        self.train_losses.append(train_loss / max(num_batches_train, 1))
+        self.dev_losses.append(dev_loss / max(num_batches_dev, 1))
+        self.pretty_print_losses(self.train_losses[-1], self.dev_losses[-1])
+        self.statistics_training = dict(
+            getattr(self.dataloader, "statistics_training", {}))
+        return dev_loss
+
+
+class TrainerSiameseMultitask(TrainerSiamese):
+    """Multitask trainer: weighted spk+phn loss
+    (reference trainer.py:259-279)."""
+
+    def _make_train_step(self):
+        network, loss, optimizer = self.network, self.loss, self.optimizer
+
+        @jax.jit
+        def step(params, state, opt_state, rng, x1, x2, y_spk, y_phn, w):
+            def loss_fn(p):
+                spk1, phn1, spk2, phn2, new_state = network.forward(
+                    p, state, x1, x2, rng=rng, train=True)
+                return loss(spk1, phn1, spk2, phn2, y_spk, y_phn,
+                            weights=w), new_state
+            (value, new_state), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, new_opt = optimizer.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), new_state,
+                    new_opt, value)
+        return step
+
+    def _make_eval_step(self):
+        network, loss = self.network, self.loss
+
+        @jax.jit
+        def step(params, state, x1, x2, y_spk, y_phn, w):
+            spk1, phn1, spk2, phn2, _ = network.forward(
+                params, state, x1, x2, train=False)
+            return loss(spk1, phn1, spk2, phn2, y_spk, y_phn, weights=w)
+        return step
+
+    def give_batch_to_network(self, batch, do_training, rng):
+        b = self._pad_batch(batch)
+        assert b.y_spk is not None, \
+            "multitask training needs speaker labels (MultiTaskDataLoader)"
+        if do_training:
+            if "train" not in self._step_fns:
+                self._step_fns["train"] = self._make_train_step()
+            params, state, opt, value = self._step_fns["train"](
+                self.network.params, self.network.state, self._opt_state,
+                rng, b.x1, b.x2, b.y_spk, b.y, b.weights)
+            self.network.params = params
+            self.network.state = state
+            self._opt_state = opt
+            return value
+        if "eval" not in self._step_fns:
+            self._step_fns["eval"] = self._make_eval_step()
+        return self._step_fns["eval"](
+            self.network.params, self.network.state, b.x1, b.x2, b.y_spk,
+            b.y, b.weights)
+
+
+class MultimodalTrainer(TrainerSiamese):
+    """Multimodal trainer with the attention headstart schedule
+    (reference trainer.py:281-365)."""
+
+    def __init__(self, headstart=None, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        if headstart:
+            self.headstart_epochs = headstart[0]
+            self.parallel_after_headstart = headstart[1]
+            try:
+                self.network.integration_unit.set_headstart_weight(
+                    headstart[2])
+            except NotImplementedError:
+                raise TypeError(
+                    "Headstart only works with integration units which "
+                    "have set_headstart_weight() implemented")
+            self.headstart = True
+        else:
+            self.headstart = False
+
+    def _make_train_step(self):
+        network, loss, optimizer = self.network, self.loss, self.optimizer
+        attention_lr = getattr(network, "attention_lr", None)
+        if attention_lr:
+            # separate LR for the integration/attention params
+            # (reference model.py:512-528 builds two optim param groups)
+            label_fn = jax.tree_util.Partial(
+                lambda params: {k: ("attention" if k == "integration"
+                                    else "main") for k in params})
+            tx = optax.multi_transform(
+                {"main": optimizer,
+                 "attention": build_optimizer(self.optimizer_type,
+                                              attention_lr,
+                                              self.momentum)},
+                label_fn)
+        else:
+            tx = optimizer
+        self._effective_optimizer = tx
+
+        @jax.jit
+        def step(params, state, opt_state, rng, x1_list, x2_list, y, w):
+            def loss_fn(p):
+                e1, e2, new_state = network.forward(p, state, x1_list,
+                                                    x2_list, rng=rng,
+                                                    train=True)
+                return loss(e1, e2, y, weights=w), new_state
+            (value, new_state), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, new_opt = tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), new_state,
+                    new_opt, value)
+        return step
+
+    def _make_eval_step(self):
+        network, loss = self.network, self.loss
+
+        @jax.jit
+        def step(params, state, x1_list, x2_list, y, w):
+            e1, e2, _ = network.forward(params, state, x1_list, x2_list,
+                                        train=False)
+            return loss(e1, e2, y, weights=w)
+        return step
+
+    def give_batch_to_network(self, batch, do_training, rng):
+        # multimodal frame batches are dense (no padding weights)
+        w = batch.weights if batch.weights is not None else \
+            jnp.ones((batch.y.shape[0],), jnp.float32)
+        x1 = tuple(batch.x1) if isinstance(batch.x1, list) else batch.x1
+        x2 = tuple(batch.x2) if isinstance(batch.x2, list) else batch.x2
+        if do_training:
+            if "train" not in self._step_fns:
+                self._step_fns["train"] = self._make_train_step()
+                self._opt_state = self._effective_optimizer.init(
+                    self.network.params)
+            params, state, opt, value = self._step_fns["train"](
+                self.network.params, self.network.state, self._opt_state,
+                rng, x1, x2, batch.y, w)
+            self.network.params = params
+            self.network.state = state
+            self._opt_state = opt
+            return value
+        if "eval" not in self._step_fns:
+            self._step_fns["eval"] = self._make_eval_step()
+        return self._step_fns["eval"](
+            self.network.params, self.network.state, x1, x2, batch.y, w)
+
+    def optimize_model(self, do_training=True):
+        if self.headstart and self.headstart_epochs == 0:
+            if not self.parallel_after_headstart:
+                # freeze everything except the attention unit: rebuild the
+                # step with zeroed main-group updates
+                self._frozen_main = True
+            try:
+                self.network.integration_unit.start_training()
+            except NotImplementedError:
+                raise TypeError(
+                    "Headstart only works with integration units which "
+                    "have start_training() implemented")
+            # unit un-froze: the traced weight path changed, recompile
+            self._step_fns.pop("train", None)
+            self._step_fns.pop("eval", None)
+            print("Headstart ended")
+        dev_loss = super().optimize_model(do_training)
+        if self.headstart and self.headstart_epochs > -1:
+            self.headstart_epochs -= 1
+        return dev_loss

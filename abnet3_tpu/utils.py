@@ -21,7 +21,8 @@ __all__ = [
     "read_pairs", "read_vad_file", "Parse_Dataset", "print_token",
     "normalize_distribution", "cumulative_distribution", "sample_searchidx",
     "Features_Accessor", "read_feats", "cosine_distance", "dtw_numpy",
-    "get_dtw_alignment", "progress", "expand_dimension_list", "to_ordinal",
+    "dtw_numpy_fast", "get_dtw_alignment", "progress",
+    "expand_dimension_list", "to_ordinal", "EmbeddingObserver",
 ]
 
 
@@ -252,12 +253,53 @@ def dtw_numpy(dist: np.ndarray) -> Tuple[float, np.ndarray, np.ndarray]:
             np.array(p2[::-1], dtype=np.int64))
 
 
+def dtw_numpy_fast(dist: np.ndarray) -> Tuple[float, np.ndarray, np.ndarray]:
+    """Row-vectorized DTW: same DP as :func:`dtw_numpy` but each row is one
+    cumsum + one cumulative-min (the same (min,+) closed form as the device
+    kernel in ops/dtw.py), so the host fallback is numpy-speed instead of a
+    Python triple loop."""
+    n1, n2 = dist.shape
+    D = np.empty((n1, n2), np.float64)
+    D[0] = np.cumsum(dist[0])
+    big = np.inf
+    for i in range(1, n1):
+        prev = D[i - 1]
+        m = np.minimum(prev, np.concatenate(([big], prev[:-1])))
+        c = dist[i]
+        S = np.concatenate(([0.0], np.cumsum(c[1:])))
+        b = m - np.concatenate(([-big], S[:-1]))
+        cm = np.minimum.accumulate(b)
+        x0 = prev[0] + c[0]
+        D[i] = S + np.minimum(cm, x0)
+    # backtrace (diagonal-preferred ties), same convention as dtw_numpy
+    i, j = n1 - 1, n2 - 1
+    p1, p2 = [i], [j]
+    while i > 0 or j > 0:
+        if i == 0:
+            j -= 1
+        elif j == 0:
+            i -= 1
+        else:
+            diag, up, left = D[i - 1, j - 1], D[i - 1, j], D[i, j - 1]
+            if diag <= up and diag <= left:
+                i, j = i - 1, j - 1
+            elif up <= left:
+                i -= 1
+            else:
+                j -= 1
+        p1.append(i)
+        p2.append(j)
+    return (float(D[n1 - 1, n2 - 1]),
+            np.array(p1[::-1], dtype=np.int64),
+            np.array(p2[::-1], dtype=np.int64))
+
+
 def get_dtw_alignment(feat1: np.ndarray,
                       feat2: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Host DTW alignment of two token feature matrices
     (reference utils.py:147-153). The device path batches this on TPU."""
     distance_array = cosine_distance(feat1, feat2)
-    _, path1, path2 = dtw_numpy(distance_array)
+    _, path1, path2 = dtw_numpy_fast(distance_array)
     assert len(path1) == len(path2)
     return path1, path2
 
@@ -293,6 +335,28 @@ def expand_dimension_list(dimensions_list) -> List[int]:
         else:
             raise TypeError("Dimension list element must be int or tuple")
     return final
+
+
+class EmbeddingObserver:
+    """Observer that records internal model responses (e.g. learned
+    attention weights) during embedding and saves them as h5features
+    alongside the embeddings (reference utils.py:282-311)."""
+
+    def __init__(self, status_getter, path: str):
+        self.status_getter = status_getter
+        self.path = path
+        self.intern_responses: List[np.ndarray] = []
+
+    def register_status(self):
+        response = self.status_getter()
+        self.intern_responses.append(np.asarray(response))
+
+    def save(self, items, times):
+        from abnet3_tpu.io.h5f import write_h5features
+        if os.path.exists(self.path):
+            os.remove(self.path)
+        write_h5features(self.path, "features", items, times,
+                         self.intern_responses)
 
 
 def to_ordinal(number: int) -> str:

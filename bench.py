@@ -1,0 +1,170 @@
+#!/usr/bin/env python3
+"""Benchmark: siamese training throughput (aligned frame pairs/sec/chip).
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: frame pairs per second through one FULL training step of the
+canonical ABnet3 network (280 -> 2x500 sigmoid -> 100, the reference's
+buckeye config) on a batch of 64 same-word + 64 diff-word token pairs:
+cosine-distance matrices + DTW alignment + frame gather + both siamese
+towers forward/backward + adam update. In this framework that entire step
+is one jitted XLA computation on the TPU (ops/dtw.py + parallel/mesh.py).
+
+Baseline: the reference's architecture measured on this machine — per-pair
+host DTW over a numpy cosine-distance matrix (row-vectorized numpy DP,
+i.e. at least as fast as the reference's per-pair Cython DTW,
+reference dataloader.py:183-231) followed by a torch-CPU siamese
+forward/backward + adam step on the assembled batch
+(reference trainer.py:226-242). vs_baseline = ours / baseline.
+"""
+
+import json
+import time
+
+import numpy as np
+
+DIM_IN, HID, OUT = 280, 500, 100
+B_SAME = 64
+B_DIFF = 64
+T = 96  # ~1s word tokens at 100 fps
+
+
+def _make_batch(seed=0):
+    rng = np.random.RandomState(seed)
+    f1s = np.asarray(rng.randn(B_SAME, T, DIM_IN), np.float32)
+    f2s = np.asarray(rng.randn(B_SAME, T, DIM_IN), np.float32)
+    n1s = rng.randint(T // 2, T + 1, B_SAME).astype(np.int32)
+    n2s = rng.randint(T // 2, T + 1, B_SAME).astype(np.int32)
+    f1d = np.asarray(rng.randn(B_DIFF, T, DIM_IN), np.float32)
+    f2d = np.asarray(rng.randn(B_DIFF, T, DIM_IN), np.float32)
+    n1d = rng.randint(T // 2, T + 1, B_DIFF).astype(np.int32)
+    n2d = rng.randint(T // 2, T + 1, B_DIFF).astype(np.int32)
+    return f1s, f2s, n1s, n2s, f1d, f2d, n1d, n2d
+
+
+def _frames_in_batch(batch):
+    """Aligned frame pairs produced by one batch (DTW path lengths depend
+    on data; count same-pair paths via the host oracle + diff truncation)."""
+    from abnet3_tpu.utils import get_dtw_alignment
+    f1s, f2s, n1s, n2s, _, _, n1d, n2d = batch
+    total = 0
+    for b in range(B_SAME):
+        p1, _ = get_dtw_alignment(f1s[b, :n1s[b]], f2s[b, :n2s[b]])
+        total += len(p1)
+    total += int(np.minimum(n1d, n2d).sum())
+    return total
+
+
+def bench_ours(batch, n_steps=50):
+    """The TPU-native training recipe: the token corpus is uploaded to HBM
+    once (TokenBank); every step streams only int32 token ids and runs the
+    whole pipeline (gather + DTW align + fwd/bwd + update) as one XLA
+    computation."""
+    import jax
+    import optax
+    from abnet3_tpu.loss import coscos2
+    from abnet3_tpu.models import SiameseNetwork
+    from abnet3_tpu.ops.bank import TokenBank
+    from abnet3_tpu.parallel import make_indexed_train_step, make_mesh
+
+    f1s, f2s, n1s, n2s, f1d, f2d, n1d, n2d = batch
+    # bank holds the same tokens the baseline consumes
+    token_feats = {}
+    for g, (f, n) in enumerate(((f1s, n1s), (f2s, n2s), (f1d, n1d),
+                                (f2d, n2d))):
+        for b in range(f.shape[0]):
+            token_feats[(g, b)] = f[b, :n[b]]
+    bank = TokenBank(token_feats)
+    ids = [jax.device_put(
+        bank.ids([(g, b) for b in range(B_SAME if g < 2 else B_DIFF)]))
+        for g in range(4)]
+
+    mesh = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+    net = SiameseNetwork(input_dim=DIM_IN, num_hidden_layers=2,
+                         hidden_dim=HID, output_dim=OUT, p_dropout=0.0,
+                         activation_layer="sigmoid")
+    params, state = net.init_params(jax.random.PRNGKey(0))
+    loss = coscos2()
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+    step = make_indexed_train_step(net, loss, optimizer, bank, mesh)
+    rng = jax.random.PRNGKey(0)
+
+    # warmup: compile + the tunnel's slow first post-compile steps
+    for _ in range(30):
+        params, state, opt_state, value = step(params, state, opt_state,
+                                               rng, *ids)
+    jax.block_until_ready(value)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        params, state, opt_state, value = step(params, state, opt_state,
+                                               rng, *ids)
+    jax.block_until_ready(value)
+    dt = time.perf_counter() - t0
+    assert np.isfinite(float(value))
+    return n_steps / dt
+
+
+def bench_torch_baseline(batch, n_steps=3):
+    import torch
+    import torch.nn as nn
+    from abnet3_tpu.utils import cosine_distance, dtw_numpy_fast
+
+    layers = []
+    dims = [DIM_IN, HID, HID, OUT]
+    for i in range(3):
+        layers += [nn.Linear(dims[i], dims[i + 1]), nn.Dropout(0.0),
+                   nn.Sigmoid()]
+    net = nn.Sequential(*layers).train()
+    opt = torch.optim.Adam(net.parameters(), lr=1e-3)
+    cos = nn.CosineSimilarity(dim=1, eps=1e-6)
+
+    f1s, f2s, n1s, n2s, f1d, f2d, n1d, n2d = batch
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        X1, X2, Y = [], [], []
+        # host batch construction (reference dataloader.py:166-255)
+        for b in range(B_SAME):
+            a = f1s[b, :n1s[b]]
+            c = f2s[b, :n2s[b]]
+            dist = cosine_distance(a, c)
+            _, p1, p2 = dtw_numpy_fast(dist)
+            X1.append(a[p1])
+            X2.append(c[p2])
+            Y.append(np.ones(len(p1), np.float32))
+        for b in range(B_DIFF):
+            n = min(n1d[b], n2d[b])
+            X1.append(f1d[b, :n])
+            X2.append(f2d[b, :n])
+            Y.append(-np.ones(n, np.float32))
+        X1 = torch.from_numpy(np.vstack(X1))
+        X2 = torch.from_numpy(np.vstack(X2))
+        Y = torch.from_numpy(np.concatenate(Y))
+        # siamese fwd/bwd + update (reference trainer.py:226-242)
+        e1, e2 = net(X1), net(X2)
+        c = cos(e1, e2)
+        vals = torch.where(Y > 0, (1 - c) / 2, c ** 2)
+        loss = vals.mean()
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+    dt = time.perf_counter() - t0
+    return n_steps / dt
+
+
+def main():
+    batch = _make_batch()
+    frames = _frames_in_batch(batch)
+    ours_sps = bench_ours(batch)
+    base_sps = bench_torch_baseline(batch)
+    print(json.dumps({
+        "metric": ("siamese train throughput/chip: DTW-aligned frame pairs "
+                   "through a full train step (align+fwd+bwd+update)"),
+        "value": round(ours_sps * frames, 1),
+        "unit": "frame-pairs/s",
+        "vs_baseline": round(ours_sps / base_sps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

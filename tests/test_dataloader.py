@@ -1,0 +1,247 @@
+"""Dataloader tests: device batches vs host parity, loader zoo behavior."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from abnet3_tpu.dataloader import (Batch, FramesDataLoader,
+                                   MultimodalDataLoader, MultiTaskDataLoader,
+                                   OriginalDataLoader, PairsDataLoader,
+                                   TemporalCoherenceDataLoader,
+                                   prefetch_iterator)
+from abnet3_tpu.io import write_h5features
+from abnet3_tpu.loss import coscos2
+
+
+@pytest.fixture
+def corpus(tmp_path):
+    """Small corpus: 4 files x 80 frames x 4 dims + train/dev pair files."""
+    rng = np.random.RandomState(0)
+    d = 4
+    feats_path = str(tmp_path / "feats.h5f")
+    items = [f"f{i}" for i in range(4)]
+    feats = [rng.randn(80, d).astype(np.float32) for _ in items]
+    times = [np.arange(80) * 0.01 + 0.0025 for _ in items]
+    write_h5features(feats_path, "features", items, times, feats)
+
+    def tok(i, a, b):
+        return f"f{i} {a:.2f} {b:.2f}"
+
+    train_lines = [
+        f"{tok(0, 0.0, 0.12)} {tok(1, 0.3, 0.39)} same",
+        f"{tok(1, 0.0, 0.2)} {tok(2, 0.1, 0.25)} same",
+        f"{tok(2, 0.3, 0.5)} {tok(3, 0.0, 0.08)} diff",
+        f"{tok(0, 0.4, 0.55)} {tok(3, 0.2, 0.42)} diff",
+        f"{tok(3, 0.5, 0.62)} {tok(0, 0.6, 0.7)} same",
+        f"{tok(1, 0.5, 0.58)} {tok(2, 0.6, 0.75)} diff",
+    ]
+    dev_lines = [
+        f"{tok(0, 0.1, 0.2)} {tok(2, 0.4, 0.52)} same",
+        f"{tok(1, 0.6, 0.7)} {tok(3, 0.6, 0.72)} diff",
+    ]
+    pairs_path = str(tmp_path / "pairs")
+    os.makedirs(os.path.join(pairs_path, "train_pairs"))
+    os.makedirs(os.path.join(pairs_path, "dev_pairs"))
+    with open(os.path.join(pairs_path, "train_pairs/dataset"), "w") as f:
+        f.write("\n".join(train_lines) + "\n")
+    with open(os.path.join(pairs_path, "dev_pairs/dataset"), "w") as f:
+        f.write("\n".join(dev_lines) + "\n")
+
+    spk_path = str(tmp_path / "spk.txt")
+    with open(spk_path, "w") as f:
+        f.write("f0 spkA\nf1 spkA\nf2 spkB\nf3 spkB\n")
+    return feats_path, pairs_path, spk_path
+
+
+def _loss_of(batch: Batch):
+    return float(coscos2()(batch.x1, batch.x2, batch.y,
+                           weights=batch.weights))
+
+
+def test_device_batch_matches_host(corpus):
+    """The device-aligned masked batch must contain exactly the host
+    path's frame pairs (verified through the loss, which is
+    permutation-invariant)."""
+    feats_path, pairs_path, _ = corpus
+    dl_dev = OriginalDataLoader(pairs_path, feats_path, batch_size=6,
+                                num_max_minibatches=1, seed=0,
+                                align_backend="device")
+    dl_host = OriginalDataLoader(pairs_path, feats_path, batch_size=6,
+                                 num_max_minibatches=1, seed=0,
+                                 align_backend="host")
+    b_dev = next(dl_dev.batch_iterator(train_mode=True))
+    b_host = next(dl_host.batch_iterator(train_mode=True))
+    assert b_dev.weights is not None
+    # same number of valid frames
+    assert int(np.asarray(jnp.sum(b_dev.weights))) == len(b_host.y)
+    # identical loss over the frame multiset
+    assert _loss_of(b_dev) == pytest.approx(_loss_of(b_host), rel=1e-4)
+
+
+def test_device_batch_labels_and_mask(corpus):
+    feats_path, pairs_path, _ = corpus
+    dl = OriginalDataLoader(pairs_path, feats_path, batch_size=6,
+                            num_max_minibatches=3, seed=0)
+    batches = list(dl.batch_iterator(train_mode=True))
+    assert len(batches) == 1  # 6 pairs / batch_size 6 -> 1 batch
+    b = batches[0]
+    y = np.asarray(b.y)
+    w = np.asarray(b.weights)
+    assert set(np.unique(y)).issubset({-1.0, 1.0})
+    assert set(np.unique(w)).issubset({0.0, 1.0})
+    # padding exists and everything stays finite (padded rows repeat the
+    # path endpoint frame; the weight vector zeroes their loss)
+    assert (w == 0.0).any() and (w == 1.0).any()
+    assert np.all(np.isfinite(np.asarray(b.x1)))
+    assert dl.statistics_training["SameType"] == 3
+    assert dl.statistics_training["DiffType"] == 3
+
+
+def test_epoch_sampling_counts(corpus):
+    feats_path, pairs_path, _ = corpus
+    dl = OriginalDataLoader(pairs_path, feats_path, batch_size=2,
+                            num_max_minibatches=2, seed=0)
+    assert len(list(dl.batch_iterator(True))) == 2
+    # dev has 2 pairs -> 1 batch of 2
+    assert len(list(dl.batch_iterator(False))) == 1
+
+
+def test_multitask_loader(corpus):
+    feats_path, pairs_path, spk_path = corpus
+    dl = MultiTaskDataLoader(pairs_path, feats_path, fid2spk_file=spk_path,
+                             batch_size=6, num_max_minibatches=1, seed=0)
+    b = next(dl.batch_iterator(True))
+    assert b.y_spk is not None
+    y_spk = np.asarray(b.y_spk)
+    assert set(np.unique(y_spk)).issubset({-1.0, 1.0})
+    # f0-f1 same speaker pair exists -> some +1 speaker labels
+    w = np.asarray(b.weights)
+    assert (y_spk[w > 0] == 1.0).any() and (y_spk[w > 0] == -1.0).any()
+
+
+def test_frames_dataloader(corpus):
+    feats_path, pairs_path, _ = corpus
+    dl = FramesDataLoader(pairs_path, feats_path, batch_size=16,
+                          randomize_dataset=True)
+    batches = list(dl.batch_iterator(True))
+    assert all(b.x1.shape[0] == 16 for b in batches)
+    # total frame pairs matches the host computation
+    dl_host = OriginalDataLoader(pairs_path, feats_path, batch_size=6,
+                                 num_max_minibatches=1, seed=0,
+                                 align_backend="host")
+    dl_host.load_data()
+    from abnet3_tpu.utils import group_pairs
+    X1, X2, y = dl_host.load_frames_from_pairs(
+        group_pairs(dl_host.pairs["train"]))
+    total_dev = len(dl.frame_pairs["train"])
+    assert total_dev == len(y)
+
+
+def test_frames_dataloader_max_batches(corpus):
+    feats_path, pairs_path, _ = corpus
+    dl = FramesDataLoader(pairs_path, feats_path, batch_size=8,
+                          randomize_dataset=False, max_batches_per_epoch=2)
+    assert len(list(dl.batch_iterator(True))) == 2
+    n2 = len(list(dl.batch_iterator(True)))
+    assert n2 >= 1  # continues from position, may hit dataset end
+
+
+def test_temporal_coherence_loader(corpus):
+    feats_path, pairs_path, _ = corpus
+    dl = TemporalCoherenceDataLoader(pairs_path, feats_path, batch_size=20,
+                                     num_max_minibatches=3)
+    batches = list(dl.batch_iterator(True))
+    assert len(batches) == 3
+    y = np.asarray(batches[0].y)
+    # 1 same : 4 diff pattern per draw (reference dataloader.py:51-52)
+    assert (y == 1).sum() * 4 == (y == -1).sum()
+    # dev path yields word-pair batches
+    dev_batches = list(dl.batch_iterator(False))
+    assert len(dev_batches) >= 1
+
+
+def test_tcl_mixing(corpus):
+    feats_path, pairs_path, _ = corpus
+    dl = OriginalDataLoader(pairs_path, feats_path, batch_size=6,
+                            num_max_minibatches=1, seed=0, tcl=0.5)
+    b = next(dl.batch_iterator(True))
+    w = np.asarray(b.weights)
+    n_valid = w.sum()
+    # about half the valid frames should be TCL pairs (weight exactly 1)
+    base = OriginalDataLoader(pairs_path, feats_path, batch_size=6,
+                              num_max_minibatches=1, seed=0)
+    nb = float(np.asarray(next(base.batch_iterator(True)).weights).sum())
+    assert n_valid > nb  # TCL pairs appended
+
+
+def test_pairs_dataloader(tmp_path):
+    rng = np.random.RandomState(0)
+    feats_path = str(tmp_path / "feats.h5f")
+    items = [f"file{i}" for i in range(4)]
+    feats = [rng.randn(120, 3).astype(np.float32) for _ in items]
+    times = [np.arange(120) * 0.01 + 0.0025 for _ in items]
+    write_h5features(feats_path, "features", items, times, feats)
+
+    pair_lines = []
+    for i in range(20):
+        fa, fb = rng.randint(0, 4, 2)
+        b1 = int(rng.randint(0, 60))
+        b2 = int(rng.randint(0, 60))
+        l1, l2 = int(rng.randint(4, 12)), int(rng.randint(4, 12))
+        pair_lines.append(
+            f"{fa} {fb} {b1} {b1+l1} {b2} {b2+l2} 0.5\n")
+    pairs_path = str(tmp_path / "pairs_knn.txt")
+    with open(pairs_path, "w") as f:
+        f.writelines(pair_lines)
+    id_map_path = str(tmp_path / "id_to_file.txt")
+    with open(id_map_path, "w") as f:
+        f.writelines(f"{i} file{i}\n" for i in range(4))
+
+    dl = PairsDataLoader(pairs_path, feats_path, id_to_file=id_map_path,
+                         batch_size=4, train_iterations=3,
+                         test_iterations=2, split_method="split_each_file")
+    dl.load_pairs()
+    n_train = len(dl.pairs["train"])
+    n_test = len(dl.pairs["test"])
+    assert n_train + n_test <= 20 and n_train > 0
+    # file names mapped
+    assert all(isinstance(p[0], str) for p in dl.pairs["train"])
+
+    batches = list(dl.batch_iterator(train_mode=True))
+    assert 1 <= len(batches) <= 3
+    b = batches[0]
+    assert set(np.unique(np.asarray(b.y))).issubset({-1.0, 1.0})
+
+
+def test_prefetch_iterator():
+    assert list(prefetch_iterator(iter(range(10)))) == list(range(10))
+
+    def boom():
+        yield 1
+        raise RuntimeError("inner failure")
+    it = prefetch_iterator(boom())
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="inner failure"):
+        list(it)
+
+
+def test_multimodal_dataloader(corpus, tmp_path):
+    feats_path, pairs_path, _ = corpus
+    # second modality: same frame counts, different dim
+    rng = np.random.RandomState(1)
+    feats2_path = str(tmp_path / "feats2.h5f")
+    items = [f"f{i}" for i in range(4)]
+    feats2 = [rng.randn(80, 6).astype(np.float32) for _ in items]
+    times = [np.arange(80) * 0.01 + 0.0025 for _ in items]
+    write_h5features(feats2_path, "features", items, times, feats2)
+
+    dl = MultimodalDataLoader(pairs_path, [feats_path, feats2_path],
+                              batch_size=16)
+    b = next(dl.batch_iterator(True))
+    assert isinstance(b.x1, list) and len(b.x1) == 2
+    assert b.x1[0].shape == (16, 4)
+    assert b.x1[1].shape == (16, 6)
+    assert b.y.shape == (16,)

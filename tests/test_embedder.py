@@ -1,0 +1,86 @@
+"""Embedder tests: chunk-seam correctness, h5features export, multitask."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from abnet3_tpu.embedder import EmbedderSiamese, EmbedderSiameseMultitask
+from abnet3_tpu.io import read_h5features, write_h5features
+from abnet3_tpu.models import SiameseMultitaskNetwork, SiameseNetwork
+
+
+@pytest.fixture
+def feature_file(tmp_path):
+    rng = np.random.RandomState(0)
+    path = str(tmp_path / "feats.h5f")
+    items = ["a", "b", "c"]
+    feats = [rng.randn(n, 6).astype(np.float32) for n in (120, 37, 5)]
+    times = [np.arange(len(f)) * 0.01 + 0.0025 for f in feats]
+    write_h5features(path, "features", items, times, feats)
+    return path, items, feats, times
+
+
+def test_embedder_siamese(feature_file, tmp_path):
+    path, items, feats, times = feature_file
+    net = SiameseNetwork(input_dim=6, num_hidden_layers=1, hidden_dim=16,
+                         output_dim=7, p_dropout=0.0,
+                         activation_layer="sigmoid",
+                         output_path=str(tmp_path / "network"))
+    net.ensure_init(0)
+    net.save_network()
+    out = str(tmp_path / "emb.h5f")
+    emb = EmbedderSiamese(network=net,
+                          network_path=str(tmp_path / "network.pth"),
+                          feature_path=path, output_path=out,
+                          batch_size=50)  # force chunking on file 'a'
+    emb.embed()
+
+    data = read_h5features(out)
+    assert data.items() == items
+    for e, f, t in zip(data.features(), feats, times):
+        assert e.shape == (len(f), 7)
+    np.testing.assert_allclose(data.labels()[0], times[0])
+    # chunk seams: output equals single-pass forward
+    full, _ = net.forward_once(net.params, net.state,
+                               jax.numpy.asarray(feats[0]), train=False)
+    np.testing.assert_allclose(data.features()[0], np.asarray(full),
+                               rtol=2e-5, atol=1e-6)
+
+
+def test_embedder_overwrites(feature_file, tmp_path):
+    path, items, feats, _ = feature_file
+    net = SiameseNetwork(input_dim=6, num_hidden_layers=0, hidden_dim=4,
+                         output_dim=3, p_dropout=0.0,
+                         activation_layer="relu")
+    net.ensure_init(0)
+    out = str(tmp_path / "emb.h5f")
+    emb = EmbedderSiamese(network=net, feature_path=path, output_path=out,
+                          batch_size=1000)
+    emb.embed()
+    emb.embed()  # second run must overwrite, not append
+    data = read_h5features(out)
+    assert data.items() == items
+
+
+def test_embedder_multitask(feature_file, tmp_path):
+    path, items, feats, _ = feature_file
+    net = SiameseMultitaskNetwork(
+        input_dim=6, num_hidden_layers_shared=1, num_hidden_layers_spk=0,
+        num_hidden_layers_phn=0, hidden_dim=8, output_dim=5, p_dropout=0.0,
+        activation_layer="relu", output_path=str(tmp_path / "network"))
+    net.ensure_init(0)
+    out = str(tmp_path / "emb.h5f")
+    emb = EmbedderSiameseMultitask(network=net, feature_path=path,
+                                   output_path=out, batch_size=64)
+    emb.embed()
+    spk = read_h5features(out + ".spk")
+    phn = read_h5features(out + ".phn")
+    assert spk.items() == items and phn.items() == items
+    assert spk.features()[0].shape == (120, 5)
+    assert not np.allclose(spk.features()[0], phn.features()[0])
+
+
+def test_embedder_requires_network():
+    with pytest.raises(ValueError):
+        EmbedderSiamese(network=None, feature_path="x", output_path="y")

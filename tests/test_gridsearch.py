@@ -1,0 +1,173 @@
+"""Gridsearch tests: YAML parsing, grid expansion, full-pipeline run."""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from abnet3_tpu.gridsearch import GridSearch
+
+BASE_YAML = """\
+default_params:
+  pathname_experience: {exp_path}
+  features:
+    class: FeaturesGenerator
+    arguments:
+      run: never
+      output_path: {feats_path}
+      method: fbanks
+      normalization: false
+      norm_per_file: false
+      stack: false
+  sampler:
+    class: DummySampler
+    arguments: {{}}
+  dataloader:
+    class: OriginalDataLoader
+    arguments:
+      pairs_path: {pairs_path}
+      batch_size: 3
+      num_max_minibatches: 2
+      seed: 0
+  model:
+    class: SiameseNetwork
+    arguments:
+      input_dim: 4
+      num_hidden_layers: 1
+      hidden_dim: 8
+      output_dim: 5
+      p_dropout: 0.0
+      activation_layer: sigmoid
+      type_init: xavier_uni
+  loss:
+    class: coscos2
+    arguments:
+      avg: true
+  trainer:
+    class: TrainerSiamese
+    arguments:
+      optimizer_type: adam
+      lr: 0.01
+      num_epochs: 2
+      patience: 5
+      seed: 0
+  embedder:
+    class: EmbedderSiamese
+    arguments:
+      batch_size: 64
+"""
+
+GRID_BLOCK = """\
+grid_params:
+  trainer:
+    arguments:
+      lr: [0.1, 0.01, 0.001]
+"""
+
+
+@pytest.fixture
+def experiment(tmp_path):
+    # reuse the dataloader corpus builders
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_dataloader import corpus as corpus_fixture  # noqa
+    # build the corpus inline (can't call fixture directly)
+    rng = np.random.RandomState(0)
+    from abnet3_tpu.io import write_h5features
+    d = 4
+    feats_path = str(tmp_path / "feats.h5f")
+    items = [f"f{i}" for i in range(4)]
+    feats = [rng.randn(80, d).astype(np.float32) for _ in items]
+    times = [np.arange(80) * 0.01 + 0.0025 for _ in items]
+    write_h5features(feats_path, "features", items, times, feats)
+
+    def tok(i, a, b):
+        return f"f{i} {a:.2f} {b:.2f}"
+
+    train_lines = [
+        f"{tok(0, 0.0, 0.12)} {tok(1, 0.3, 0.39)} same",
+        f"{tok(1, 0.0, 0.2)} {tok(2, 0.1, 0.25)} same",
+        f"{tok(2, 0.3, 0.5)} {tok(3, 0.0, 0.08)} diff",
+        f"{tok(0, 0.4, 0.55)} {tok(3, 0.2, 0.42)} diff",
+    ]
+    dev_lines = [
+        f"{tok(0, 0.1, 0.2)} {tok(2, 0.4, 0.52)} same",
+        f"{tok(1, 0.6, 0.7)} {tok(3, 0.6, 0.72)} diff",
+    ]
+    pairs_path = str(tmp_path / "pairs")
+    os.makedirs(os.path.join(pairs_path, "train_pairs"))
+    os.makedirs(os.path.join(pairs_path, "dev_pairs"))
+    with open(os.path.join(pairs_path, "train_pairs/dataset"), "w") as f:
+        f.write("\n".join(train_lines) + "\n")
+    with open(os.path.join(pairs_path, "dev_pairs/dataset"), "w") as f:
+        f.write("\n".join(dev_lines) + "\n")
+
+    exp_path = str(tmp_path / "exp")
+    yaml_text = BASE_YAML.format(exp_path=exp_path, feats_path=feats_path,
+                                 pairs_path=pairs_path)
+    yaml_path = str(tmp_path / "exp.yaml")
+    with open(yaml_path, "w") as f:
+        f.write(yaml_text)
+    return yaml_path, exp_path, yaml_text
+
+
+def test_parse_yaml(experiment):
+    yaml_path, exp_path, _ = experiment
+    grid = GridSearch(input_file=yaml_path)
+    grid.parse_yaml_input_file()
+    assert grid.params["default_params"]["model"]["class"] \
+        == "SiameseNetwork"
+    assert grid.params["default_params"]["trainer"]["arguments"]["lr"] \
+        == 0.01
+
+
+def test_grid_expansion(experiment, tmp_path):
+    yaml_path, exp_path, yaml_text = experiment
+    grid_yaml = str(tmp_path / "grid.yaml")
+    with open(grid_yaml, "w") as f:
+        f.write(yaml_text + GRID_BLOCK)
+    grid = GridSearch(input_file=grid_yaml, date="2026-01-01")
+    exps = grid.build_grid_experiments()
+    assert len(exps) == 3
+    lrs = [e["trainer"]["arguments"]["lr"] for e in exps]
+    assert lrs == [0.1, 0.01, 0.001]
+    # swept experiments get distinct pathnames
+    paths = [e["pathname_experience"] for e in exps]
+    assert len(set(paths)) == 3
+    assert all("2026-01-01" in p for p in paths)
+    # default params unchanged for other entries
+    assert all(e["model"]["arguments"]["hidden_dim"] == 8 for e in exps)
+
+
+def test_no_grid_returns_default(experiment):
+    yaml_path, _, _ = experiment
+    grid = GridSearch(input_file=yaml_path)
+    exps = grid.build_grid_experiments()
+    assert len(exps) == 1
+
+
+def test_run_single_experiment_end_to_end(experiment):
+    """Full pipeline through the orchestrator: train + embed."""
+    yaml_path, exp_path, _ = experiment
+    grid = GridSearch(input_file=yaml_path)
+    grid.run()
+    # artifacts
+    assert os.path.exists(os.path.join(exp_path, "exp.yml"))
+    assert os.path.exists(os.path.join(exp_path, "network.pth"))
+    assert os.path.exists(os.path.join(exp_path, "network.params"))
+    assert os.path.exists(os.path.join(exp_path, "embeddings.h5f"))
+    from abnet3_tpu.io import read_h5features
+    emb = read_h5features(os.path.join(exp_path, "embeddings.h5f"))
+    assert emb.items() == [f"f{i}" for i in range(4)]
+    assert emb.features()[0].shape == (80, 5)
+
+
+def test_embed_only(experiment):
+    yaml_path, exp_path, _ = experiment
+    GridSearch(input_file=yaml_path).run()  # train first
+    emb_path = os.path.join(exp_path, "embeddings.h5f")
+    os.remove(emb_path)
+    grid = GridSearch(input_file=yaml_path, embed_only=True)
+    grid.run()
+    assert os.path.exists(emb_path)

@@ -1,0 +1,137 @@
+"""Trainer tests: jitted step correctness, epoch loop, optimizer zoo."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from abnet3_tpu.dataloader import Batch, MultiTaskDataLoader, \
+    OriginalDataLoader
+from abnet3_tpu.loss import coscos2, cosmargin, weighted_loss_multi
+from abnet3_tpu.models import SiameseMultitaskNetwork, SiameseNetwork
+from abnet3_tpu.trainer import (TrainerSiamese, TrainerSiameseMultitask,
+                                build_optimizer)
+
+from test_dataloader import corpus  # noqa: F401  (fixture reuse)
+
+
+def _network(tmp_path, **kw):
+    cfg = dict(input_dim=4, num_hidden_layers=1, hidden_dim=16,
+               output_dim=8, p_dropout=0.0, activation_layer="sigmoid",
+               output_path=str(tmp_path / "network"))
+    cfg.update(kw)
+    return SiameseNetwork(**cfg)
+
+
+@pytest.mark.parametrize("opt", ["sgd", "adadelta", "adam", "adagrad",
+                                 "RMSprop", "LBFGS"])
+def test_optimizer_zoo_steps(opt):
+    """Every optimizer type must produce a working update."""
+    import optax
+    tx = build_optimizer(opt, 0.01)
+    p = {"w": jnp.ones((4, 4))}
+    s = tx.init(p)
+    g = {"w": jnp.full((4, 4), 0.5)}
+    u, s = tx.update(g, s, p)
+    p2 = optax.apply_updates(p, u)
+    assert not np.allclose(np.asarray(p2["w"]), np.asarray(p["w"]))
+
+
+def test_train_loop_runs_and_saves(corpus, tmp_path):  # noqa: F811
+    feats_path, pairs_path, _ = corpus
+    net = _network(tmp_path)
+    dl = OriginalDataLoader(pairs_path, feats_path, batch_size=3,
+                            num_max_minibatches=2, seed=0)
+    trainer = TrainerSiamese(network=net, loss=coscos2(), dataloader=dl,
+                             optimizer_type="adam", lr=0.01, num_epochs=3,
+                             patience=5, log_dir=str(tmp_path / "logs"),
+                             seed=0)
+    trainer.train()
+    # epoch-0 eval + 3 epochs
+    assert len(trainer.train_losses) == 4
+    assert all(np.isfinite(trainer.train_losses))
+    # artifacts: best network + whoami params pickle
+    assert os.path.exists(str(tmp_path / "network.pth"))
+    with open(str(tmp_path / "network.params"), "rb") as fh:
+        whoami = pickle.load(fh)
+    assert whoami["class_name"] == "TrainerSiamese"
+    assert whoami["network"]["class_name"] == "SiameseNetwork"
+    # metrics written
+    logs = list((tmp_path / "logs").rglob("metrics.jsonl"))
+    assert len(logs) == 2  # train + dev writers
+
+
+def test_training_reduces_loss(corpus, tmp_path):  # noqa: F811
+    feats_path, pairs_path, _ = corpus
+    net = _network(tmp_path, hidden_dim=32)
+    dl = OriginalDataLoader(pairs_path, feats_path, batch_size=6,
+                            num_max_minibatches=1, seed=0)
+    trainer = TrainerSiamese(network=net, loss=coscos2(), dataloader=dl,
+                             optimizer_type="adam", lr=0.01, num_epochs=15,
+                             patience=20, log_dir=str(tmp_path / "logs"),
+                             seed=0)
+    trainer.train()
+    assert trainer.train_losses[-1] < trainer.train_losses[0]
+
+
+def test_pad_batch_loss_invariant(corpus, tmp_path):  # noqa: F811
+    """Bucket padding must not change the loss."""
+    feats_path, pairs_path, _ = corpus
+    net = _network(tmp_path)
+    net.ensure_init(0)
+    dl = OriginalDataLoader(pairs_path, feats_path, batch_size=6,
+                            num_max_minibatches=1, seed=0)
+    trainer = TrainerSiamese(network=net, loss=coscos2(), dataloader=dl,
+                             optimizer_type="adam", num_epochs=1,
+                             log_dir=str(tmp_path / "logs"))
+    batch = next(dl.batch_iterator(True))
+    padded = trainer._pad_batch(batch)
+    assert padded.x1.shape[0] >= batch.x1.shape[0]
+    assert padded.x1.shape[0] & (padded.x1.shape[0] - 1) == 0  # pow2
+    loss = coscos2()
+    unpadded_val = float(loss(batch.x1, batch.x2, batch.y,
+                              weights=batch.weights))
+    padded_val = float(loss(padded.x1, padded.x2, padded.y,
+                            weights=padded.weights))
+    assert padded_val == pytest.approx(unpadded_val, rel=1e-6)
+
+
+def test_multitask_trainer(corpus, tmp_path):  # noqa: F811
+    feats_path, pairs_path, spk_path = corpus
+    net = SiameseMultitaskNetwork(
+        input_dim=4, num_hidden_layers_shared=1, num_hidden_layers_spk=0,
+        num_hidden_layers_phn=0, hidden_dim=16, output_dim=8,
+        p_dropout=0.0, activation_layer="sigmoid",
+        output_path=str(tmp_path / "network"))
+    dl = MultiTaskDataLoader(pairs_path, feats_path, fid2spk_file=spk_path,
+                             batch_size=3, num_max_minibatches=2, seed=0)
+    loss = weighted_loss_multi(weight=0.5, loss_phn=coscos2(),
+                               loss_spk=cosmargin())
+    trainer = TrainerSiameseMultitask(
+        network=net, loss=loss, dataloader=dl, optimizer_type="adam",
+        lr=0.01, num_epochs=2, patience=5,
+        log_dir=str(tmp_path / "logs"), seed=0)
+    trainer.train()
+    assert len(trainer.train_losses) == 3
+    assert all(np.isfinite(trainer.train_losses))
+
+
+def test_early_stopping(corpus, tmp_path):  # noqa: F811
+    """With patience 0 and lr 0 (no improvement possible), training must
+    stop after the second epoch."""
+    feats_path, pairs_path, _ = corpus
+    net = _network(tmp_path)
+    dl = OriginalDataLoader(pairs_path, feats_path, batch_size=6,
+                            num_max_minibatches=1, seed=0)
+    trainer = TrainerSiamese(network=net, loss=coscos2(), dataloader=dl,
+                             optimizer_type="sgd", lr=0.0, momentum=0.0,
+                             num_epochs=50, patience=0,
+                             log_dir=str(tmp_path / "logs"), seed=0)
+    trainer.train()
+    # epoch0 + first epoch (improves over None) + second epoch (equal dev
+    # loss, not better) -> stop
+    assert len(trainer.train_losses) <= 4

@@ -94,6 +94,18 @@ def test_dtw_monotone_and_boundary():
     assert cost == pytest.approx(d[p1, p2].sum())
 
 
+def test_dtw_fast_matches_oracle():
+    rng = np.random.RandomState(7)
+    for _ in range(5):
+        n1, n2 = rng.randint(1, 25, 2)
+        d = rng.rand(n1, n2)
+        c0, p10, p20 = utils.dtw_numpy(d)
+        c1, p11, p21 = utils.dtw_numpy_fast(d)
+        assert c1 == pytest.approx(c0, abs=1e-9)
+        np.testing.assert_array_equal(p10, p11)
+        np.testing.assert_array_equal(p20, p21)
+
+
 def test_get_dtw_alignment():
     rng = np.random.RandomState(3)
     f1 = rng.randn(10, 4).astype(np.float32)
