@@ -1,0 +1,223 @@
+"""Integration-unit tests + multimodal network/trainer end-to-end."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from abnet3_tpu.integration import (BiWeightedDeepLearnt, BiWeightedFixed,
+                                    BiWeightedScalarLearnt,
+                                    ConcatenationIntegration,
+                                    MultitaskIntegration, SumIntegration)
+from abnet3_tpu.models import MultimodalSiameseNetwork
+
+
+def _inputs(n=6, d1=4, d2=4, seed=0):
+    rng = np.random.RandomState(seed)
+    return [jnp.asarray(rng.randn(n, d1).astype(np.float32)),
+            jnp.asarray(rng.randn(n, d2).astype(np.float32))]
+
+
+def test_concatenation():
+    x = _inputs(d1=3, d2=5)
+    unit = ConcatenationIntegration()
+    out = unit.apply({}, x)
+    assert out.shape == (6, 8)
+    np.testing.assert_array_equal(np.asarray(out[:, :3]), np.asarray(x[0]))
+
+
+def test_sum():
+    x = _inputs()
+    out = SumIntegration().apply({}, x)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(x[0]) + np.asarray(x[1]))
+
+
+def test_biweighted_fixed():
+    x = _inputs()
+    unit = BiWeightedFixed(integration_mode="sum", weight_value=0.3)
+    out = unit.apply({}, x)
+    np.testing.assert_allclose(
+        np.asarray(out), 0.3 * np.asarray(x[0]) + 0.7 * np.asarray(x[1]),
+        rtol=1e-6)
+    unit_c = BiWeightedFixed(integration_mode="concat", weight_value=0.3)
+    assert unit_c.apply({}, x).shape == (6, 8)
+    with pytest.raises(AssertionError):
+        BiWeightedFixed(weight_value=1.5)
+
+
+def test_biweighted_scalar_learnt_headstart():
+    x = _inputs()
+    unit = BiWeightedScalarLearnt(integration_mode="sum", weight_value=0.5)
+    params = unit.init_params(jax.random.PRNGKey(0))
+    assert float(params["weight"][0]) == pytest.approx(0.5)
+    # headstart: fixed weight, params ignored
+    unit.set_headstart_weight(0.9)
+    out = unit.apply(params, x)
+    np.testing.assert_allclose(
+        np.asarray(out), 0.9 * np.asarray(x[0]) + 0.1 * np.asarray(x[1]),
+        rtol=1e-5)
+    unit.start_training()
+    out2 = unit.apply(params, x)
+    np.testing.assert_allclose(
+        np.asarray(out2), 0.5 * np.asarray(x[0]) + 0.5 * np.asarray(x[1]),
+        rtol=1e-5)
+
+
+def test_biweighted_deep_learnt():
+    x = _inputs()
+    unit = BiWeightedDeepLearnt(net_params=[[4, 8, 1], [4, 8, 1]],
+                                activation_type="sigmoid",
+                                integration_mode="sum")
+    params = unit.init_params(jax.random.PRNGKey(0))
+    out = unit.apply(params, x)
+    assert out.shape == (6, 4)
+    w = unit.get_weights(params)
+    assert np.asarray(w).shape == (6, 1)
+    assert np.all((np.asarray(w) > 0) & (np.asarray(w) < 1))  # sigmoid
+    # gradient flows into the attention nets
+    def f(p):
+        return jnp.sum(unit.apply(p, x) ** 2)
+    grads = jax.grad(f)(params)
+    assert any(np.any(np.asarray(g) != 0)
+               for g in jax.tree_util.tree_leaves(grads))
+    # headstart freezes the weight path
+    unit.set_headstart_weight(0.5)
+    out_frozen = unit.apply(params, x)
+    np.testing.assert_allclose(
+        np.asarray(out_frozen),
+        0.5 * np.asarray(x[0]) + 0.5 * np.asarray(x[1]), rtol=1e-5)
+
+
+def test_multitask_integration_masks():
+    unit = MultitaskIntegration(
+        representation_modes=[(1, 0), (0, 1), (1, 1)],
+        feed_modes="one2one", dimensions_list=[4, 4], batch_size=6)
+    assert unit.feed_modes == [(0, 0), (1, 1), (2, 2)]
+    x = _inputs()
+    m1, m2 = unit.draw_masks(jax.random.PRNGKey(0), 6)
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))  # one2one
+    out = unit.apply({}, x, rng=jax.random.PRNGKey(0), train=True)
+    assert out.shape == (6, 8)
+    # embedding mode (no rng): all modalities pass through
+    out_emb = unit.apply({}, x)
+    np.testing.assert_allclose(
+        np.asarray(out_emb),
+        np.concatenate([np.asarray(x[0]), np.asarray(x[1])], 1))
+    # many2many expands to the full product
+    unit2 = MultitaskIntegration(
+        representation_modes=[(1, 0), (0, 1)], feed_modes="many2many",
+        dimensions_list=[4, 4], batch_size=6)
+    assert len(unit2.feed_modes) == 4
+
+
+def test_multimodal_network_forward_and_grads():
+    unit = BiWeightedDeepLearnt(net_params=[[6, 1], [6, 1]],
+                                integration_mode="sum")
+    net = MultimodalSiameseNetwork(
+        integration_unit=unit,
+        pre_integration_net_params=[[4, 6], [5, 6]],
+        post_integration_net_params=[6, 3],
+        p_dropout=0.0, activation_layer="sigmoid")
+    params, state = net.init_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    x1 = [jnp.asarray(rng.randn(6, 4).astype(np.float32)),
+          jnp.asarray(rng.randn(6, 5).astype(np.float32))]
+    x2 = [jnp.asarray(rng.randn(6, 4).astype(np.float32)),
+          jnp.asarray(rng.randn(6, 5).astype(np.float32))]
+    e1, e2, _ = net.forward(params, state, x1, x2, train=False)
+    assert e1.shape == (6, 3)
+
+    from abnet3_tpu.loss import coscos2
+    y = jnp.asarray(rng.choice([1.0, -1.0], 6).astype(np.float32))
+
+    def f(p):
+        a, b, _ = net.forward(p, state, x1, x2, train=True)
+        return coscos2()(a, b, y)
+
+    grads = jax.grad(f)(params)
+    for path, g in jax.tree_util.tree_flatten_with_path(grads)[0]:
+        assert np.any(np.asarray(g) != 0), f"zero grad at {path}"
+
+
+def test_multimodal_asynchronous_attention():
+    """Attention inputs taken from an earlier pre-net layer
+    (reference model.py:550-558)."""
+    unit = BiWeightedDeepLearnt(net_params=[[4, 1], [5, 1]],
+                                integration_mode="sum")
+    net = MultimodalSiameseNetwork(
+        integration_unit=unit,
+        pre_integration_net_params=[[4, 6], [5, 6]],
+        post_integration_net_params=[6, 3],
+        asynchronous_integration_index=0,
+        p_dropout=0.0, activation_layer="sigmoid")
+    params, state = net.init_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    x = [jnp.asarray(rng.randn(6, 4).astype(np.float32)),
+         jnp.asarray(rng.randn(6, 5).astype(np.float32))]
+    out, _ = net.forward_once(params, state, x, train=False)
+    assert out.shape == (6, 3)
+
+
+def test_multimodal_trainer_end_to_end(tmp_path):
+    """MultimodalDataLoader + MultimodalTrainer + MultimodalEmbedder."""
+    import os
+    from abnet3_tpu.dataloader import MultimodalDataLoader
+    from abnet3_tpu.embedder import MultimodalEmbedder
+    from abnet3_tpu.io import read_h5features, write_h5features
+    from abnet3_tpu.loss import coscos2
+    from abnet3_tpu.trainer import MultimodalTrainer
+
+    rng = np.random.RandomState(0)
+    items = [f"f{i}" for i in range(4)]
+    paths = []
+    for m, d in enumerate((4, 5)):
+        p = str(tmp_path / f"feats{m}.h5f")
+        feats = [rng.randn(80, d).astype(np.float32) for _ in items]
+        times = [np.arange(80) * 0.01 + 0.0025 for _ in items]
+        write_h5features(p, "features", items, times, feats)
+        paths.append(p)
+
+    def tok(i, a, b):
+        return f"f{i} {a:.2f} {b:.2f}"
+
+    pairs_path = str(tmp_path / "pairs")
+    os.makedirs(os.path.join(pairs_path, "train_pairs"))
+    os.makedirs(os.path.join(pairs_path, "dev_pairs"))
+    with open(os.path.join(pairs_path, "train_pairs/dataset"), "w") as f:
+        f.write(f"{tok(0, 0.0, 0.12)} {tok(1, 0.3, 0.39)} same\n"
+                f"{tok(2, 0.3, 0.5)} {tok(3, 0.0, 0.08)} diff\n")
+    with open(os.path.join(pairs_path, "dev_pairs/dataset"), "w") as f:
+        f.write(f"{tok(0, 0.1, 0.2)} {tok(2, 0.4, 0.52)} same\n")
+
+    unit = BiWeightedDeepLearnt(net_params=[[6, 1], [6, 1]],
+                                integration_mode="sum",
+                                output_path=str(tmp_path / "int"))
+    net = MultimodalSiameseNetwork(
+        integration_unit=unit,
+        pre_integration_net_params=[[4, 6], [5, 6]],
+        post_integration_net_params=[6, 3],
+        p_dropout=0.0, activation_layer="sigmoid",
+        output_path=str(tmp_path / "net"))
+    dl = MultimodalDataLoader(pairs_path, paths, batch_size=8)
+    trainer = MultimodalTrainer(network=net, loss=coscos2(), dataloader=dl,
+                                optimizer_type="adam", lr=0.01,
+                                num_epochs=2, patience=3,
+                                log_dir=str(tmp_path / "logs"), seed=0,
+                                headstart=(1, True, 0.5))
+    trainer.train()
+    assert len(trainer.train_losses) >= 2
+    assert all(np.isfinite(trainer.train_losses))
+
+    emb = MultimodalEmbedder(network=net, feature_path=paths,
+                             output_path=str(tmp_path / "emb"),
+                             batch_size=64)
+    emb.embed()
+    data = read_h5features(str(tmp_path / "emb") + "embedded.features")
+    assert data.items() == items
+    assert data.features()[0].shape == (80, 3)
+    # attention-weight observer dump
+    att = read_h5features(
+        str(tmp_path / "emb") + "attention_weights.features")
+    assert att.features()[0].shape == (80, 1)
