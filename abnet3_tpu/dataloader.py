@@ -60,6 +60,17 @@ class Batch(NamedTuple):
     y_spk: object = None
 
 
+class BankBatch(NamedTuple):
+    """An index-only batch against a device-resident TokenBank: the step
+    streams just token ids + per-pair labels/weights (a few hundred
+    bytes), all feature work happens on device."""
+    ids1: object
+    ids2: object
+    y: object
+    pair_w: object
+    y_spk: object = None
+
+
 def prefetch_iterator(iterator, size: int = 2):
     """Run `iterator` in a background thread, keeping `size` batches ready
     (replaces the reference's serial batch-build/step interleaving)."""
@@ -131,7 +142,10 @@ class OriginalDataLoader(DataLoader):
                  align_different_words=False, tcl=0.0,
                  align_backend="device"):
         assert 0 <= tcl < 1
-        assert align_backend in ("device", "host")
+        # 'device': per-batch padded arrays aligned on device
+        # 'bank'  : whole token corpus resident in HBM, index-only batches
+        # 'host'  : reference-exact numpy path (parity tests)
+        assert align_backend in ("device", "bank", "host")
         self.pairs_path = pairs_path
         self.features_path = features_path
         self.statistics_training = defaultdict(int)

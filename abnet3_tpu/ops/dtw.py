@@ -146,6 +146,34 @@ def dtw_backtrace(D: jnp.ndarray, n1: jnp.ndarray, n2: jnp.ndarray
     return jax.vmap(one)(D, n1 - 1, n2 - 1)
 
 
+_PALLAS_OK = None
+
+
+def _pallas_available() -> bool:
+    """True when the Pallas DTW kernel compiles on the default backend
+    (resolved once; TPU only — the CPU path uses the XLA scan)."""
+    global _PALLAS_OK
+    if _PALLAS_OK is None:
+        _PALLAS_OK = False
+        if jax.default_backend() != "cpu":
+            try:
+                from abnet3_tpu.ops.pallas_dtw import dtw_costs_pallas
+                probe = jnp.zeros((1, 8, 128), jnp.float32)
+                jax.block_until_ready(dtw_costs_pallas(probe))
+                _PALLAS_OK = True
+            except Exception:
+                _PALLAS_OK = False
+    return _PALLAS_OK
+
+
+def dtw_costs_auto(dist: jnp.ndarray) -> jnp.ndarray:
+    """DTW DP via the Pallas kernel on TPU, XLA row scan elsewhere."""
+    if _pallas_available():
+        from abnet3_tpu.ops.pallas_dtw import dtw_costs_pallas
+        return dtw_costs_pallas(dist)
+    return dtw_costs(dist)
+
+
 @jax.jit
 def dtw_align_batch(f1: jnp.ndarray, f2: jnp.ndarray,
                     n1: jnp.ndarray, n2: jnp.ndarray):
@@ -155,12 +183,13 @@ def dtw_align_batch(f1: jnp.ndarray, f2: jnp.ndarray,
     Returns (path1, path2, path_len) as in :func:`dtw_backtrace`.
     """
     dist = pairwise_angular_distance(f1, f2)
-    D = dtw_costs(dist)
+    D = dtw_costs_auto(dist)
     return dtw_backtrace(D, n1, n2)
 
 
 def align_diff_batch(n1: jnp.ndarray, n2: jnp.ndarray, T1: int, T2: int,
-                     align_different_words: bool = False):
+                     align_different_words: bool = False,
+                     L: Optional[int] = None):
     """Alignment index paths for *different*-word pairs.
 
     - truncate mode (default): both words cut to min(n1, n2)
@@ -170,9 +199,13 @@ def align_diff_batch(n1: jnp.ndarray, n2: jnp.ndarray, T1: int, T2: int,
       reference also swaps so X1 holds the longer word — the losses are
       symmetric in (X1, X2) so we keep the input order)
 
-    Returns (path1, path2, path_len) with L = max(T1, T2) static.
+    Returns (path1, path2, path_len) with L = max(T1, T2) static by
+    default; pass L to pad the paths to a longer static length (entries
+    past path_len repeat clamped indices and are masked by callers).
     """
-    L = max(T1, T2)
+    if L is None:
+        L = max(T1, T2)
+    assert L >= max(T1, T2)
     s = jnp.arange(L, dtype=jnp.float32)[None, :]      # (1, L)
     n1f = n1.astype(jnp.float32)[:, None]
     n2f = n2.astype(jnp.float32)[:, None]

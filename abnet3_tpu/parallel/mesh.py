@@ -32,8 +32,9 @@ import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from abnet3_tpu.ops.dtw import (align_diff_batch, dtw_costs, dtw_backtrace,
-                                gather_aligned, pairwise_angular_distance)
+from abnet3_tpu.ops.dtw import (align_diff_batch, dtw_backtrace,
+                                dtw_costs_auto, gather_aligned,
+                                pairwise_angular_distance)
 
 __all__ = ["make_mesh", "param_shardings", "shard_array",
            "make_fused_train_step", "make_indexed_train_step"]
@@ -74,11 +75,16 @@ def param_shardings(params, mesh: Mesh):
 
 
 def _align_and_flatten(network, loss, f1s, f2s, n1s, n2s,
-                       f1d, f2d, n1d, n2d):
+                       f1d, f2d, n1d, n2d, use_pallas=True):
     """Shared fused-step body: on-device alignment + flattened frame
-    batch with padding weights."""
+    batch with padding weights.
+
+    use_pallas: the Pallas DP kernel cannot be auto-partitioned by GSPMD,
+    so multi-device meshes use the XLA row scan (which GSPMD shards over
+    'data' like any other op)."""
     dist = pairwise_angular_distance(f1s, f2s)
-    D = dtw_costs(dist)
+    from abnet3_tpu.ops.dtw import dtw_costs
+    D = dtw_costs_auto(dist) if use_pallas else dtw_costs(dist)
     p1s, p2s, plens = dtw_backtrace(D, n1s, n2s)
     x1s = gather_aligned(f1s, p1s)
     x2s = gather_aligned(f2s, p2s)
@@ -109,13 +115,16 @@ def make_indexed_train_step(network, loss, optimizer, bank, mesh: Mesh):
     dp = NamedSharding(mesh, P("data"))
     rep = NamedSharding(mesh, P())
 
+    single_dev = mesh.size == 1
+
     def step(params, state, opt_state, rng, ids1s, ids2s, ids1d, ids2d):
         f1s, n1s = bank.take(ids1s)
         f2s, n2s = bank.take(ids2s)
         f1d, n1d = bank.take(ids1d)
         f2d, n2d = bank.take(ids2d)
         x1, x2, y, w = _align_and_flatten(network, loss, f1s, f2s, n1s,
-                                          n2s, f1d, f2d, n1d, n2d)
+                                          n2s, f1d, f2d, n1d, n2d,
+                                          use_pallas=single_dev)
 
         def loss_fn(p):
             e1, e2, new_state = network.forward(p, state, x1, x2, rng=rng,
@@ -142,6 +151,120 @@ def make_indexed_train_step(network, loss, optimizer, bank, mesh: Mesh):
     return compiled
 
 
+def make_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
+                         align_different_words: bool = False,
+                         extra_labels: bool = False):
+    """Uniform fused train step over a TokenBank: every pair is (id1, id2,
+    y, pair_weight) — same-word pairs (y=+1) are DTW-aligned, diff-word
+    pairs (y=-1) truncate/diagonal-aligned, selected per pair with a
+    where(); padded pairs carry pair_weight 0. Fixed pair-batch shape ->
+    one compiled step for the whole training run.
+
+    extra_labels adds a second per-pair label stream (speaker labels for
+    the multitask network); the step then returns the multitask loss.
+    """
+    dp = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+    single_dev = mesh.size == 1
+    T = bank.max_len
+    L = 2 * T - 1
+
+    def align(ids1, ids2, y_pair, pair_w):
+        f1, n1 = bank.take(ids1)
+        f2, n2 = bank.take(ids2)
+        dist = pairwise_angular_distance(f1, f2)
+        from abnet3_tpu.ops.dtw import dtw_costs
+        D = dtw_costs_auto(dist) if single_dev else dtw_costs(dist)
+        p1s, p2s, plen_s = dtw_backtrace(D, n1, n2)
+        p1d, p2d, plen_d = align_diff_batch(
+            n1, n2, T, T, align_different_words=align_different_words, L=L)
+        same = (y_pair > 0)[:, None]
+        p1 = jnp.where(same, p1s, p1d)
+        p2 = jnp.where(same, p2s, p2d)
+        plen = jnp.where(y_pair > 0, plen_s, plen_d)
+        x1 = gather_aligned(f1, p1)
+        x2 = gather_aligned(f2, p2)
+        w = ((jnp.arange(L)[None, :] < plen[:, None]).astype(jnp.float32)
+             * pair_w[:, None])
+        d = x1.shape[-1]
+        yb = jnp.broadcast_to(y_pair[:, None], (y_pair.shape[0], L))
+        return (x1.reshape(-1, d), x2.reshape(-1, d), yb.reshape(-1),
+                w.reshape(-1))
+
+    if extra_labels:
+        def step(params, state, opt_state, rng, ids1, ids2, y_pair,
+                 y_spk_pair, pair_w):
+            x1, x2, y, w = align(ids1, ids2, y_pair, pair_w)
+            y_spk = jnp.broadcast_to(
+                y_spk_pair[:, None], (y_spk_pair.shape[0], L)).reshape(-1)
+
+            def loss_fn(p):
+                spk1, phn1, spk2, phn2, new_state = network.forward(
+                    p, state, x1, x2, rng=rng, train=True)
+                return loss(spk1, phn1, spk2, phn2, y_spk, y,
+                            weights=w), new_state
+
+            (value, new_state), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, new_opt = optimizer.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), new_state,
+                    new_opt, value)
+        n_batch_args = 5
+    else:
+        def step(params, state, opt_state, rng, ids1, ids2, y_pair,
+                 pair_w):
+            x1, x2, y, w = align(ids1, ids2, y_pair, pair_w)
+
+            def loss_fn(p):
+                e1, e2, new_state = network.forward(p, state, x1, x2,
+                                                    rng=rng, train=True)
+                return loss(e1, e2, y, weights=w), new_state
+
+            (value, new_state), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, new_opt = optimizer.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), new_state,
+                    new_opt, value)
+        n_batch_args = 4
+
+    if extra_labels:
+        def eval_step(params, state, ids1, ids2, y_pair, y_spk_pair,
+                      pair_w):
+            x1, x2, y, w = align(ids1, ids2, y_pair, pair_w)
+            y_spk = jnp.broadcast_to(
+                y_spk_pair[:, None], (y_spk_pair.shape[0], L)).reshape(-1)
+            spk1, phn1, spk2, phn2, _ = network.forward(
+                params, state, x1, x2, train=False)
+            return loss(spk1, phn1, spk2, phn2, y_spk, y, weights=w)
+    else:
+        def eval_step(params, state, ids1, ids2, y_pair, pair_w):
+            x1, x2, y, w = align(ids1, ids2, y_pair, pair_w)
+            e1, e2, _ = network.forward(params, state, x1, x2, train=False)
+            return loss(e1, e2, y, weights=w)
+
+    cache = {}
+
+    def compiled(params, state, opt_state, rng, *batch):
+        if "jit" not in cache:
+            p_shard = param_shardings(params, mesh)
+            cache["jit"] = jax.jit(
+                step,
+                in_shardings=(p_shard, None, None, rep)
+                + (dp,) * n_batch_args,
+                out_shardings=(p_shard, None, None, None))
+        return cache["jit"](params, state, opt_state, rng, *batch)
+
+    def compiled_eval(params, state, *batch):
+        if "ejit" not in cache:
+            p_shard = param_shardings(params, mesh)
+            cache["ejit"] = jax.jit(
+                eval_step,
+                in_shardings=(p_shard, None) + (dp,) * n_batch_args)
+        return cache["ejit"](params, state, *batch)
+
+    return compiled, compiled_eval
+
+
 def make_fused_train_step(network, loss, optimizer, mesh: Mesh):
     """One jitted SPMD training step over raw padded pair batches.
 
@@ -156,10 +279,13 @@ def make_fused_train_step(network, loss, optimizer, mesh: Mesh):
     dp = NamedSharding(mesh, P("data"))
     rep = NamedSharding(mesh, P())
 
+    single_dev = mesh.size == 1
+
     def step(params, state, opt_state, rng,
              f1s, f2s, n1s, n2s, f1d, f2d, n1d, n2d):
         x1, x2, y, w = _align_and_flatten(network, loss, f1s, f2s, n1s,
-                                          n2s, f1d, f2d, n1d, n2d)
+                                          n2s, f1d, f2d, n1d, n2d,
+                                          use_pallas=single_dev)
 
         # --- fused siamese fwd/bwd + update -----------------------------
         def loss_fn(p):

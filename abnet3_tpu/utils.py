@@ -53,10 +53,24 @@ def read_spk_list(spk_file: str) -> List[str]:
 
 def read_dataset(dataset_file: str) -> List[Tuple]:
     """Parse a 7-column pairs file: ``f1 s1 e1 f2 s2 e2 same|diff``
-    (reference utils.py:156-173)."""
+    (reference utils.py:156-173). Uses the native C++ parser when built
+    (abnet3_tpu/native) — pair files can be 500k+ lines."""
+    try:
+        from abnet3_tpu import native
+        parsed = native.parse_pairs(dataset_file)
+    except (ImportError, OSError):
+        parsed = None
+    if parsed is not None:
+        names, f1, s1, e1, f2, s2, e2, same = parsed
+        return [(names[a], float(b), float(c), names[d], float(e),
+                 float(f), "same" if g > 0 else "diff")
+                for a, b, c, d, e, f, g in zip(f1, s1, e1, f2, s2, e2,
+                                               same)]
     pairs = []
     with open(dataset_file, "r") as fh:
         for line in fh:
+            if not line.strip():
+                continue
             tokens = line.strip().split(" ")
             if len(tokens) != 7:
                 raise ValueError(
@@ -297,7 +311,16 @@ def dtw_numpy_fast(dist: np.ndarray) -> Tuple[float, np.ndarray, np.ndarray]:
 def get_dtw_alignment(feat1: np.ndarray,
                       feat2: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Host DTW alignment of two token feature matrices
-    (reference utils.py:147-153). The device path batches this on TPU."""
+    (reference utils.py:147-153). Production alignment is batched on TPU
+    (ops/dtw.py); this host path prefers the native C++ kernel."""
+    try:
+        from abnet3_tpu import native
+        aligned = native.dtw_align(np.ascontiguousarray(feat1, np.float32),
+                                   np.ascontiguousarray(feat2, np.float32))
+    except (ImportError, OSError):
+        aligned = None
+    if aligned is not None:
+        return aligned
     distance_array = cosine_distance(feat1, feat2)
     _, path1, path2 = dtw_numpy_fast(distance_array)
     assert len(path1) == len(path2)
