@@ -159,6 +159,8 @@ class OriginalDataLoader(DataLoader):
         self.align_backend = align_backend
         self.train_files = None
         self.pairs = {"train": None, "dev": None}
+        self.token_bank = None
+        self._bank_pairs = None
         self._rng = np.random.RandomState(seed)
 
     def whoami(self):
@@ -191,6 +193,78 @@ class OriginalDataLoader(DataLoader):
         self.train_files = list(
             {p[0] for p in self.pairs["train"]}
             | {p[3] for p in self.pairs["train"]})
+        if self.align_backend == "bank" and self.token_bank is None:
+            self._build_token_bank()
+
+    def _build_token_bank(self, fid2spk=None):
+        """Upload every unique token of both splits into one HBM-resident
+        TokenBank and precompute per-split (id1, id2, y[, y_spk]) arrays."""
+        from abnet3_tpu.ops.bank import TokenBank
+        all_pairs = {m: group_pairs(self.pairs[m]) for m in
+                     ("train", "dev")}
+        token_feats = {}
+        for m in ("train", "dev"):
+            token_feats.update(self.get_token_feats(all_pairs[m]))
+        # drop zero-length tokens (degenerate slices the reference skips)
+        token_feats = {k: v for k, v in token_feats.items() if len(v) > 0}
+        print("Uploading %d tokens to the device token bank"
+              % len(token_feats))
+        self.token_bank = TokenBank(token_feats)
+        self._bank_pairs = {}
+        for m in ("train", "dev"):
+            ids1, ids2, ys, yspk = [], [], [], []
+            for f1, s1, e1, f2, s2, e2, ptype in self.pairs[m]:
+                k1, k2 = (f1, s1, e1), (f2, s2, e2)
+                if k1 not in self.token_bank.key_to_id or \
+                        k2 not in self.token_bank.key_to_id:
+                    continue
+                ids1.append(self.token_bank.key_to_id[k1])
+                ids2.append(self.token_bank.key_to_id[k2])
+                ys.append(1.0 if ptype == "same" else -1.0)
+                if fid2spk is not None:
+                    yspk.append(1.0 if fid2spk[f1] == fid2spk[f2]
+                                else -1.0)
+            self._bank_pairs[m] = (
+                np.asarray(ids1, np.int32), np.asarray(ids2, np.int32),
+                np.asarray(ys, np.float32),
+                np.asarray(yspk, np.float32) if fid2spk is not None
+                else None)
+
+    def bank_batch_iterator(self, train_mode=True):
+        """Yield fixed-size BankBatch index batches (an 'epoch' samples
+        num_max_minibatches batches, like batch_iterator)."""
+        self.load_data()
+        mode = "train" if train_mode else "dev"
+        ids1, ids2, ys, yspk = self._bank_pairs[mode]
+        num_pairs = len(ids1)
+        bs = self.batch_size
+        num_batches = max((num_pairs + bs - 1) // bs, 1)
+        if self.num_max_minibatches < num_batches:
+            selected = self._rng.choice(num_batches,
+                                        self.num_max_minibatches,
+                                        replace=False)
+        else:
+            selected = self._rng.permutation(num_batches)
+        for b in selected:
+            sl = slice(b * bs, (b + 1) * bs)
+            bi1, bi2, by = ids1[sl], ids2[sl], ys[sl]
+            bspk = yspk[sl] if yspk is not None else None
+            n = len(bi1)
+            w = np.ones(bs, np.float32)
+            if n < bs:  # pad the ragged tail; padded pairs weigh 0
+                pad = bs - n
+                bi1 = np.concatenate([bi1, np.zeros(pad, np.int32)])
+                bi2 = np.concatenate([bi2, np.zeros(pad, np.int32)])
+                by = np.concatenate([by, np.ones(pad, np.float32)])
+                if bspk is not None:
+                    bspk = np.concatenate([bspk,
+                                           np.ones(pad, np.float32)])
+                w[n:] = 0.0
+            # stage on device from the (prefetch) thread so transfers
+            # overlap with the previous step's compute
+            yield BankBatch(jnp.asarray(bi1), jnp.asarray(bi2),
+                            jnp.asarray(by), jnp.asarray(w),
+                            None if bspk is None else jnp.asarray(bspk))
 
     def get_token_feats(self, pairs, frames=False):
         """Slice unique token features (reference dataloader.py:147-164)."""
@@ -374,6 +448,9 @@ class OriginalDataLoader(DataLoader):
         num_max_minibatches random pair batches, reference
         dataloader.py:263-312)."""
         self.load_data()
+        if self.align_backend == "bank":
+            yield from self.bank_batch_iterator(train_mode)
+            return
         mode = "train" if train_mode else "dev"
         batches, selected = self._select_batches(list(self.pairs[mode]))
         for batch_id in selected:
@@ -776,8 +853,16 @@ class MultiTaskDataLoader(OriginalDataLoader):
         super().__init__(pairs_path, features_path, **kwargs)
         self.fid2spk_file = fid2spk_file
 
+    def _build_token_bank(self, fid2spk=None):
+        if fid2spk is None:
+            fid2spk = read_spkid_file(self.fid2spk_file)
+        super()._build_token_bank(fid2spk=fid2spk)
+
     def batch_iterator(self, train_mode=True):
         self.load_data()
+        if self.align_backend == "bank":
+            yield from self.bank_batch_iterator(train_mode)
+            return
         mode = "train" if train_mode else "dev"
         fid2spk = read_spkid_file(self.fid2spk_file)
         batches, selected = self._select_batches(list(self.pairs[mode]))

@@ -4,6 +4,7 @@ from abnet3_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
     make_fused_train_step,
     make_indexed_train_step,
+    make_pair_train_step,
     param_shardings,
     shard_array,
 )

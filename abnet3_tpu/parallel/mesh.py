@@ -37,7 +37,8 @@ from abnet3_tpu.ops.dtw import (align_diff_batch, dtw_backtrace,
                                 pairwise_angular_distance)
 
 __all__ = ["make_mesh", "param_shardings", "shard_array",
-           "make_fused_train_step", "make_indexed_train_step"]
+           "make_fused_train_step", "make_indexed_train_step",
+           "make_pair_train_step"]
 
 
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,

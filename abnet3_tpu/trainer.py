@@ -95,7 +95,7 @@ class TrainerBuilder:
                  optimizer_type="sgd", lr=0.001, momentum=0.9, cuda=True,
                  seed=0, dataloader=None, log_dir=None,
                  feature_generator=None, checkpoints=False,
-                 prefetch=2):
+                 prefetch=2, mesh=None):
         self.network = network
         self.loss = loss
         self.num_epochs = num_epochs
@@ -111,6 +111,7 @@ class TrainerBuilder:
         self.checkpoints = checkpoints
         self.prefetch = prefetch
         self.optimizer_type = optimizer_type
+        self.mesh = mesh  # jax.sharding.Mesh for multi-chip training
 
         if log_dir is None:
             self.log_dir = Path("./runs/%s"
@@ -282,9 +283,54 @@ class TrainerSiamese(TrainerBuilder):
             None if batch.y_spk is None else jnp.concatenate(
                 [batch.y_spk, jnp.ones((pad,), batch.y_spk.dtype)]))
 
+    # -- device-bank path ----------------------------------------------------
+
+    _BANK_EXTRA_LABELS = False
+
+    def _ensure_bank_steps(self):
+        if "bank_train" not in self._step_fns:
+            from abnet3_tpu.parallel import make_mesh, make_pair_train_step
+            mesh = self.mesh
+            if mesh is None:
+                mesh = make_mesh(n_data=1, n_model=1,
+                                 devices=jax.devices()[:1])
+            train, evalf = make_pair_train_step(
+                self.network, self.loss, self.optimizer,
+                self.dataloader.token_bank, mesh,
+                align_different_words=getattr(
+                    self.dataloader, "align_different_words", False),
+                extra_labels=self._BANK_EXTRA_LABELS)
+            self._step_fns["bank_train"] = train
+            self._step_fns["bank_eval"] = evalf
+
+    def _bank_args(self, b):
+        if self._BANK_EXTRA_LABELS:
+            assert b.y_spk is not None, \
+                "multitask bank training needs speaker labels"
+            return (b.ids1, b.ids2, b.y, b.y_spk, b.pair_w)
+        return (b.ids1, b.ids2, b.y, b.pair_w)
+
+    def _give_bank_batch(self, b, do_training, rng):
+        self._ensure_bank_steps()
+        if do_training:
+            params, state, opt, value = self._step_fns["bank_train"](
+                self.network.params, self.network.state, self._opt_state,
+                rng, *self._bank_args(b))
+            self.network.params = params
+            self.network.state = state
+            self._opt_state = opt
+            return value
+        return self._step_fns["bank_eval"](
+            self.network.params, self.network.state, *self._bank_args(b))
+
     def give_batch_to_network(self, batch, do_training, rng):
         """One step; returns the batch loss value
         (reference trainer.py:211-224)."""
+        from abnet3_tpu.dataloader import BankBatch
+        if isinstance(batch, BankBatch):
+            if rng is None:
+                rng = jax.random.PRNGKey(self.seed)
+            return self._give_bank_batch(batch, do_training, rng)
         b = self._pad_batch(batch)
         if do_training:
             if "train" not in self._step_fns:
@@ -375,7 +421,14 @@ class TrainerSiameseMultitask(TrainerSiamese):
             return loss(spk1, phn1, spk2, phn2, y_spk, y_phn, weights=w)
         return step
 
+    _BANK_EXTRA_LABELS = True
+
     def give_batch_to_network(self, batch, do_training, rng):
+        from abnet3_tpu.dataloader import BankBatch
+        if isinstance(batch, BankBatch):
+            if rng is None:
+                rng = jax.random.PRNGKey(self.seed)
+            return self._give_bank_batch(batch, do_training, rng)
         b = self._pad_batch(batch)
         assert b.y_spk is not None, \
             "multitask training needs speaker labels (MultiTaskDataLoader)"

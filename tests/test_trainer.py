@@ -120,6 +120,59 @@ def test_multitask_trainer(corpus, tmp_path):  # noqa: F811
     assert all(np.isfinite(trainer.train_losses))
 
 
+def test_bank_backend_training(corpus, tmp_path):  # noqa: F811
+    """align_backend='bank': the whole token corpus lives on device and
+    training streams only index batches; must converge like the device
+    backend."""
+    feats_path, pairs_path, _ = corpus
+    net = _network(tmp_path, hidden_dim=32)
+    dl = OriginalDataLoader(pairs_path, feats_path, batch_size=8,
+                            num_max_minibatches=1, seed=0,
+                            align_backend="bank")
+    trainer = TrainerSiamese(network=net, loss=coscos2(), dataloader=dl,
+                             optimizer_type="adam", lr=0.01, num_epochs=10,
+                             patience=20, log_dir=str(tmp_path / "logs"),
+                             seed=0)
+    trainer.train()
+    assert dl.token_bank is not None
+    assert trainer.train_losses[-1] < trainer.train_losses[0]
+    assert all(np.isfinite(trainer.train_losses))
+    # epoch-0 loss must match the device backend's epoch-0 loss (same
+    # pairs, same initial params, both evaluate in eval mode)
+    net2 = _network(tmp_path, hidden_dim=32)
+    dl2 = OriginalDataLoader(pairs_path, feats_path, batch_size=8,
+                             num_max_minibatches=1, seed=0,
+                             align_backend="device")
+    t2 = TrainerSiamese(network=net2, loss=coscos2(), dataloader=dl2,
+                        optimizer_type="adam", lr=0.01, num_epochs=1,
+                        patience=5, log_dir=str(tmp_path / "logs2"),
+                        seed=0)
+    t2.train()
+    assert trainer.dev_losses[0] == pytest.approx(t2.dev_losses[0],
+                                                  rel=1e-4)
+
+
+def test_bank_backend_multitask(corpus, tmp_path):  # noqa: F811
+    feats_path, pairs_path, spk_path = corpus
+    net = SiameseMultitaskNetwork(
+        input_dim=4, num_hidden_layers_shared=1, num_hidden_layers_spk=0,
+        num_hidden_layers_phn=0, hidden_dim=16, output_dim=8,
+        p_dropout=0.0, activation_layer="sigmoid",
+        output_path=str(tmp_path / "network"))
+    dl = MultiTaskDataLoader(pairs_path, feats_path, fid2spk_file=spk_path,
+                             batch_size=4, num_max_minibatches=2, seed=0,
+                             align_backend="bank")
+    loss = weighted_loss_multi(weight=0.5, loss_phn=coscos2(),
+                               loss_spk=cosmargin())
+    trainer = TrainerSiameseMultitask(
+        network=net, loss=loss, dataloader=dl, optimizer_type="adam",
+        lr=0.01, num_epochs=2, patience=5,
+        log_dir=str(tmp_path / "logs"), seed=0)
+    trainer.train()
+    assert len(trainer.train_losses) == 3
+    assert all(np.isfinite(trainer.train_losses))
+
+
 def test_early_stopping(corpus, tmp_path):  # noqa: F811
     """With patience 0 and lr 0 (no improvement possible), training must
     stop after the second epoch."""
