@@ -100,11 +100,13 @@ class EmbedderSiamese(EmbedderBuilder):
     """Monotask embedding export (reference embedder.py:53-100)."""
 
     def embed(self):
+        from abnet3_tpu.profiling import stage_trace
         self._load()
         data = read_h5features(self.feature_path, "features")
         print("Done loading input feature file")
         forward = self._forward_fn()
-        embeddings = self._embed_corpus(forward, data.features())
+        with stage_trace("embed"):
+            embeddings = self._embed_corpus(forward, data.features())
         if _exists(self.output_path):
             _remove(self.output_path)
         write_h5features(self.output_path, "features", data.items(),

@@ -273,13 +273,16 @@ class FeaturesGenerator:
                           if f.endswith(".wav")]
         f = functions[self.method]
 
+        from abnet3_tpu.profiling import stage_trace
+        self._stage_trace = stage_trace
         tempdir = os.path.join(
             os.path.dirname(os.path.abspath(self.output_path)), "tmp")
         os.makedirs(tempdir, exist_ok=True)
         try:
             h5_temp1 = os.path.join(tempdir, "temp1")
             print("Spectral transforming with %s" % self.method)
-            self.h5features_compute(self.files, h5_temp1, featfunc=f)
+            with self._stage_trace("features-spectral"):
+                self.h5features_compute(self.files, h5_temp1, featfunc=f)
             if self.normalization:
                 h5_temp2 = os.path.join(tempdir, "temp2")
                 self.normalize(h5_temp1, h5_temp2)

@@ -38,7 +38,7 @@ from abnet3_tpu.ops.dtw import (align_diff_batch, dtw_backtrace,
 
 __all__ = ["make_mesh", "param_shardings", "shard_array",
            "make_fused_train_step", "make_indexed_train_step",
-           "make_pair_train_step"]
+           "make_pair_train_step", "make_sampled_train_step"]
 
 
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
@@ -152,6 +152,78 @@ def make_indexed_train_step(network, loss, optimizer, bank, mesh: Mesh):
     return compiled
 
 
+def _bank_align(bank, ids1, ids2, y_pair, pair_w,
+                align_different_words: bool, use_pallas: bool):
+    """Gather pairs from the bank + per-pair alignment selected by label.
+
+    Returns flattened (x1, x2, y, w) frame arrays with static shape
+    (B * (2*T-1), ...)."""
+    T = bank.max_len
+    L = 2 * T - 1
+    f1, n1 = bank.take(ids1)
+    f2, n2 = bank.take(ids2)
+    dist = pairwise_angular_distance(f1, f2)
+    from abnet3_tpu.ops.dtw import dtw_costs
+    D = dtw_costs_auto(dist) if use_pallas else dtw_costs(dist)
+    p1s, p2s, plen_s = dtw_backtrace(D, n1, n2)
+    p1d, p2d, plen_d = align_diff_batch(
+        n1, n2, T, T, align_different_words=align_different_words, L=L)
+    same = (y_pair > 0)[:, None]
+    p1 = jnp.where(same, p1s, p1d)
+    p2 = jnp.where(same, p2s, p2d)
+    plen = jnp.where(y_pair > 0, plen_s, plen_d)
+    x1 = gather_aligned(f1, p1)
+    x2 = gather_aligned(f2, p2)
+    w = ((jnp.arange(L)[None, :] < plen[:, None]).astype(jnp.float32)
+         * pair_w[:, None])
+    d = x1.shape[-1]
+    yb = jnp.broadcast_to(y_pair[:, None], (y_pair.shape[0], L))
+    return (x1.reshape(-1, d), x2.reshape(-1, d), yb.reshape(-1),
+            w.reshape(-1))
+
+
+def make_sampled_train_step(network, loss, optimizer, bank, sampler,
+                            mesh: Mesh,
+                            align_different_words: bool = False):
+    """The fully on-device pipeline: one jitted step that SAMPLES a fresh
+    pair batch (DevicePairSampler), gathers tokens from the HBM-resident
+    bank, DTW-aligns, and trains — per step the host sends a PRNG key and
+    receives a scalar loss; nothing else crosses the host-device boundary.
+    """
+    rep = NamedSharding(mesh, P())
+    single_dev = mesh.size == 1
+
+    def step(params, state, opt_state, rng):
+        rng_sample, rng_drop = jax.random.split(rng)
+        ids1, ids2, y_pair = sampler.sample(rng_sample)
+        pair_w = jnp.ones_like(y_pair)
+        x1, x2, y, w = _bank_align(bank, ids1, ids2, y_pair, pair_w,
+                                   align_different_words, single_dev)
+
+        def loss_fn(p):
+            e1, e2, new_state = network.forward(p, state, x1, x2,
+                                                rng=rng_drop, train=True)
+            return loss(e1, e2, y, weights=w), new_state
+
+        (value, new_state), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, new_opt = optimizer.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), new_state, new_opt,
+                value)
+
+    cache = {}
+
+    def compiled(params, state, opt_state, rng):
+        if "jit" not in cache:
+            p_shard = param_shardings(params, mesh)
+            cache["jit"] = jax.jit(
+                step, in_shardings=(p_shard, None, None, rep),
+                out_shardings=(p_shard, None, None, None))
+        return cache["jit"](params, state, opt_state, rng)
+
+    return compiled
+
+
 def make_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
                          align_different_words: bool = False,
                          extra_labels: bool = False):
@@ -171,26 +243,8 @@ def make_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
     L = 2 * T - 1
 
     def align(ids1, ids2, y_pair, pair_w):
-        f1, n1 = bank.take(ids1)
-        f2, n2 = bank.take(ids2)
-        dist = pairwise_angular_distance(f1, f2)
-        from abnet3_tpu.ops.dtw import dtw_costs
-        D = dtw_costs_auto(dist) if single_dev else dtw_costs(dist)
-        p1s, p2s, plen_s = dtw_backtrace(D, n1, n2)
-        p1d, p2d, plen_d = align_diff_batch(
-            n1, n2, T, T, align_different_words=align_different_words, L=L)
-        same = (y_pair > 0)[:, None]
-        p1 = jnp.where(same, p1s, p1d)
-        p2 = jnp.where(same, p2s, p2d)
-        plen = jnp.where(y_pair > 0, plen_s, plen_d)
-        x1 = gather_aligned(f1, p1)
-        x2 = gather_aligned(f2, p2)
-        w = ((jnp.arange(L)[None, :] < plen[:, None]).astype(jnp.float32)
-             * pair_w[:, None])
-        d = x1.shape[-1]
-        yb = jnp.broadcast_to(y_pair[:, None], (y_pair.shape[0], L))
-        return (x1.reshape(-1, d), x2.reshape(-1, d), yb.reshape(-1),
-                w.reshape(-1))
+        return _bank_align(bank, ids1, ids2, y_pair, pair_w,
+                           align_different_words, single_dev)
 
     if extra_labels:
         def step(params, state, opt_state, rng, ids1, ids2, y_pair,

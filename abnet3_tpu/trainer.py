@@ -153,31 +153,89 @@ class TrainerBuilder:
         raise NotImplementedError("Unimplemented optimize_model for class:",
                                   self.__class__.__name__)
 
+    # -- checkpoint / resume ----------------------------------------------
+    # The reference only saves best-network weights (no resume, reference
+    # trainer.py:154-162); here the full training state (params, batch-norm
+    # state, optimizer state, early-stopping counters, loss history)
+    # round-trips through one checkpoint file.
+
+    @property
+    def _ckpt_path(self):
+        return self.network.output_path + ".ckpt"
+
+    def save_checkpoint(self, epoch: int):
+        from abnet3_tpu.serialize import save_pytree
+        tree = {"params": self.network.params,
+                "state": self.network.state or {"__empty__": jnp.zeros(1)},
+                "opt_state": self._opt_state}
+        meta = {"epoch": epoch,
+                "best_dev": self.best_dev,
+                "patience_dev": self.patience_dev,
+                "best_epoch": self.best_epoch,
+                "train_losses": [float(x) for x in self.train_losses],
+                "dev_losses": [float(x) for x in self.dev_losses]}
+        save_pytree(self._ckpt_path, tree, meta)
+
+    def load_checkpoint(self) -> int:
+        """Restore full training state; returns the next epoch index."""
+        from abnet3_tpu.serialize import load_pytree
+        tree, meta = load_pytree(self._ckpt_path)
+        self.network.params = jax.tree_util.tree_map(jnp.asarray,
+                                                     tree["params"])
+        state = tree.get("state", {})
+        if "__empty__" in state:
+            state = {}
+        self.network.state = jax.tree_util.tree_map(jnp.asarray, state)
+        # optimizer state: restore leaves into a freshly-built structure
+        template = self.optimizer.init(self.network.params)
+        saved_leaves = jax.tree_util.tree_leaves(tree["opt_state"])
+        t_leaves, treedef = jax.tree_util.tree_flatten(template)
+        assert len(saved_leaves) == len(t_leaves), \
+            "checkpoint optimizer state does not match the optimizer"
+        self._opt_state = jax.tree_util.tree_unflatten(
+            treedef, [jnp.asarray(s) for s in saved_leaves])
+        self.best_dev = meta["best_dev"]
+        self.patience_dev = meta["patience_dev"]
+        self.best_epoch = meta["best_epoch"]
+        self.train_losses = list(meta["train_losses"])
+        self.dev_losses = list(meta["dev_losses"])
+        return int(meta["epoch"]) + 1
+
     # -- training loop ------------------------------------------------------
 
-    def train(self):
-        """Early-stopping epoch loop (reference trainer.py:117-173)."""
+    def train(self, resume=False):
+        """Early-stopping epoch loop (reference trainer.py:117-173).
+
+        resume=True restores the latest checkpoint (if present) and
+        continues from the next epoch."""
         self.patience_dev = 0
         self.best_dev = None
         self.train_losses = []
         self.dev_losses = []
+        start_epoch = 0
 
         self.network.ensure_init(self.seed)
-        self.network.save_network()
 
         train_writer = MetricsWriter(str(self.log_dir / "train_loss"))
         dev_writer = MetricsWriter(str(self.log_dir / "dev_loss"))
 
-        _ = self.optimize_model(do_training=False)
-        train_writer.add_scalar("loss", self.train_losses[-1], 0)
-        dev_writer.add_scalar("loss", self.dev_losses[-1], 0)
-        if self.checkpoints:
-            self.network.save_network(epoch=0)
+        if resume and os.path.exists(self._ckpt_path):
+            start_epoch = self.load_checkpoint()
+            print(f"Resumed from checkpoint at epoch {start_epoch}")
+        else:
+            self.network.save_network()
+            _ = self.optimize_model(do_training=False)
+            train_writer.add_scalar("loss", self.train_losses[-1], 0)
+            dev_writer.add_scalar("loss", self.dev_losses[-1], 0)
+            if self.checkpoints:
+                self.network.save_network(epoch=0)
         for key in self.statistics_training:
             self.statistics_training[key] = 0
 
-        for epoch in range(self.num_epochs):
-            dev_loss = self.optimize_model(do_training=True)
+        from abnet3_tpu.profiling import stage_trace
+        for epoch in range(start_epoch, self.num_epochs):
+            with stage_trace(f"train-epoch-{epoch}"):
+                dev_loss = self.optimize_model(do_training=True)
             train_writer.add_scalar("loss", self.train_losses[-1],
                                     epoch + 1)
             dev_writer.add_scalar("loss", self.dev_losses[-1], epoch + 1)
@@ -200,6 +258,7 @@ class TrainerBuilder:
                           "stopping now".format(self.patience))
                     print("Finished Training")
                     break
+            self.save_checkpoint(epoch)
         print("Saving best checkpoint network")
         train_writer.close()
         dev_writer.close()

@@ -1,0 +1,93 @@
+"""On-device pair sampler + fully fused sampled train step."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from abnet3_tpu.loss import coscos2
+from abnet3_tpu.models import SiameseNetwork
+from abnet3_tpu.ops.bank import TokenBank
+from abnet3_tpu.ops.sampling import DevicePairSampler
+from abnet3_tpu.parallel import make_mesh, make_sampled_train_step
+from abnet3_tpu.sampler import SamplerClusterSiamese
+
+from test_sampler import CLASSES, SPKID  # noqa: F401
+
+
+@pytest.fixture
+def setup(tmp_path):
+    p = tmp_path / "test.classes"
+    p.write_text(CLASSES)
+    sampler = SamplerClusterSiamese()
+    clusters = sampler.parse_input_file(str(p))
+    descr = sampler.analyze_clusters(clusters, SPKID)
+    proba = sampler.type_speaker_sampling_p(descr, "log", "log")
+    # one bank token per descr token, in descr order
+    rng = np.random.RandomState(0)
+    token_feats = {i: rng.randn(rng.randint(5, 20), 6).astype(np.float32)
+                   for i in range(len(descr["tokens"]))}
+    bank = TokenBank(token_feats)
+    return descr, proba, bank
+
+
+def test_device_sampler_labels_and_groups(setup):
+    descr, proba, bank = setup
+    sampler = DevicePairSampler(descr, proba, batch_size=256,
+                                ratio_same_diff_spk=0.5,
+                                ratio_same_diff_type=0.5)
+    ids1, ids2, y = sampler.sample(jax.random.PRNGKey(0))
+    ids1, ids2, y = map(np.asarray, (ids1, ids2, y))
+    assert ids1.shape == (256,)
+    types = np.asarray(descr["tokens_type"])
+    spks = np.asarray(descr["tokens_speaker"])
+    # same-type labels really pair same-type tokens, and vice versa
+    same = y > 0
+    np.testing.assert_array_equal(types[ids1[same]], types[ids2[same]])
+    assert np.all(types[ids1[~same]] != types[ids2[~same]])
+    # same-type same-speaker pairs never reuse one token twice
+    ss = same & (spks[ids1] == spks[ids2])
+    assert np.all(ids1[ss] != ids2[ss])
+    # roughly half same / half diff type with 0.5 ratios
+    assert 0.3 < same.mean() < 0.7
+
+
+def test_device_sampler_distribution(setup):
+    """Sampled pair keys follow the compiled distributions: tokens from
+    bigger clusters appear more often under 'f2' weighting."""
+    descr, proba, bank = setup
+    sampler = DevicePairSampler(descr, proba, batch_size=512)
+    counts = np.zeros(len(descr["tokens"]))
+    for s in range(20):
+        ids1, ids2, _ = sampler.sample(jax.random.PRNGKey(s))
+        for i in np.asarray(ids1):
+            counts[i] += 1
+        for i in np.asarray(ids2):
+            counts[i] += 1
+    assert np.all(counts[np.asarray(descr["tokens_type"]) > 0] > 0)
+
+
+def test_sampled_train_step_end_to_end(setup):
+    """params, rng in -> loss out; nothing else crosses the boundary."""
+    descr, proba, bank = setup
+    sampler = DevicePairSampler(descr, proba, batch_size=32)
+    mesh = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+    net = SiameseNetwork(input_dim=6, num_hidden_layers=1, hidden_dim=16,
+                         output_dim=8, p_dropout=0.0,
+                         activation_layer="sigmoid")
+    params, state = net.init_params(jax.random.PRNGKey(0))
+    loss = coscos2()
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+    step = make_sampled_train_step(net, loss, opt, bank, sampler, mesh)
+    losses = []
+    for i in range(30):
+        params, state, opt_state, value = step(
+            params, state, opt_state, jax.random.PRNGKey(i))
+        losses.append(float(value))
+    assert all(np.isfinite(losses))
+    # optimizes: average loss over the last 10 sampled batches is below
+    # the first 10
+    assert np.mean(losses[-10:]) < np.mean(losses[:10])

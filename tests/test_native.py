@@ -82,17 +82,26 @@ def test_parse_pairs_malformed(tmp_path):
 
 
 def test_native_faster_than_python_dtw():
+    """Best-of-3 timing (tolerant to background load on shared CI)."""
     rng = np.random.RandomState(4)
     import time
     f1 = rng.randn(100, 40).astype(np.float32)
     f2 = rng.randn(100, 40).astype(np.float32)
     native.dtw_align(f1, f2)  # warm
-    t0 = time.perf_counter()
-    for _ in range(20):
-        native.dtw_align(f1, f2)
-    t_native = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for _ in range(20):
-        utils.get_dtw_alignment(f1, f2)
-    t_py = time.perf_counter() - t0
+
+    def best(fn, repeats=3, iters=10):
+        times = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                fn()
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    def py_path():
+        dist = utils.cosine_distance(f1, f2)
+        utils.dtw_numpy_fast(dist)
+
+    t_native = best(lambda: native.dtw_align(f1, f2))
+    t_py = best(py_path)
     assert t_native < t_py

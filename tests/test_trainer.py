@@ -173,6 +173,43 @@ def test_bank_backend_multitask(corpus, tmp_path):  # noqa: F811
     assert all(np.isfinite(trainer.train_losses))
 
 
+def test_checkpoint_resume(corpus, tmp_path):  # noqa: F811
+    """Training must resume from a checkpoint with full state (params,
+    optimizer, early-stopping counters, loss history)."""
+    feats_path, pairs_path, _ = corpus
+
+    def make(num_epochs, outdir):
+        net = _network(outdir)
+        dl = OriginalDataLoader(pairs_path, feats_path, batch_size=6,
+                                num_max_minibatches=1, seed=0)
+        return TrainerSiamese(network=net, loss=coscos2(), dataloader=dl,
+                              optimizer_type="adam", lr=0.01,
+                              num_epochs=num_epochs, patience=50,
+                              log_dir=str(outdir / "logs"), seed=0)
+
+    # uninterrupted 6-epoch run
+    full_dir = tmp_path / "full"
+    full_dir.mkdir()
+    t_full = make(6, full_dir)
+    t_full.train()
+
+    # 3 epochs, then resume for 6 total
+    part_dir = tmp_path / "part"
+    part_dir.mkdir()
+    t_a = make(3, part_dir)
+    t_a.train()
+    assert os.path.exists(str(part_dir / "network.ckpt"))
+    t_b = make(6, part_dir)
+    t_b.train(resume=True)
+
+    assert len(t_b.train_losses) == len(t_full.train_losses)
+    # the resumed run continues the same trajectory
+    assert t_b.train_losses[-1] == pytest.approx(t_full.train_losses[-1],
+                                                 rel=1e-4)
+    assert t_b.dev_losses[-1] == pytest.approx(t_full.dev_losses[-1],
+                                               rel=1e-4)
+
+
 def test_early_stopping(corpus, tmp_path):  # noqa: F811
     """With patience 0 and lr 0 (no improvement possible), training must
     stop after the second epoch."""
