@@ -35,6 +35,7 @@ once per bucket.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -118,22 +119,34 @@ def dtw_backtrace(D: jnp.ndarray, n1: jnp.ndarray, n2: jnp.ndarray
     B, T1, T2 = D.shape
     L = T1 + T2 - 1
 
-    def one(Db, i0, j0):
+    # precompute the move matrix in one vectorized pass (boundary cells
+    # compare against BIG); each backtrace step is then a single gather
+    pad_col = jnp.full((B, T1, 1), _BIG)
+    pad_row = jnp.full((B, 1, T2), _BIG)
+    diag = jnp.concatenate(
+        [pad_row,
+         jnp.concatenate([pad_col[:, :-1], D[:, :-1, :-1]], axis=2)],
+        axis=1)
+    up = jnp.concatenate([pad_row, D[:, :-1, :]], axis=1)
+    left = jnp.concatenate([pad_col, D[:, :, :-1]], axis=2)
+    take_diag = (diag <= up) & (diag <= left)
+    take_up = (~take_diag) & (up <= left)
+    di = jnp.where(take_diag | take_up, 1, 0).astype(jnp.int32)
+    dj = jnp.where(take_diag | (~take_diag & ~take_up), 1, 0).astype(
+        jnp.int32)
+    move = (di * 2 + dj).astype(jnp.int8)  # 3=diag, 2=up, 1=left
+
+    def one(mv, i0, j0):
         def step(carry, _):
             i, j = carry
-            diag = jnp.where((i > 0) & (j > 0), Db[i - 1, j - 1], _BIG)
-            up = jnp.where(i > 0, Db[i - 1, j], _BIG)
-            left = jnp.where(j > 0, Db[i, j - 1], _BIG)
-            take_diag = (diag <= up) & (diag <= left)
-            take_up = jnp.logical_not(take_diag) & (up <= left)
-            ni = jnp.where(take_diag | take_up, i - 1, i)
-            nj = jnp.where(take_diag | (~take_diag & ~take_up), j - 1, j)
+            m = mv[i, j]
             done = (i == 0) & (j == 0)
-            ni = jnp.where(done, 0, jnp.maximum(ni, 0))
-            nj = jnp.where(done, 0, jnp.maximum(nj, 0))
-            return (ni, nj), (i, j)
+            ni = jnp.where(done, 0, i - (m >= 2))
+            nj = jnp.where(done, 0, j - (m & 1))
+            return (jnp.maximum(ni, 0), jnp.maximum(nj, 0)), (i, j)
 
-        (_, _), (ris, rjs) = jax.lax.scan(step, (i0, j0), None, length=L)
+        (_, _), (ris, rjs) = jax.lax.scan(step, (i0, j0), None, length=L,
+                                          unroll=4)
         # ris/rjs go from the endpoint back to (0,0) then repeat (0,0);
         # path length = number of steps until (0,0) inclusive
         at_origin = (ris == 0) & (rjs == 0)
@@ -143,7 +156,7 @@ def dtw_backtrace(D: jnp.ndarray, n1: jnp.ndarray, n2: jnp.ndarray
         idx = jnp.clip(plen - 1 - s, 0, L - 1)
         return ris[idx], rjs[idx], plen
 
-    return jax.vmap(one)(D, n1 - 1, n2 - 1)
+    return jax.vmap(one)(move, n1 - 1, n2 - 1)
 
 
 _PALLAS_OK = None
@@ -167,8 +180,16 @@ def _pallas_available() -> bool:
 
 
 def dtw_costs_auto(dist: jnp.ndarray) -> jnp.ndarray:
-    """DTW DP via the Pallas kernel on TPU, XLA row scan elsewhere."""
-    if _pallas_available():
+    """DTW DP dispatch.
+
+    Default is the XLA row scan: honest same-process measurements (chained
+    inputs, so the tunnel's replay cache can't short-circuit) show it
+    beating the current Pallas kernel at production shapes (B=64, T=128:
+    ~4ms vs ~12ms — the kernel's in-loop log-doubling shifts don't fuse as
+    well as XLA's cumsum). The Pallas kernel stays available behind
+    ABNET3_PALLAS_DTW=1 for future kernel work.
+    """
+    if os.environ.get("ABNET3_PALLAS_DTW") and _pallas_available():
         from abnet3_tpu.ops.pallas_dtw import dtw_costs_pallas
         return dtw_costs_pallas(dist)
     return dtw_costs(dist)

@@ -35,7 +35,19 @@ except Exception:  # pragma: no cover
 __all__ = ["dtw_costs_pallas"]
 
 _BIG = 1e30  # plain float: jnp constants cannot be captured by a kernel
-BLOCK_B = 8
+BLOCK_B = 8  # minimum block; the call picks the largest VMEM-fitting block
+
+
+def _pick_block(B: int, T1: int, T2: int,
+                vmem_budget: int = 8 * 1024 * 1024) -> int:
+    """TPU grid iterations run sequentially, so bigger batch blocks mean
+    fewer sequential kernel bodies; cap by VMEM (in + out block)."""
+    per_pair = T1 * T2 * 4 * 2
+    block = BLOCK_B
+    while block * 2 <= max(B, BLOCK_B) and (block * 2) * per_pair \
+            <= vmem_budget:
+        block *= 2
+    return block
 
 
 def _shift_right(x, k, fill):
@@ -96,17 +108,18 @@ def dtw_costs_pallas(dist: jnp.ndarray, interpret: bool = False
     caller or internally here.
     """
     B, T1, T2 = dist.shape
-    pad = (-B) % BLOCK_B
+    block = _pick_block(B, T1, T2)
+    pad = (-B) % block
     if pad:
         dist = jnp.concatenate(
             [dist, jnp.zeros((pad, T1, T2), dist.dtype)], axis=0)
     Bp = B + pad
     out = pl.pallas_call(
         _dtw_kernel,
-        grid=(Bp // BLOCK_B,),
-        in_specs=[pl.BlockSpec((BLOCK_B, T1, T2), lambda i: (i, 0, 0),
+        grid=(Bp // block,),
+        in_specs=[pl.BlockSpec((block, T1, T2), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((BLOCK_B, T1, T2), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((block, T1, T2), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Bp, T1, T2), jnp.float32),
         interpret=interpret,
