@@ -236,6 +236,10 @@ class OriginalDataLoader(DataLoader):
         self.load_data()
         mode = "train" if train_mode else "dev"
         ids1, ids2, ys, yspk = self._bank_pairs[mode]
+        if self.shuffle_between_epochs and train_mode:
+            perm = self._rng.permutation(len(ids1))
+            ids1, ids2, ys = ids1[perm], ids2[perm], ys[perm]
+            yspk = yspk[perm] if yspk is not None else None
         num_pairs = len(ids1)
         bs = self.batch_size
         num_batches = max((num_pairs + bs - 1) // bs, 1)

@@ -30,7 +30,7 @@ class EmbedderBuilder:
     """Generic embedder (reference embedder.py:19-50)."""
 
     def __init__(self, network=None, network_path=None, feature_path=None,
-                 output_path=None, cuda=True, batch_size=5000):
+                 output_path=None, cuda=True, batch_size=5000, mesh=None):
         if network is None:
             raise ValueError("network is None.")
         self.network = network
@@ -38,6 +38,11 @@ class EmbedderBuilder:
         self.feature_path = feature_path
         self.output_path = output_path
         self.cuda = cuda  # kept for YAML compat
+        self.mesh = mesh  # jax.sharding.Mesh: shard chunks over 'data'
+        if mesh is not None:
+            # chunk rows must divide evenly over the data axis
+            n_data = mesh.shape["data"]
+            batch_size = ((batch_size + n_data - 1) // n_data) * n_data
         self.batch_size = batch_size
 
     def _load(self):
@@ -50,11 +55,19 @@ class EmbedderBuilder:
     def _forward_fn(self):
         network = self.network
 
-        @jax.jit
-        def forward(params, state, x):
+        def forward_impl(params, state, x):
             out, _ = network.forward_once(params, state, x, train=False)
             return out
-        return forward
+
+        if self.mesh is not None:
+            # data-parallel inference: frames sharded over the mesh's
+            # 'data' axis, params replicated; GSPMD handles the rest
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            dp = NamedSharding(self.mesh, P("data"))
+            return jax.jit(forward_impl,
+                           in_shardings=(None, None, dp),
+                           out_shardings=dp)
+        return jax.jit(forward_impl)
 
     def _embed_corpus(self, forward, feats_list) -> list:
         """Embed every file's frames through fixed-size padded chunks.

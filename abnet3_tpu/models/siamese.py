@@ -95,7 +95,8 @@ class SiameseNetwork(NetworkBuilder):
     def __init__(self, input_dim=None, num_hidden_layers=None, hidden_dim=None,
                  output_dim=None, p_dropout=0.1, batch_norm=False,
                  type_init="xavier_uni", activation_layer=None,
-                 output_path=None, last_non_linearity="default"):
+                 output_path=None, last_non_linearity="default",
+                 compute_dtype="float32"):
         assert activation_layer in ("relu", "sigmoid", "tanh")
         assert type_init in ("xavier_uni", "xavier_normal", "orthogonal")
         assert isinstance(input_dim, int), "input dim should be int"
@@ -113,6 +114,7 @@ class SiameseNetwork(NetworkBuilder):
         self.type_init = type_init
         self.last_non_linearity = last_non_linearity
         self.output_path = output_path
+        self.compute_dtype = compute_dtype
 
         if last_non_linearity == "default":
             last_act: Optional[str] = activation_layer
@@ -125,7 +127,8 @@ class SiameseNetwork(NetworkBuilder):
         acts = [activation_layer] * (1 + num_hidden_layers) + [last_act]
         self._tower = Tower(TowerSpec(
             dims, acts, p_dropout=p_dropout, batch_norm=batch_norm,
-            type_init=type_init, gain_activation=activation_layer))
+            type_init=type_init, gain_activation=activation_layer,
+            compute_dtype=compute_dtype))
         self._params = None
         self._state = {}
 

@@ -101,8 +101,10 @@ class TowerSpec:
     def __init__(self, dims: Sequence[int], activations: Sequence[Optional[str]],
                  p_dropout: float = 0.0, batch_norm: bool = False,
                  type_init: str = "xavier_uni",
-                 gain_activation: Optional[str] = None):
+                 gain_activation: Optional[str] = None,
+                 compute_dtype: str = "float32"):
         assert len(activations) == len(dims) - 1
+        assert compute_dtype in ("float32", "bfloat16")
         self.dims = list(dims)
         self.activations = list(activations)
         self.p_dropout = float(p_dropout)
@@ -111,6 +113,9 @@ class TowerSpec:
         # torch applies one gain (from the main activation) to every layer
         # (reference model.py:172-177)
         self.gain_activation = gain_activation
+        # mixed precision: matmuls run in bf16 on the MXU with f32
+        # accumulation; params, bias adds, BN and activations stay f32
+        self.compute_dtype = compute_dtype
 
     @property
     def num_layers(self) -> int:
@@ -164,7 +169,12 @@ class Tower:
             p = params[f"layer_{i}"]
             if save_partials:
                 partials.append(x)
-            x = jnp.dot(x, p["w"], preferred_element_type=jnp.float32)
+            if spec.compute_dtype == "bfloat16":
+                x = jnp.dot(x.astype(jnp.bfloat16),
+                            p["w"].astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+            else:
+                x = jnp.dot(x, p["w"], preferred_element_type=jnp.float32)
             x = x + p["b"]
             if train and spec.p_dropout > 0.0:
                 keep = 1.0 - spec.p_dropout

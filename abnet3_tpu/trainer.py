@@ -111,7 +111,13 @@ class TrainerBuilder:
         self.checkpoints = checkpoints
         self.prefetch = prefetch
         self.optimizer_type = optimizer_type
-        self.mesh = mesh  # jax.sharding.Mesh for multi-chip training
+        # mesh: a jax.sharding.Mesh, or a YAML-friendly dict
+        # {"data": N, "model": M} built over the available devices
+        if isinstance(mesh, dict):
+            from abnet3_tpu.parallel import make_mesh
+            mesh = make_mesh(n_data=mesh.get("data"),
+                             n_model=mesh.get("model", 1))
+        self.mesh = mesh
 
         if log_dir is None:
             self.log_dir = Path("./runs/%s"
@@ -127,9 +133,12 @@ class TrainerBuilder:
 
     def params(self):
         skip = {"dataloader", "feature_generator", "network", "loss",
-                "optimizer", "statistics_training"}
-        return {k: v for k, v in self.__dict__.items()
-                if not k.startswith("_") and k not in skip}
+                "optimizer", "statistics_training", "mesh"}
+        out = {k: v for k, v in self.__dict__.items()
+               if not k.startswith("_") and k not in skip}
+        if self.mesh is not None:
+            out["mesh"] = str(dict(self.mesh.shape))
+        return out
 
     def whoami(self):
         whoami = {

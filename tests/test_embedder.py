@@ -81,6 +81,30 @@ def test_embedder_multitask(feature_file, tmp_path):
     assert not np.allclose(spk.features()[0], phn.features()[0])
 
 
+def test_embedder_sharded_mesh(feature_file, tmp_path):
+    """Data-parallel embedding over the 8-device virtual mesh matches the
+    single-device output."""
+    from abnet3_tpu.parallel import make_mesh
+    path, items, feats, _ = feature_file
+    net = SiameseNetwork(input_dim=6, num_hidden_layers=1, hidden_dim=16,
+                         output_dim=7, p_dropout=0.0,
+                         activation_layer="sigmoid")
+    net.ensure_init(0)
+    out1 = str(tmp_path / "emb1.h5f")
+    EmbedderSiamese(network=net, feature_path=path, output_path=out1,
+                    batch_size=64).embed()
+    out2 = str(tmp_path / "emb2.h5f")
+    mesh = make_mesh(n_data=8, n_model=1)
+    emb = EmbedderSiamese(network=net, feature_path=path, output_path=out2,
+                          batch_size=50, mesh=mesh)
+    assert emb.batch_size % 8 == 0  # rounded up to the data axis
+    emb.embed()
+    a = read_h5features(out1)
+    b = read_h5features(out2)
+    for fa, fb in zip(a.features(), b.features()):
+        np.testing.assert_allclose(fa, fb, rtol=1e-5, atol=1e-6)
+
+
 def test_embedder_requires_network():
     with pytest.raises(ValueError):
         EmbedderSiamese(network=None, feature_path="x", output_path="y")

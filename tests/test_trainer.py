@@ -173,6 +173,26 @@ def test_bank_backend_multitask(corpus, tmp_path):  # noqa: F811
     assert all(np.isfinite(trainer.train_losses))
 
 
+def test_bank_training_on_mesh(corpus, tmp_path):  # noqa: F811
+    """Bank training sharded over the 8-device virtual mesh via the
+    YAML-friendly mesh dict."""
+    feats_path, pairs_path, _ = corpus
+    net = _network(tmp_path)
+    dl = OriginalDataLoader(pairs_path, feats_path, batch_size=8,
+                            num_max_minibatches=1, seed=0,
+                            align_backend="bank")
+    trainer = TrainerSiamese(network=net, loss=coscos2(), dataloader=dl,
+                             optimizer_type="adam", lr=0.01, num_epochs=2,
+                             patience=5, log_dir=str(tmp_path / "logs"),
+                             seed=0, mesh={"data": 8, "model": 1})
+    trainer.train()
+    assert trainer.mesh.shape == {"data": 8, "model": 1}
+    assert all(np.isfinite(trainer.train_losses))
+    # whoami stays picklable with a mesh attached
+    import pickle
+    pickle.dumps({k: str(v) for k, v in trainer.whoami().items()})
+
+
 def test_checkpoint_resume(corpus, tmp_path):  # noqa: F811
     """Training must resume from a checkpoint with full state (params,
     optimizer, early-stopping counters, loss history)."""
