@@ -29,7 +29,7 @@ import queue as queue_mod
 import random
 import threading
 from collections import defaultdict
-from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
+from typing import List, NamedTuple, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -173,6 +173,23 @@ class OriginalDataLoader(DataLoader):
             "align_backend": self.align_backend,
             "tcl": self.tcl,
         }, "class_name": self.__class__.__name__}
+
+    # pickle support: drop the multi-GB features / device bank from the
+    # state and reload them on restore (reference dataloader.py:86-117)
+    def __getstate__(self):
+        return (self.pairs_path, self.features_path,
+                dict(self.statistics_training), self.seed,
+                self.num_max_minibatches, self.batch_size,
+                self.align_backend)
+
+    def __setstate__(self, state):
+        (pairs_path, features_path, stats, seed, num_max_minibatches,
+         batch_size, align_backend) = state
+        self.__init__(pairs_path, features_path,
+                      num_max_minibatches=num_max_minibatches, seed=seed,
+                      batch_size=batch_size, align_backend=align_backend)
+        self.statistics_training = defaultdict(int, stats)
+        self.load_data()
 
     # -- data ------------------------------------------------------------
 

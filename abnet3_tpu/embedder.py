@@ -12,8 +12,7 @@ throws one away, reference embedder.py:92).
 
 from __future__ import annotations
 
-import functools
-from typing import List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp

@@ -15,14 +15,12 @@ from __future__ import annotations
 import argparse
 import os
 import shutil
-from typing import Dict, List, Optional
-
 import numpy as np
 
 from abnet3_tpu.io.h5f import (read_h5features, read_h5features_index,
                                read_h5features_item, write_h5features)
 from abnet3_tpu.ops import dsp
-from abnet3_tpu.utils import Features_Accessor, read_feats, read_vad_file
+from abnet3_tpu.utils import Features_Accessor, read_vad_file
 
 __all__ = ["FeaturesGenerator", "main"]
 

@@ -23,7 +23,7 @@ import datetime
 import faulthandler
 import os
 import time
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import yaml
 
@@ -54,6 +54,10 @@ class GridSearch:
         self.embed_only = embed_only
         self.test_files = test_files
         self.test_only = test_only
+
+    def whoami(self):
+        raise NotImplementedError("Unimplemented whoami for class:",
+                                  self.__class__.__name__)
 
     def parse_yaml_input_file(self):
         with open(self.input_file, "r") as stream:

@@ -11,14 +11,11 @@ protocol (reference integration.py:322-329,415-430) is expressed with
 
 from __future__ import annotations
 
-from typing import List, Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from abnet3_tpu.nn import ACTIVATIONS, Tower, TowerSpec, calculate_gain, \
-    init_dense
+from abnet3_tpu.nn import ACTIVATIONS, Tower, TowerSpec
 from abnet3_tpu.serialize import load_pytree, save_pytree
 from abnet3_tpu.utils import expand_dimension_list
 

@@ -15,7 +15,7 @@ keep the reference's ``<output_path><epoch>.pth`` naming contract
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +45,13 @@ class NetworkBuilder:
         return {"params": {k: v for k, v in self.__dict__.items()
                            if not k.startswith("_")},
                 "class_name": self.__class__.__name__}
+
+    def plot_network(self, *args, **kwargs):
+        """Graphviz visualization (unimplemented in the reference too,
+        reference model.py:74-79)."""
+        raise NotImplementedError(
+            "Unimplemented plot_network for class:",
+            self.__class__.__name__)
 
     # -- parameter persistence ------------------------------------------
     def save_network(self, epoch=""):

@@ -12,20 +12,20 @@ from the host at all.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["TokenBank"]
 
 
-def _bucket(n: int, minimum: int = 8) -> int:
-    b = minimum
-    while b < n:
-        b *= 2
-    return b
+def _bucket(n: int, minimum: int = 16) -> int:
+    """Round up to a multiple of 16 (sublane-aligned). A bank is built
+    once per run, so unlike per-batch padding there is no recompile
+    pressure pushing towards power-of-two buckets — and the DTW DP cost
+    is quadratic in the padded length."""
+    return max(minimum, ((n + 15) // 16) * 16)
 
 
 class TokenBank:

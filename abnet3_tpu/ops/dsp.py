@@ -20,7 +20,6 @@ suite asserts only CMVN exactness and stacking shapes
 from __future__ import annotations
 
 import functools
-import math
 from typing import Optional
 
 import jax

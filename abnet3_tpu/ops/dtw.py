@@ -34,7 +34,6 @@ once per bucket.
 
 from __future__ import annotations
 
-import functools
 import os
 from typing import Optional, Tuple
 

@@ -15,7 +15,7 @@ with **no per-step host involvement at all**.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

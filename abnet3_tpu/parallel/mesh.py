@@ -23,8 +23,7 @@ sequence-length-scaling analogue here is the batched wavefront DTW itself
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -17,13 +17,10 @@ trainer.py:211-242).
 
 from __future__ import annotations
 
-import functools
 import os
 import pickle
 import time
 from pathlib import Path
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
