@@ -69,6 +69,7 @@ class BankBatch(NamedTuple):
     y: object
     pair_w: object
     y_spk: object = None
+    bucket: object = None  # static length bucket (max token frames)
 
 
 def prefetch_iterator(iterator, size: int = 2):
@@ -241,11 +242,19 @@ class OriginalDataLoader(DataLoader):
                 if fid2spk is not None:
                     yspk.append(1.0 if fid2spk[f1] == fid2spk[f2]
                                 else -1.0)
+            ids1 = np.asarray(ids1, np.int32)
+            ids2 = np.asarray(ids2, np.int32)
+            ys = np.asarray(ys, np.float32)
+            yspk = (np.asarray(yspk, np.float32) if fid2spk is not None
+                    else None)
+            # length-sorted order: batches of similar-length pairs run
+            # small static DTW shapes (quadratic savings)
+            lens = np.asarray(self.token_bank.lengths)
+            pair_len = np.maximum(lens[ids1], lens[ids2])
+            order = np.argsort(pair_len, kind="stable")
             self._bank_pairs[m] = (
-                np.asarray(ids1, np.int32), np.asarray(ids2, np.int32),
-                np.asarray(ys, np.float32),
-                np.asarray(yspk, np.float32) if fid2spk is not None
-                else None)
+                ids1[order], ids2[order], ys[order],
+                yspk[order] if yspk is not None else None)
 
     def bank_batch_iterator(self, train_mode=True):
         """Yield fixed-size BankBatch index batches (an 'epoch' samples
@@ -253,10 +262,6 @@ class OriginalDataLoader(DataLoader):
         self.load_data()
         mode = "train" if train_mode else "dev"
         ids1, ids2, ys, yspk = self._bank_pairs[mode]
-        if self.shuffle_between_epochs and train_mode:
-            perm = self._rng.permutation(len(ids1))
-            ids1, ids2, ys = ids1[perm], ids2[perm], ys[perm]
-            yspk = yspk[perm] if yspk is not None else None
         num_pairs = len(ids1)
         bs = self.batch_size
         num_batches = max((num_pairs + bs - 1) // bs, 1)
@@ -266,11 +271,14 @@ class OriginalDataLoader(DataLoader):
                                         replace=False)
         else:
             selected = self._rng.permutation(num_batches)
+        lens = np.asarray(self.token_bank.lengths)
         for b in selected:
             sl = slice(b * bs, (b + 1) * bs)
             bi1, bi2, by = ids1[sl], ids2[sl], ys[sl]
             bspk = yspk[sl] if yspk is not None else None
             n = len(bi1)
+            bucket = self.token_bank.bucket_for(
+                int(np.maximum(lens[bi1], lens[bi2]).max()))
             w = np.ones(bs, np.float32)
             if n < bs:  # pad the ragged tail; padded pairs weigh 0
                 pad = bs - n
@@ -285,7 +293,8 @@ class OriginalDataLoader(DataLoader):
             # overlap with the previous step's compute
             yield BankBatch(jnp.asarray(bi1), jnp.asarray(bi2),
                             jnp.asarray(by), jnp.asarray(w),
-                            None if bspk is None else jnp.asarray(bspk))
+                            None if bspk is None else jnp.asarray(bspk),
+                            bucket=bucket)
 
     def get_token_feats(self, pairs, frames=False):
         """Slice unique token features (reference dataloader.py:147-164)."""

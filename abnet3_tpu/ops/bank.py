@@ -61,7 +61,21 @@ class TokenBank:
     def ids(self, keys: Sequence) -> np.ndarray:
         return np.asarray([self.key_to_id[k] for k in keys], np.int32)
 
-    def take(self, idx: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def take(self, idx: jnp.ndarray, max_frames: int = None
+             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """On-device gather: (B,) token ids -> ((B, T, d) frames, (B,)
-        lengths)."""
-        return self.bank[idx], self.lengths[idx]
+        lengths). ``max_frames`` statically slices the time axis (length
+        bucketing: short pairs run small DTW shapes)."""
+        if max_frames is None or max_frames >= self.max_len:
+            return self.bank[idx], self.lengths[idx]
+        return (self.bank[:, :max_frames][idx],
+                jnp.minimum(self.lengths[idx], max_frames))
+
+    def bucket_for(self, n: int) -> int:
+        """Smallest value of the coarse ladder {16, 32, 64, ...,
+        max_len} that covers n: few compile variants, quadratic DP
+        savings for short pairs."""
+        b = 16
+        while b < n and b < self.max_len:
+            b *= 2
+        return min(b, self.max_len)

@@ -152,15 +152,17 @@ def make_indexed_train_step(network, loss, optimizer, bank, mesh: Mesh):
 
 
 def _bank_align(bank, ids1, ids2, y_pair, pair_w,
-                align_different_words: bool, use_pallas: bool):
+                align_different_words: bool, use_pallas: bool,
+                max_frames: int = None):
     """Gather pairs from the bank + per-pair alignment selected by label.
 
     Returns flattened (x1, x2, y, w) frame arrays with static shape
-    (B * (2*T-1), ...)."""
-    T = bank.max_len
+    (B * (2*T-1), ...). ``max_frames`` selects a length bucket (static
+    time slice of the bank) so short pairs run small DTW shapes."""
+    T = max_frames if max_frames is not None else bank.max_len
     L = 2 * T - 1
-    f1, n1 = bank.take(ids1)
-    f2, n2 = bank.take(ids2)
+    f1, n1 = bank.take(ids1, T)
+    f2, n2 = bank.take(ids2, T)
     dist = pairwise_angular_distance(f1, f2)
     from abnet3_tpu.ops.dtw import dtw_costs
     D = dtw_costs_auto(dist) if use_pallas else dtw_costs(dist)
@@ -225,7 +227,8 @@ def make_sampled_train_step(network, loss, optimizer, bank, sampler,
 
 def make_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
                          align_different_words: bool = False,
-                         extra_labels: bool = False):
+                         extra_labels: bool = False,
+                         max_frames: int = None):
     """Uniform fused train step over a TokenBank: every pair is (id1, id2,
     y, pair_weight) — same-word pairs (y=+1) are DTW-aligned, diff-word
     pairs (y=-1) truncate/diagonal-aligned, selected per pair with a
@@ -238,12 +241,13 @@ def make_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
     dp = NamedSharding(mesh, P("data"))
     rep = NamedSharding(mesh, P())
     single_dev = mesh.size == 1
-    T = bank.max_len
+    T = max_frames if max_frames is not None else bank.max_len
     L = 2 * T - 1
 
     def align(ids1, ids2, y_pair, pair_w):
         return _bank_align(bank, ids1, ids2, y_pair, pair_w,
-                           align_different_words, single_dev)
+                           align_different_words, single_dev,
+                           max_frames=max_frames)
 
     if extra_labels:
         def step(params, state, opt_state, rng, ids1, ids2, y_pair,

@@ -352,8 +352,11 @@ class TrainerSiamese(TrainerBuilder):
 
     _BANK_EXTRA_LABELS = False
 
-    def _ensure_bank_steps(self):
-        if "bank_train" not in self._step_fns:
+    def _ensure_bank_steps(self, bucket=None):
+        """Step functions per length bucket (one compile per bucket of the
+        coarse ladder; short pair batches run small DTW shapes)."""
+        key = ("bank", bucket)
+        if key not in self._step_fns:
             from abnet3_tpu.parallel import make_mesh, make_pair_train_step
             mesh = self.mesh
             if mesh is None:
@@ -364,9 +367,10 @@ class TrainerSiamese(TrainerBuilder):
                 self.dataloader.token_bank, mesh,
                 align_different_words=getattr(
                     self.dataloader, "align_different_words", False),
-                extra_labels=self._BANK_EXTRA_LABELS)
-            self._step_fns["bank_train"] = train
-            self._step_fns["bank_eval"] = evalf
+                extra_labels=self._BANK_EXTRA_LABELS,
+                max_frames=bucket)
+            self._step_fns[key] = (train, evalf)
+        return self._step_fns[key]
 
     def _bank_args(self, b):
         if self._BANK_EXTRA_LABELS:
@@ -376,16 +380,16 @@ class TrainerSiamese(TrainerBuilder):
         return (b.ids1, b.ids2, b.y, b.pair_w)
 
     def _give_bank_batch(self, b, do_training, rng):
-        self._ensure_bank_steps()
+        train_step, eval_step = self._ensure_bank_steps(b.bucket)
         if do_training:
-            params, state, opt, value = self._step_fns["bank_train"](
+            params, state, opt, value = train_step(
                 self.network.params, self.network.state, self._opt_state,
                 rng, *self._bank_args(b))
             self.network.params = params
             self.network.state = state
             self._opt_state = opt
             return value
-        return self._step_fns["bank_eval"](
+        return eval_step(
             self.network.params, self.network.state, *self._bank_args(b))
 
     def give_batch_to_network(self, batch, do_training, rng):
