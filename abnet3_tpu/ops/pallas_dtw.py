@@ -1,17 +1,24 @@
 """Pallas TPU kernel for the batched DTW dynamic program.
 
 Computes the same DP as :func:`abnet3_tpu.ops.dtw.dtw_costs` but as one
-Mosaic kernel: a block of pairs' cost matrices is staged in VMEM and the
-row recurrence runs entirely on-chip — one kernel launch instead of a
-T1-step XLA scan, no HBM round-trips between rows.
+Mosaic kernel: the pair block is staged in VMEM and the row recurrence
+runs entirely on-chip, one cheap fori_loop iteration per row instead of an
+XLA scan step (which costs ~20us of dispatch each).
+
+Measured lessons baked in (TPU v5e, chained inputs so the tunnel's replay
+cache can't skew results):
+- the whole pair block must be ONE kernel body with a fori_loop over rows:
+  multi-step Pallas grids cost milliseconds per grid step through this
+  runtime (40ms for a 16-step grid vs 0.6ms as a single fori body);
+- there is no cumsum lowering in Mosaic; prefix sum/min run as
+  log-doubling shifts (~0.1us per (64,128) shift+op in VMEM);
+- as of round 1 this kernel lands within noise of the XLA row scan
+  (~5-6ms vs ~4-5ms at B=64, T=128, with run-to-run variance larger than
+  the gap), so the XLA scan stays the default (dtw_costs_auto).
 
 Per row the (min,+) recurrence uses the same closed form as the XLA path:
 
     D[i, j] = S[j] + min(x0, cummin_{k<=j}(m[k] - S[k-1]))
-
-with the cumulative min computed by log-doubling shifts on the VPU. The
-batch block dimension is the sublane axis, T2 the lane axis, so every row
-step is a dense (BLOCK_B, T2) VPU op.
 
 Falls back transparently to the XLA scan when Pallas is unavailable
 (CPU tests run this kernel in interpret mode).
@@ -23,7 +30,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 try:
     from jax.experimental import pallas as pl
@@ -77,7 +83,9 @@ def _prefix_min(x):
 
 
 def _dtw_kernel(dist_ref, out_ref):
-    """dist_ref/out_ref: (BLOCK_B, T1, T2) VMEM blocks."""
+    """dist_ref/out_ref: (BLOCK_B, T1, T2) VMEM blocks; the row loop is a
+    fori_loop inside ONE kernel body (multi-step Pallas grids cost ~ms per
+    step through this runtime, see module docstring)."""
     T1 = dist_ref.shape[1]
     B = dist_ref.shape[0]
 
@@ -104,8 +112,7 @@ def dtw_costs_pallas(dist: jnp.ndarray, interpret: bool = False
                      ) -> jnp.ndarray:
     """Batched DTW DP cost tensor via a Pallas kernel.
 
-    dist: (B, T1, T2) float32, B padded to a multiple of BLOCK_B by the
-    caller or internally here.
+    dist: (B, T1, T2) float32; B is padded internally to the batch block.
     """
     B, T1, T2 = dist.shape
     block = _pick_block(B, T1, T2)
