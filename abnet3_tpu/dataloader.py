@@ -40,9 +40,10 @@ from abnet3_tpu.utils import (Features_Accessor, get_dtw_alignment,
                               group_pairs, read_dataset, read_feats,
                               read_spkid_file)
 
-__all__ = ["Batch", "DataLoader", "OriginalDataLoader", "PairsDataLoader",
-           "TemporalCoherenceDataLoader", "FramesDataLoader",
-           "MultiTaskDataLoader", "MultimodalDataLoader",
+__all__ = ["Batch", "BankBatch", "DataLoader", "OriginalDataLoader",
+           "PairsDataLoader", "TemporalCoherenceDataLoader",
+           "FramesDataLoader", "MultiTaskDataLoader",
+           "MultimodalDataLoader", "OnDeviceSamplerDataLoader",
            "prefetch_iterator"]
 
 
@@ -872,6 +873,122 @@ class FramesDataLoader(OriginalDataLoader):
             X2 = table[chunk[:, 1]]
             y = chunk[:, 2].astype(np.float32)
             yield Batch(jnp.asarray(X1), jnp.asarray(X2), jnp.asarray(y))
+
+
+class OnDeviceSamplerDataLoader(OriginalDataLoader):
+    """Fully on-device data pipeline: no pair files at all.
+
+    Instead of consuming the sampler's text pair files, this loader runs
+    the cluster analysis itself (SamplerCluster), splits train/dev,
+    uploads every token to a TokenBank and compiles the P(type, speaker)
+    distributions into :class:`~abnet3_tpu.ops.sampling.DevicePairSampler`
+    tables — training steps then sample fresh pairs *inside* the jitted
+    step (see parallel.make_sampled_train_step); the host streams nothing
+    but PRNG keys. Pair with DummySampler in the gridsearch YAML.
+    """
+
+    def __init__(self, features_path, std_file=None, spkid_file=None,
+                 batch_size=64, num_max_minibatches=1000,
+                 ratio_train_dev=0.7, ratio_same_diff_spk=0.5,
+                 ratio_same_diff_type=0.5, type_sampling_mode="log",
+                 spk_sampling_mode="log", max_size_cluster=10,
+                 max_num_clusters=None, split_method="clusters",
+                 seed=0, pairs_path=None):
+        # pairs_path accepted (and ignored) for gridsearch auto-wiring
+        super().__init__(pairs_path, features_path,
+                         num_max_minibatches=num_max_minibatches,
+                         seed=seed, batch_size=batch_size,
+                         align_backend="bank")
+        self.std_file = std_file
+        self.spkid_file = spkid_file
+        self.ratio_train_dev = ratio_train_dev
+        self.ratio_same_diff_spk = ratio_same_diff_spk
+        self.ratio_same_diff_type = ratio_same_diff_type
+        self.type_sampling_mode = str(type_sampling_mode)
+        self.spk_sampling_mode = str(spk_sampling_mode)
+        self.max_size_cluster = max_size_cluster
+        self.max_num_clusters = max_num_clusters
+        self.split_method = split_method
+        self.device_samplers = None  # {'train': ..., 'dev': ...}
+
+    def whoami(self):
+        return {"params": {
+            "features_path": self.features_path,
+            "std_file": self.std_file,
+            "spkid_file": self.spkid_file,
+            "batch_size": self.batch_size,
+            "num_max_minibatches": self.num_max_minibatches,
+            "ratio_same_diff_spk": self.ratio_same_diff_spk,
+            "ratio_same_diff_type": self.ratio_same_diff_type,
+            "type_sampling_mode": self.type_sampling_mode,
+            "spk_sampling_mode": self.spk_sampling_mode,
+            "seed": self.seed,
+        }, "class_name": self.__class__.__name__}
+
+    def load_data(self):
+        if self.device_samplers is not None:
+            return
+        from abnet3_tpu.ops.bank import TokenBank
+        from abnet3_tpu.ops.sampling import DevicePairSampler
+        from abnet3_tpu.sampler import SamplerClusterSiamese
+
+        print("Loading features")
+        self.features, _, _ = read_feats(self.features_path)
+
+        sampler = SamplerClusterSiamese(
+            std_file=self.std_file, spkid_file=self.spkid_file,
+            ratio_train_dev=self.ratio_train_dev,
+            max_size_cluster=self.max_size_cluster,
+            split_method=self.split_method, seed=self.seed)
+        spkid = read_spkid_file(self.spkid_file)
+        sampler.spkid_from_file = spkid
+        clusters = sampler.parse_input_file(self.std_file,
+                                            self.max_num_clusters)
+        if self.split_method == "clusters":
+            train_c, dev_c = sampler.split_clusters_ratio(clusters)
+        elif self.split_method == "files":
+            train_c, dev_c = sampler.split_clusters_on_file(clusters)
+        else:
+            train_c, dev_c = sampler.split_each_file(clusters)
+
+        self.device_samplers = {}
+        self._banks = {}
+        for mode, cs in (("train", train_c), ("dev", dev_c)):
+            descr = sampler.analyze_clusters(cs, spkid)
+            proba = sampler.type_speaker_sampling_p(
+                descr, type_sampling_mode=self.type_sampling_mode,
+                spk_sampling_mode=self.spk_sampling_mode)
+            token_feats = {}
+            for tid, (fid, t0, t1) in enumerate(descr["tokens"]):
+                f = self.features.get(fid, t0, t1)
+                if len(f) == 0:
+                    f = np.zeros((1, self.features.features[
+                        self.features._key(fid)].shape[1]), np.float32)
+                token_feats[tid] = f
+            bank = TokenBank(token_feats)
+            self._banks[mode] = bank
+            self.device_samplers[mode] = DevicePairSampler(
+                descr, proba, batch_size=self.batch_size,
+                ratio_same_diff_spk=self.ratio_same_diff_spk,
+                ratio_same_diff_type=self.ratio_same_diff_type)
+
+    def bank_for(self, train_mode=True):
+        self.load_data()
+        return self._banks["train" if train_mode else "dev"]
+
+    def sampler_for(self, train_mode=True):
+        self.load_data()
+        return self.device_samplers["train" if train_mode else "dev"]
+
+    def steps_per_epoch(self, train_mode=True):
+        return self.num_max_minibatches if train_mode else \
+            max(self.num_max_minibatches // 10, 1)
+
+    def batch_iterator(self, train_mode=True):
+        raise TypeError(
+            "OnDeviceSamplerDataLoader has no host batch iterator — pair "
+            "sampling happens inside the jitted step; use it with "
+            "TrainerSiamese, which detects it automatically.")
 
 
 class MultiTaskDataLoader(OriginalDataLoader):

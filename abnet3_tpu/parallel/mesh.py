@@ -37,7 +37,8 @@ from abnet3_tpu.ops.dtw import (align_diff_batch, dtw_backtrace,
 
 __all__ = ["make_mesh", "param_shardings", "shard_array",
            "make_fused_train_step", "make_indexed_train_step",
-           "make_pair_train_step", "make_sampled_train_step"]
+           "make_pair_train_step", "make_sampled_train_step",
+           "make_sampled_eval_step"]
 
 
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
@@ -221,6 +222,33 @@ def make_sampled_train_step(network, loss, optimizer, bank, sampler,
                 step, in_shardings=(p_shard, None, None, rep),
                 out_shardings=(p_shard, None, None, None))
         return cache["jit"](params, state, opt_state, rng)
+
+    return compiled
+
+
+def make_sampled_eval_step(network, loss, bank, sampler, mesh: Mesh,
+                           align_different_words: bool = False):
+    """Eval twin of make_sampled_train_step: sample + align + loss, no
+    gradient/update."""
+    rep = NamedSharding(mesh, P())
+    single_dev = mesh.size == 1
+
+    def step(params, state, rng):
+        ids1, ids2, y_pair = sampler.sample(rng)
+        pair_w = jnp.ones_like(y_pair)
+        x1, x2, y, w = _bank_align(bank, ids1, ids2, y_pair, pair_w,
+                                   align_different_words, single_dev)
+        e1, e2, _ = network.forward(params, state, x1, x2, train=False)
+        return loss(e1, e2, y, weights=w)
+
+    cache = {}
+
+    def compiled(params, state, rng):
+        if "jit" not in cache:
+            p_shard = param_shardings(params, mesh)
+            cache["jit"] = jax.jit(
+                step, in_shardings=(p_shard, None, rep))
+        return cache["jit"](params, state, rng)
 
     return compiled
 

@@ -418,6 +418,69 @@ class TrainerSiamese(TrainerBuilder):
             self.network.params, self.network.state, b.x1, b.x2, b.y,
             b.weights)
 
+    # -- fully on-device sampling path ---------------------------------------
+
+    def _ensure_sampled_steps(self, train_mode):
+        key = ("sampled", train_mode)
+        if key not in self._step_fns:
+            from abnet3_tpu.parallel import (make_mesh,
+                                             make_sampled_eval_step,
+                                             make_sampled_train_step)
+            mesh = self.mesh
+            if mesh is None:
+                mesh = make_mesh(n_data=1, n_model=1,
+                                 devices=jax.devices()[:1])
+            bank = self.dataloader.bank_for(train_mode)
+            sampler = self.dataloader.sampler_for(train_mode)
+            self._step_fns[key] = (
+                make_sampled_train_step(self.network, self.loss,
+                                        self.optimizer, bank, sampler,
+                                        mesh),
+                make_sampled_eval_step(self.network, self.loss, bank,
+                                       sampler, mesh))
+        return self._step_fns[key]
+
+    def _optimize_model_sampled(self, do_training):
+        """Epoch driven purely by PRNG keys: sampling + alignment + train
+        all happen inside the jitted step (OnDeviceSamplerDataLoader)."""
+        epoch_idx = len(self.train_losses)
+        base_rng = jax.random.fold_in(jax.random.PRNGKey(self.seed),
+                                      epoch_idx)
+        train_step, _ = self._ensure_sampled_steps(True)
+        _, dev_eval = self._ensure_sampled_steps(False)
+
+        losses = []
+        for i in range(self.dataloader.steps_per_epoch(True)):
+            rng = jax.random.fold_in(base_rng, i)
+            if do_training:
+                params, state, opt, value = train_step(
+                    self.network.params, self.network.state,
+                    self._opt_state, rng)
+                self.network.params = params
+                self.network.state = state
+                self._opt_state = opt
+            else:
+                train_eval = self._ensure_sampled_steps(True)[1]
+                value = train_eval(self.network.params,
+                                   self.network.state, rng)
+            losses.append(value)
+        train_loss = float(np.sum([np.asarray(v) for v in losses]))
+        n_train = len(losses)
+
+        losses = []
+        for i in range(self.dataloader.steps_per_epoch(False)):
+            rng = jax.random.fold_in(base_rng, 10_000 + i)
+            losses.append(dev_eval(self.network.params,
+                                   self.network.state, rng))
+        dev_loss = float(np.sum([np.asarray(v) for v in losses]))
+        n_dev = len(losses)
+
+        self.train_losses.append(train_loss / max(n_train, 1))
+        self.dev_losses.append(dev_loss / max(n_dev, 1))
+        self.pretty_print_losses(self.train_losses[-1],
+                                 self.dev_losses[-1])
+        return dev_loss
+
     # -- epoch ---------------------------------------------------------------
 
     def optimize_model(self, do_training=True):
@@ -425,6 +488,8 @@ class TrainerSiamese(TrainerBuilder):
         params, state = self.network.ensure_init(self.seed)
         if self._opt_state is None:
             self._opt_state = self.optimizer.init(params)
+        if hasattr(self.dataloader, "sampler_for"):
+            return self._optimize_model_sampled(do_training)
         epoch_idx = len(self.train_losses)
         base_rng = jax.random.fold_in(jax.random.PRNGKey(self.seed),
                                       epoch_idx)

@@ -69,6 +69,55 @@ def test_device_sampler_distribution(setup):
     assert np.all(counts[np.asarray(descr["tokens_type"]) > 0] > 0)
 
 
+def test_on_device_sampler_dataloader(tmp_path):
+    """Full zero-host-data training via OnDeviceSamplerDataLoader +
+    TrainerSiamese, from a features file + .classes + spkid."""
+    from abnet3_tpu.dataloader import OnDeviceSamplerDataLoader
+    from abnet3_tpu.io import write_h5features
+    from abnet3_tpu.trainer import TrainerSiamese
+
+    rng = np.random.RandomState(0)
+    items = [f"f{i}" for i in range(4)]
+    feats = [rng.randn(120, 5).astype(np.float32) for _ in items]
+    times = [np.arange(120) * 0.01 + 0.0025 for _ in items]
+    feats_path = str(tmp_path / "feats.h5f")
+    write_h5features(feats_path, "features", items, times, feats)
+
+    lines, tokid = [], 0
+    for c in range(4):
+        lines.append(f"{c} word{c}")
+        for k in range(5):
+            f = rng.randint(4)
+            t0 = rng.randint(0, 90) * 0.01 + 0.0025
+            t1 = t0 + rng.randint(5, 25) * 0.01
+            lines.append(f"f{f} {t0:.4f} {t1:.4f}")
+        lines.append("")
+    classes_path = str(tmp_path / "w.classes")
+    open(classes_path, "w").write("\n".join(lines) + "\n")
+    spk_path = str(tmp_path / "spk.txt")
+    open(spk_path, "w").write("f0 a\nf1 a\nf2 b\nf3 b\n")
+
+    np.random.seed(0)
+    dl = OnDeviceSamplerDataLoader(
+        features_path=feats_path, std_file=classes_path,
+        spkid_file=spk_path, batch_size=16, num_max_minibatches=4,
+        max_size_cluster=0, seed=0)
+    net = SiameseNetwork(input_dim=5, num_hidden_layers=1, hidden_dim=16,
+                         output_dim=8, p_dropout=0.0,
+                         activation_layer="sigmoid",
+                         output_path=str(tmp_path / "net"))
+    trainer = TrainerSiamese(network=net, loss=coscos2(), dataloader=dl,
+                             optimizer_type="adam", lr=0.01, num_epochs=3,
+                             patience=5, log_dir=str(tmp_path / "logs"),
+                             seed=0)
+    trainer.train()
+    assert len(trainer.train_losses) == 4
+    assert all(np.isfinite(trainer.train_losses))
+    # iterator access is an explicit error, not silent misuse
+    with pytest.raises(TypeError):
+        next(dl.batch_iterator())
+
+
 def test_sampled_train_step_end_to_end(setup):
     """params, rng in -> loss out; nothing else crosses the boundary."""
     descr, proba, bank = setup
