@@ -100,12 +100,7 @@ def prefetch_iterator(iterator, size: int = 2):
         yield item
 
 
-def _bucket(n: int, minimum: int = 8) -> int:
-    """Round up to a power-of-two bucket to bound XLA recompiles."""
-    b = minimum
-    while b < n:
-        b *= 2
-    return b
+from abnet3_tpu.utils import pow2_bucket as _bucket  # noqa: E402
 
 
 def _pad_tokens(feats: Sequence[np.ndarray], T: int) -> Tuple[np.ndarray,
@@ -176,21 +171,29 @@ class OriginalDataLoader(DataLoader):
             "tcl": self.tcl,
         }, "class_name": self.__class__.__name__}
 
-    # pickle support: drop the multi-GB features / device bank from the
-    # state and reload them on restore (reference dataloader.py:86-117)
-    def __getstate__(self):
-        return (self.pairs_path, self.features_path,
-                dict(self.statistics_training), self.seed,
-                self.num_max_minibatches, self.batch_size,
-                self.align_backend)
+    # pickle support: drop the multi-GB features / device arrays from the
+    # state and reload them on restore (reference dataloader.py:86-117).
+    # Works for every subclass: heavy lazily-loaded caches are nulled to
+    # their initial sentinels and load_data() rebuilds them.
+    _HEAVY_ATTRS = ("features", "token_bank", "_bank_pairs",
+                    "features_dict", "device_samplers", "_banks")
+    _HEAVY_MODE_DICTS = ("token_features", "frame_pairs", "token_tables")
 
-    def __setstate__(self, state):
-        (pairs_path, features_path, stats, seed, num_max_minibatches,
-         batch_size, align_backend) = state
-        self.__init__(pairs_path, features_path,
-                      num_max_minibatches=num_max_minibatches, seed=seed,
-                      batch_size=batch_size, align_backend=align_backend)
-        self.statistics_training = defaultdict(int, stats)
+    def __getstate__(self):
+        d = dict(self.__dict__)
+        for k in self._HEAVY_ATTRS:
+            if k in d:
+                d[k] = None
+        for k in self._HEAVY_MODE_DICTS:
+            if k in d:
+                d[k] = {mode: None for mode in d[k]}
+        d["statistics_training"] = dict(self.statistics_training)
+        return d
+
+    def __setstate__(self, d):
+        self.__dict__.update(d)
+        self.statistics_training = defaultdict(
+            int, d.get("statistics_training", {}))
         self.load_data()
 
     # -- data ------------------------------------------------------------
@@ -716,6 +719,7 @@ class TemporalCoherenceDataLoader(OriginalDataLoader):
                          num_max_minibatches=num_max_minibatches,
                          batch_size=test_words_batch_size,
                          align_backend=align_backend)
+        self.test_words_batch_size = test_words_batch_size
         self.batch_size = batch_size
 
     def batch_iterator(self, train_mode=True):
@@ -732,7 +736,7 @@ class TemporalCoherenceDataLoader(OriginalDataLoader):
             # dev evaluation falls back to the word-pair batches; restore
             # the word batch size for the parent iterator
             saved = self.batch_size
-            self.batch_size = 8
+            self.batch_size = self.test_words_batch_size
             try:
                 yield from super().batch_iterator(train_mode)
             finally:

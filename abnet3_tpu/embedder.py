@@ -78,7 +78,14 @@ class EmbedderBuilder:
         """
         bs = self.batch_size
         params, state = self.network.params, self.network.state
+        outputs = [[] for _ in feats_list]
+        window = 16  # in-flight chunks: keeps device memory O(window)
         pending = []  # (file_idx, valid_rows, device_buffer)
+
+        def drain_one():
+            fi, valid, emb = pending.pop(0)
+            outputs[fi].append(np.asarray(emb)[:valid])
+
         for fi, feat in enumerate(feats_list):
             if feat.dtype != np.float32:
                 feat = feat.astype(np.float32)
@@ -94,9 +101,10 @@ class EmbedderBuilder:
                 except AttributeError:
                     pass
                 pending.append((fi, bs - pad, emb))
-        outputs = [[] for _ in feats_list]
-        for fi, valid, emb in pending:
-            outputs[fi].append(np.asarray(emb)[:valid])
+                if len(pending) >= window:
+                    drain_one()
+        while pending:
+            drain_one()
         return [np.vstack(chunks) for chunks in outputs]
 
     def _embed_array(self, forward, feat: np.ndarray) -> np.ndarray:

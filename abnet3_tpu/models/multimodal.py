@@ -150,7 +150,13 @@ class MultimodalSiameseNetwork(NetworkBuilder):
         return out1, out2, state
 
     def save_network(self, epoch=""):
-        save_pytree(self.output_path + str(epoch) + "network.pth",
+        """One tree holds everything, including the integration params, at
+        ``<output_path><epoch>.pth`` — the same naming contract the
+        orchestrator wires for every network (the reference's multimodal
+        save/load paths could never round-trip through gridsearch:
+        reference model.py:583-592 vs gridsearch.py:201). The integration
+        unit additionally saves its legacy standalone file."""
+        save_pytree(self.output_path + str(epoch) + ".pth",
                     {"params": self._params, "state": self._state},
                     meta={"class_name": self.__class__.__name__})
         self.integration_unit._params = self._params.get("integration", {})
@@ -158,7 +164,11 @@ class MultimodalSiameseNetwork(NetworkBuilder):
         self.integration_unit.save()
 
     def load_network(self, path=None):
-        tree, _ = load_pytree(path + "network.pth")
+        import os
+        if not os.path.exists(path) and os.path.exists(
+                str(path) + "network.pth"):  # legacy reference naming
+            path = str(path) + "network.pth"
+        tree, _ = load_pytree(path)
         self._params = jax.tree_util.tree_map(jnp.asarray, tree["params"])
         self._state = jax.tree_util.tree_map(jnp.asarray,
                                              tree.get("state", {}))

@@ -142,22 +142,28 @@ class SiameseNetwork(NetworkBuilder):
     def init_params(self, rng):
         return self._tower.init(rng)
 
-    def forward_once(self, params, state, x, rng=None, train=False):
+    def forward_once(self, params, state, x, rng=None, train=False,
+                     weights=None):
         """One branch (used by the embedder). Returns (emb, new_state)."""
-        return self._tower.apply(params, state, x, rng=rng, train=train)
+        return self._tower.apply(params, state, x, rng=rng, train=train,
+                                 weights=weights)
 
-    def forward(self, params, state, x1, x2, rng=None, train=False):
+    def forward(self, params, state, x1, x2, rng=None, train=False,
+                weights=None):
         """Fused siamese forward: both branches in one MXU pass.
 
         Note: with batch_norm=True this normalizes over the union of the two
         branches, which is exactly what weight sharing implies for a siamese
         update (the reference computes per-branch batch stats; at eval both
-        use running stats, so embeddings agree).
+        use running stats, so embeddings agree). ``weights`` marks valid
+        rows so padded frames stay out of the batch statistics.
         """
         n = x1.shape[0]
         x = jnp.concatenate([x1, x2], axis=0)
+        w = (jnp.concatenate([weights, weights], axis=0)
+             if weights is not None else None)
         out, new_state = self._tower.apply(params, state, x, rng=rng,
-                                           train=train)
+                                           train=train, weights=w)
         return out[:n], out[n:], new_state
 
     def whoami(self):
@@ -229,27 +235,34 @@ class SiameseMultitaskNetwork(NetworkBuilder):
         state = {"trunk": trunk_s, "spk": spk_s, "phn": phn_s}
         return params, state
 
-    def forward_once(self, params, state, x, rng=None, train=False):
+    def forward_once(self, params, state, x, rng=None, train=False,
+                     weights=None):
         """Returns (emb_spk, emb_phn, new_state)."""
         if rng is not None:
             r1, r2, r3 = jax.random.split(rng, 3)
         else:
             r1 = r2 = r3 = None
         h, trunk_s = self._trunk.apply(params["trunk"], state["trunk"], x,
-                                       rng=r1, train=train)
+                                       rng=r1, train=train,
+                                       weights=weights)
         spk, spk_s = self._head_spk.apply(params["spk"], state["spk"], h,
-                                          rng=r2, train=train)
+                                          rng=r2, train=train,
+                                          weights=weights)
         phn, phn_s = self._head_phn.apply(params["phn"], state["phn"], h,
-                                          rng=r3, train=train)
+                                          rng=r3, train=train,
+                                          weights=weights)
         return spk, phn, {"trunk": trunk_s, "spk": spk_s, "phn": phn_s}
 
-    def forward(self, params, state, x1, x2, rng=None, train=False):
+    def forward(self, params, state, x1, x2, rng=None, train=False,
+                weights=None):
         """Returns (spk1, phn1, spk2, phn2, new_state); fused over branches
         like SiameseNetwork.forward."""
         n = x1.shape[0]
         x = jnp.concatenate([x1, x2], axis=0)
+        w = (jnp.concatenate([weights, weights], axis=0)
+             if weights is not None else None)
         spk, phn, new_state = self.forward_once(params, state, x, rng=rng,
-                                                train=train)
+                                                train=train, weights=w)
         return spk[:n], phn[:n], spk[n:], phn[n:], new_state
 
     def whoami(self):

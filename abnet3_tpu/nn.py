@@ -152,12 +152,16 @@ class Tower:
     def apply(self, params: Params, state: Params, x: jnp.ndarray,
               rng=None, train: bool = False,
               bn_momentum: float = 0.1, bn_eps: float = 1e-5,
-              save_partials: bool = False):
+              save_partials: bool = False, weights=None):
         """Run the tower. Returns (out, new_state[, partials]).
 
         `partials` (when requested) holds the input of each Linear layer,
         mirroring SequentialPartialSave used by the multimodal attention
         (reference utils.py:313-352).
+
+        `weights` (N,) marks valid rows: padded frames from ragged device
+        batches are excluded from batch-norm statistics (the reference
+        never pads, so its BN only ever sees real frames).
         """
         spec = self.spec
         new_state = dict(state)
@@ -184,10 +188,18 @@ class Tower:
                 scale, bias = p["bn_scale"], p["bn_bias"]
                 st = state[f"bn_{i}"]
                 if train:
-                    mean = jnp.mean(x, axis=0)
-                    var = jnp.var(x, axis=0)
-                    n = x.shape[0]
-                    unbiased = var * n / max(n - 1, 1)
+                    if weights is not None:
+                        w = weights[:, None]
+                        wsum = jnp.maximum(jnp.sum(weights), 1.0)
+                        mean = jnp.sum(x * w, axis=0) / wsum
+                        var = jnp.sum(w * (x - mean) ** 2, axis=0) / wsum
+                        unbiased = var * wsum / jnp.maximum(wsum - 1.0,
+                                                            1.0)
+                    else:
+                        mean = jnp.mean(x, axis=0)
+                        var = jnp.var(x, axis=0)
+                        n = x.shape[0]
+                        unbiased = var * n / max(n - 1, 1)
                     new_state[f"bn_{i}"] = {
                         "mean": (1 - bn_momentum) * st["mean"]
                                 + bn_momentum * mean,

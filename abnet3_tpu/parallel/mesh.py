@@ -129,7 +129,7 @@ def make_indexed_train_step(network, loss, optimizer, bank, mesh: Mesh):
 
         def loss_fn(p):
             e1, e2, new_state = network.forward(p, state, x1, x2, rng=rng,
-                                                train=True)
+                                                train=True, weights=w)
             return loss(e1, e2, y, weights=w), new_state
 
         (value, new_state), grads = jax.value_and_grad(
@@ -286,7 +286,7 @@ def make_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
 
             def loss_fn(p):
                 spk1, phn1, spk2, phn2, new_state = network.forward(
-                    p, state, x1, x2, rng=rng, train=True)
+                    p, state, x1, x2, rng=rng, train=True, weights=w)
                 return loss(spk1, phn1, spk2, phn2, y_spk, y,
                             weights=w), new_state
 
@@ -303,7 +303,8 @@ def make_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
 
             def loss_fn(p):
                 e1, e2, new_state = network.forward(p, state, x1, x2,
-                                                    rng=rng, train=True)
+                                                    rng=rng, train=True,
+                                                    weights=w)
                 return loss(e1, e2, y, weights=w), new_state
 
             (value, new_state), grads = jax.value_and_grad(
@@ -376,7 +377,7 @@ def make_fused_train_step(network, loss, optimizer, mesh: Mesh):
         # --- fused siamese fwd/bwd + update -----------------------------
         def loss_fn(p):
             e1, e2, new_state = network.forward(p, state, x1, x2, rng=rng,
-                                                train=True)
+                                                train=True, weights=w)
             return loss(e1, e2, y, weights=w), new_state
 
         (value, new_state), grads = jax.value_and_grad(

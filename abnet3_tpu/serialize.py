@@ -20,12 +20,24 @@ __all__ = ["save_pytree", "load_pytree"]
 _SEP = "::"
 
 
+_EMPTY_DICT = "__emptydict__"
+_EMPTY_LIST = "__emptylist__"
+
+
 def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
     out: Dict[str, np.ndarray] = {}
     if isinstance(tree, dict):
+        if not tree:
+            # keep empty containers: SiameseMultitaskNetwork state is
+            # {'trunk': {}, ...} with batch_norm off and must round-trip
+            out[f"{prefix}{_EMPTY_DICT}"] = np.zeros(0, np.uint8)
+            return out
         for k in sorted(tree):
             out.update(_flatten(tree[k], f"{prefix}{k}{_SEP}"))
     elif isinstance(tree, (list, tuple)):
+        if not tree:
+            out[f"{prefix}{_EMPTY_LIST}"] = np.zeros(0, np.uint8)
+            return out
         for i, v in enumerate(tree):
             out.update(_flatten(v, f"{prefix}#{i}{_SEP}"))
     else:
@@ -66,10 +78,15 @@ def load_pytree(path: str):
 
 
 def _relist(node):
-    """Convert {'#0': ..., '#1': ...} dicts back into lists."""
+    """Convert {'#0': ..., '#1': ...} dicts back into lists and restore
+    empty-container sentinels."""
     if not isinstance(node, dict):
         return node
     keys = list(node.keys())
+    if keys == [_EMPTY_DICT]:
+        return {}
+    if keys == [_EMPTY_LIST]:
+        return []
     if keys and all(k.startswith("#") for k in keys):
         return [_relist(node[f"#{i}"]) for i in range(len(keys))]
     return {k: _relist(v) for k, v in node.items()}

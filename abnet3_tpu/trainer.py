@@ -77,11 +77,11 @@ class MetricsWriter:
         self._jsonl.close()
 
 
+from abnet3_tpu.utils import pow2_bucket  # noqa: E402
+
+
 def _round_bucket(n: int, minimum: int = 256) -> int:
-    b = minimum
-    while b < n:
-        b *= 2
-    return b
+    return pow2_bucket(n, minimum)
 
 
 class TrainerBuilder:
@@ -172,7 +172,7 @@ class TrainerBuilder:
     def save_checkpoint(self, epoch: int):
         from abnet3_tpu.serialize import save_pytree
         tree = {"params": self.network.params,
-                "state": self.network.state or {"__empty__": jnp.zeros(1)},
+                "state": self.network.state,
                 "opt_state": self._opt_state}
         meta = {"epoch": epoch,
                 "best_dev": self.best_dev,
@@ -180,7 +180,19 @@ class TrainerBuilder:
                 "best_epoch": self.best_epoch,
                 "train_losses": [float(x) for x in self.train_losses],
                 "dev_losses": [float(x) for x in self.dev_losses]}
+        meta.update(self._extra_ckpt_meta())
         save_pytree(self._ckpt_path, tree, meta)
+
+    def _extra_ckpt_meta(self):
+        return {}
+
+    def _restore_extra_meta(self, meta):
+        pass
+
+    def _checkpoint_optimizer(self):
+        """Optimizer whose state structure the checkpoint holds
+        (subclasses with wrapped optimizers override)."""
+        return self.optimizer
 
     def load_checkpoint(self) -> int:
         """Restore full training state; returns the next epoch index."""
@@ -192,8 +204,9 @@ class TrainerBuilder:
         if "__empty__" in state:
             state = {}
         self.network.state = jax.tree_util.tree_map(jnp.asarray, state)
+        self._restore_extra_meta(meta)
         # optimizer state: restore leaves into a freshly-built structure
-        template = self.optimizer.init(self.network.params)
+        template = self._checkpoint_optimizer().init(self.network.params)
         saved_leaves = jax.tree_util.tree_leaves(tree["opt_state"])
         t_leaves, treedef = jax.tree_util.tree_flatten(template)
         assert len(saved_leaves) == len(t_leaves), \
@@ -309,7 +322,8 @@ class TrainerSiamese(TrainerBuilder):
         def step(params, state, opt_state, rng, x1, x2, y, w):
             def loss_fn(p):
                 e1, e2, new_state = network.forward(p, state, x1, x2,
-                                                    rng=rng, train=True)
+                                                    rng=rng, train=True,
+                                                    weights=w)
                 return loss(e1, e2, y, weights=w), new_state
             (value, new_state), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)
@@ -535,7 +549,7 @@ class TrainerSiameseMultitask(TrainerSiamese):
         def step(params, state, opt_state, rng, x1, x2, y_spk, y_phn, w):
             def loss_fn(p):
                 spk1, phn1, spk2, phn2, new_state = network.forward(
-                    p, state, x1, x2, rng=rng, train=True)
+                    p, state, x1, x2, rng=rng, train=True, weights=w)
                 return loss(spk1, phn1, spk2, phn2, y_spk, y_phn,
                             weights=w), new_state
             (value, new_state), grads = jax.value_and_grad(
@@ -603,23 +617,42 @@ class MultimodalTrainer(TrainerSiamese):
         else:
             self.headstart = False
 
+    def _build_effective_optimizer(self):
+        """Optimizer over the multimodal param groups: separate attention
+        LR (reference model.py:512-528) and, after a non-parallel
+        headstart ends, frozen main-network updates (the reference's
+        network.freeze_training(), reference trainer.py:348-350)."""
+        attention_lr = getattr(self.network, "attention_lr", None)
+        frozen_main = getattr(self, "_frozen_main", False)
+        if not attention_lr and not frozen_main:
+            return self.optimizer
+        main_tx = optax.set_to_zero() if frozen_main else self.optimizer
+        att_tx = (build_optimizer(self.optimizer_type, attention_lr,
+                                  self.momentum)
+                  if attention_lr else self.optimizer)
+        label_fn = jax.tree_util.Partial(
+            lambda params: {k: ("attention" if k == "integration"
+                                else "main") for k in params})
+        return optax.multi_transform(
+            {"main": main_tx, "attention": att_tx}, label_fn)
+
+    def _checkpoint_optimizer(self):
+        return self._build_effective_optimizer()
+
+    def _extra_ckpt_meta(self):
+        meta = {"frozen_main": getattr(self, "_frozen_main", False)}
+        if self.headstart:
+            meta["headstart_epochs"] = self.headstart_epochs
+        return meta
+
+    def _restore_extra_meta(self, meta):
+        self._frozen_main = bool(meta.get("frozen_main", False))
+        if self.headstart and "headstart_epochs" in meta:
+            self.headstart_epochs = int(meta["headstart_epochs"])
+
     def _make_train_step(self):
-        network, loss, optimizer = self.network, self.loss, self.optimizer
-        attention_lr = getattr(network, "attention_lr", None)
-        if attention_lr:
-            # separate LR for the integration/attention params
-            # (reference model.py:512-528 builds two optim param groups)
-            label_fn = jax.tree_util.Partial(
-                lambda params: {k: ("attention" if k == "integration"
-                                    else "main") for k in params})
-            tx = optax.multi_transform(
-                {"main": optimizer,
-                 "attention": build_optimizer(self.optimizer_type,
-                                              attention_lr,
-                                              self.momentum)},
-                label_fn)
-        else:
-            tx = optimizer
+        network, loss = self.network, self.loss
+        tx = self._build_effective_optimizer()
         self._effective_optimizer = tx
 
         @jax.jit
@@ -672,8 +705,9 @@ class MultimodalTrainer(TrainerSiamese):
     def optimize_model(self, do_training=True):
         if self.headstart and self.headstart_epochs == 0:
             if not self.parallel_after_headstart:
-                # freeze everything except the attention unit: rebuild the
-                # step with zeroed main-group updates
+                # freeze everything except the attention unit: the train
+                # step is rebuilt with zeroed main-group updates
+                # (optimizer state re-initialises for the new structure)
                 self._frozen_main = True
             try:
                 self.network.integration_unit.start_training()
@@ -681,9 +715,10 @@ class MultimodalTrainer(TrainerSiamese):
                 raise TypeError(
                     "Headstart only works with integration units which "
                     "have start_training() implemented")
-            # unit un-froze: the traced weight path changed, recompile
+            # unit un-froze / groups changed: recompile + fresh opt state
             self._step_fns.pop("train", None)
             self._step_fns.pop("eval", None)
+            self._opt_state = None
             print("Headstart ended")
         dev_loss = super().optimize_model(do_training)
         if self.headstart and self.headstart_epochs > -1:

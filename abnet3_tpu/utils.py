@@ -23,6 +23,7 @@ __all__ = [
     "Features_Accessor", "read_feats", "cosine_distance", "dtw_numpy",
     "dtw_numpy_fast", "get_dtw_alignment", "progress",
     "expand_dimension_list", "to_ordinal", "EmbeddingObserver",
+    "pow2_bucket",
 ]
 
 
@@ -380,6 +381,15 @@ class EmbeddingObserver:
             os.remove(self.path)
         write_h5features(self.path, "features", items, times,
                          self.intern_responses)
+
+
+def pow2_bucket(n: int, minimum: int = 8) -> int:
+    """Round up to a power-of-two bucket (bounds XLA recompiles for
+    shapes that vary per batch)."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
 
 
 def to_ordinal(number: int) -> str:

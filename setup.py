@@ -16,7 +16,9 @@ setup(
     python_requires=">=3.10",
     install_requires=[
         "jax",
+        "optax",
         "numpy",
+        "scipy",
         "h5py",
         "pyyaml",
     ],
