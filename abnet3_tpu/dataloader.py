@@ -143,6 +143,9 @@ class OriginalDataLoader(DataLoader):
         # 'bank'  : whole token corpus resident in HBM, index-only batches
         # 'host'  : reference-exact numpy path (parity tests)
         assert align_backend in ("device", "bank", "host")
+        assert not (tcl > 0 and align_backend == "bank"), (
+            "temporal-coherence mixing needs per-batch frame injection; "
+            "use align_backend='device' (or 'host') with tcl > 0")
         self.pairs_path = pairs_path
         self.features_path = features_path
         self.statistics_training = defaultdict(int)
@@ -599,6 +602,18 @@ class PairsDataLoader(OriginalDataLoader):
             print("Loading features")
             features, _, _ = read_feats(self.features_path)
             self.features = features
+        if self.align_backend == "bank" and self.token_bank is None:
+            from abnet3_tpu.ops.bank import TokenBank
+            token_feats = {}
+            for mode in ("train", "test"):
+                for key in self.tokens[mode]:
+                    f, b, e = key
+                    feat = self.features.get_between_frames(f, b, e)
+                    if len(feat) > 0:
+                        token_feats[key] = feat
+            print("Uploading %d tokens to the device token bank"
+                  % len(token_feats))
+            self.token_bank = TokenBank(token_feats)
 
     def load_pairs(self):
         """Parse ``f1 f2 b1 e1 b2 e2 dist`` integer-frame pair lines with
@@ -695,6 +710,11 @@ class PairsDataLoader(OriginalDataLoader):
             chunk = pairs[i * self.batch_size:(i + 1) * self.batch_size]
             if not chunk:
                 break
+            if self.align_backend == "bank":
+                batch = self._bank_batch_from_pairs(chunk)
+                if batch is not None:
+                    yield batch
+                continue
             grouped = group_pairs([tuple(p) for p in chunk])
             if self.align_backend == "device":
                 token_feats = self.get_token_feats(grouped, frames=True)
@@ -706,6 +726,38 @@ class PairsDataLoader(OriginalDataLoader):
                                                         frames=True)
                 yield Batch(jnp.asarray(X1), jnp.asarray(X2),
                             jnp.asarray(y))
+
+    def _bank_batch_from_pairs(self, chunk):
+        """Convert sampled (f1,b1,e1,f2,b2,e2,type) pairs into a
+        fixed-shape BankBatch of token ids."""
+        kid = self.token_bank.key_to_id
+        ids1, ids2, ys = [], [], []
+        for f1, b1, e1, f2, b2, e2, ptype in (tuple(p) for p in chunk):
+            k1, k2 = (f1, b1, e1), (f2, b2, e2)
+            if k1 not in kid or k2 not in kid:
+                continue
+            ids1.append(kid[k1])
+            ids2.append(kid[k2])
+            ys.append(1.0 if ptype == "same" else -1.0)
+        if not ids1:
+            return None
+        bs = self.batch_size
+        n = len(ids1)
+        w = np.ones(bs, np.float32)
+        pad = bs - n
+        if pad:
+            ids1 += [0] * pad
+            ids2 += [0] * pad
+            ys += [1.0] * pad
+            w[n:] = 0.0
+        lens = np.asarray(self.token_bank.lengths)
+        i1 = np.asarray(ids1, np.int32)
+        i2 = np.asarray(ids2, np.int32)
+        bucket = self.token_bank.bucket_for(
+            int(np.maximum(lens[i1[:n]], lens[i2[:n]]).max()))
+        return BankBatch(jnp.asarray(i1), jnp.asarray(i2),
+                         jnp.asarray(np.asarray(ys, np.float32)),
+                         jnp.asarray(w), bucket=bucket)
 
 
 class TemporalCoherenceDataLoader(OriginalDataLoader):

@@ -216,6 +216,60 @@ def test_pairs_dataloader(tmp_path):
     assert set(np.unique(np.asarray(b.y))).issubset({-1.0, 1.0})
 
 
+def test_pairs_dataloader_bank_backend(tmp_path):
+    """PairsDataLoader with the HBM bank: index-only BankBatches + a
+    trainer run."""
+    from abnet3_tpu.dataloader import BankBatch
+    from abnet3_tpu.loss import coscos2
+    from abnet3_tpu.models import SiameseNetwork
+    from abnet3_tpu.trainer import TrainerSiamese
+
+    rng = np.random.RandomState(0)
+    feats_path = str(tmp_path / "feats.h5f")
+    items = [f"file{i}" for i in range(4)]
+    feats = [rng.randn(120, 3).astype(np.float32) for _ in items]
+    times = [np.arange(120) * 0.01 + 0.0025 for _ in items]
+    write_h5features(feats_path, "features", items, times, feats)
+    pair_lines = []
+    for i in range(20):
+        fa, fb = rng.randint(0, 4, 2)
+        b1, b2 = int(rng.randint(0, 60)), int(rng.randint(0, 60))
+        l1, l2 = int(rng.randint(4, 12)), int(rng.randint(4, 12))
+        pair_lines.append(f"{fa} {fb} {b1} {b1+l1} {b2} {b2+l2} 0.5\n")
+    pairs_path = str(tmp_path / "pairs_knn.txt")
+    open(pairs_path, "w").writelines(pair_lines)
+    id_map = str(tmp_path / "ids.txt")
+    open(id_map, "w").writelines(f"{i} file{i}\n" for i in range(4))
+
+    dl = PairsDataLoader(pairs_path, feats_path, id_to_file=id_map,
+                         batch_size=4, train_iterations=3,
+                         test_iterations=2,
+                         split_method="split_each_file",
+                         align_backend="bank")
+    batches = list(dl.batch_iterator(train_mode=True))
+    assert batches and all(isinstance(b, BankBatch) for b in batches)
+    assert all(b.ids1.shape == (4,) for b in batches)
+
+    net = SiameseNetwork(input_dim=3, num_hidden_layers=1, hidden_dim=8,
+                         output_dim=4, p_dropout=0.0,
+                         activation_layer="sigmoid",
+                         output_path=str(tmp_path / "net"))
+    trainer = TrainerSiamese(network=net, loss=coscos2(), dataloader=dl,
+                             optimizer_type="adam", lr=0.01, num_epochs=1,
+                             patience=3, log_dir=str(tmp_path / "logs"),
+                             seed=0)
+    trainer.train()
+    assert all(np.isfinite(trainer.train_losses))
+
+
+def test_tcl_bank_guard(corpus):
+    """tcl > 0 is incompatible with the bank backend and must be loud."""
+    feats_path, pairs_path, _ = corpus
+    with pytest.raises(AssertionError):
+        OriginalDataLoader(pairs_path, feats_path, tcl=0.3,
+                           align_backend="bank")
+
+
 def test_prefetch_iterator():
     assert list(prefetch_iterator(iter(range(10)))) == list(range(10))
 
