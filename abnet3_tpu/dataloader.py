@@ -256,7 +256,7 @@ class OriginalDataLoader(DataLoader):
                     else None)
             # length-sorted order: batches of similar-length pairs run
             # small static DTW shapes (quadratic savings)
-            lens = np.asarray(self.token_bank.lengths)
+            lens = self.token_bank.lengths_host
             pair_len = np.maximum(lens[ids1], lens[ids2])
             order = np.argsort(pair_len, kind="stable")
             self._bank_pairs[m] = (
@@ -270,15 +270,17 @@ class OriginalDataLoader(DataLoader):
         mode = "train" if train_mode else "dev"
         ids1, ids2, ys, yspk = self._bank_pairs[mode]
         num_pairs = len(ids1)
+        if num_pairs == 0:  # empty split: no batches (like device/host)
+            return
         bs = self.batch_size
-        num_batches = max((num_pairs + bs - 1) // bs, 1)
+        num_batches = (num_pairs + bs - 1) // bs
         if self.num_max_minibatches < num_batches:
             selected = self._rng.choice(num_batches,
                                         self.num_max_minibatches,
                                         replace=False)
         else:
             selected = self._rng.permutation(num_batches)
-        lens = np.asarray(self.token_bank.lengths)
+        lens = self.token_bank.lengths_host
         for b in selected:
             sl = slice(b * bs, (b + 1) * bs)
             bi1, bi2, by = ids1[sl], ids2[sl], ys[sl]
@@ -750,7 +752,7 @@ class PairsDataLoader(OriginalDataLoader):
             ids2 += [0] * pad
             ys += [1.0] * pad
             w[n:] = 0.0
-        lens = np.asarray(self.token_bank.lengths)
+        lens = self.token_bank.lengths_host
         i1 = np.asarray(ids1, np.int32)
         i2 = np.asarray(ids2, np.int32)
         bucket = self.token_bank.bucket_for(

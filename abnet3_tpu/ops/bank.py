@@ -48,8 +48,10 @@ class TokenBank:
         self.max_len = T
         self.dim = d
         self.bank = jnp.asarray(bank)          # one-time h2d upload
-        self.lengths = jnp.asarray(
-            np.minimum(np.asarray(lens, np.int32), T))
+        # host copy first: reading lengths back from the device costs an
+        # RPC per call through the TPU tunnel
+        self.lengths_host = np.minimum(np.asarray(lens, np.int32), T)
+        self.lengths = jnp.asarray(self.lengths_host)
 
     def __len__(self):
         return len(self.keys)

@@ -188,7 +188,8 @@ def dtw_costs_auto(dist: jnp.ndarray) -> jnp.ndarray:
     well as XLA's cumsum). The Pallas kernel stays available behind
     ABNET3_PALLAS_DTW=1 for future kernel work.
     """
-    if os.environ.get("ABNET3_PALLAS_DTW") and _pallas_available():
+    if os.environ.get("ABNET3_PALLAS_DTW", "").lower() in ("1", "true", "yes") \
+            and _pallas_available():
         from abnet3_tpu.ops.pallas_dtw import dtw_costs_pallas
         return dtw_costs_pallas(dist)
     return dtw_costs(dist)

@@ -204,7 +204,8 @@ def make_sampled_train_step(network, loss, optimizer, bank, sampler,
 
         def loss_fn(p):
             e1, e2, new_state = network.forward(p, state, x1, x2,
-                                                rng=rng_drop, train=True)
+                                                rng=rng_drop, train=True,
+                                                weights=w)
             return loss(e1, e2, y, weights=w), new_state
 
         (value, new_state), grads = jax.value_and_grad(

@@ -200,10 +200,8 @@ class TrainerBuilder:
         tree, meta = load_pytree(self._ckpt_path)
         self.network.params = jax.tree_util.tree_map(jnp.asarray,
                                                      tree["params"])
-        state = tree.get("state", {})
-        if "__empty__" in state:
-            state = {}
-        self.network.state = jax.tree_util.tree_map(jnp.asarray, state)
+        self.network.state = jax.tree_util.tree_map(
+            jnp.asarray, tree.get("state", {}))
         self._restore_extra_meta(meta)
         # optimizer state: restore leaves into a freshly-built structure
         template = self._checkpoint_optimizer().init(self.network.params)
@@ -501,7 +499,9 @@ class TrainerSiamese(TrainerBuilder):
         """One train pass + one dev pass (reference trainer.py:226-256)."""
         params, state = self.network.ensure_init(self.seed)
         if self._opt_state is None:
-            self._opt_state = self.optimizer.init(params)
+            # subclasses with wrapped optimizers (MultimodalTrainer's
+            # multi_transform) supply the matching structure here
+            self._opt_state = self._checkpoint_optimizer().init(params)
         if hasattr(self.dataloader, "sampler_for"):
             return self._optimize_model_sampled(do_training)
         epoch_idx = len(self.train_losses)
@@ -687,9 +687,10 @@ class MultimodalTrainer(TrainerSiamese):
         x2 = tuple(batch.x2) if isinstance(batch.x2, list) else batch.x2
         if do_training:
             if "train" not in self._step_fns:
+                # optimizer state is initialised (or restored) by
+                # optimize_model/load_checkpoint with the matching
+                # _checkpoint_optimizer structure
                 self._step_fns["train"] = self._make_train_step()
-                self._opt_state = self._effective_optimizer.init(
-                    self.network.params)
             params, state, opt, value = self._step_fns["train"](
                 self.network.params, self.network.state, self._opt_state,
                 rng, x1, x2, batch.y, w)
