@@ -163,6 +163,53 @@ def test_run_single_experiment_end_to_end(experiment):
     assert emb.features()[0].shape == (80, 5)
 
 
+def test_test_files_embedding(experiment, tmp_path):
+    """Held-out test corpora get feature-generated and embedded
+    (reference gridsearch.py:234-277)."""
+    import numpy as np
+    from scipy.io import wavfile
+    yaml_path, exp_path, yaml_text = experiment
+    wavdir = tmp_path / "testwavs"
+    wavdir.mkdir()
+    fs = 16000
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        wavfile.write(str(wavdir / f"t{i}.wav"), fs,
+                      (rng.randn(fs // 2) * 1000).astype(np.int16))
+    # the experiment model takes 4-dim inputs -> test features must too:
+    # use 4 mel filters, no stacking
+    test_yaml = yaml_text + f"""
+test_files:
+  heldout:
+    name: heldout
+    files: {wavdir}
+"""
+    test_yaml = test_yaml.replace("method: fbanks",
+                                  "method: fbanks\n      n_filters: 4")
+    grid_yaml = str(tmp_path / "grid_test.yaml")
+    with open(grid_yaml, "w") as f:
+        f.write(test_yaml)
+    grid = GridSearch(input_file=grid_yaml)
+    grid.run()
+    # test features generated + embedded next to the experiment
+    assert os.path.exists(os.path.join(exp_path, "test-heldout"))
+    from abnet3_tpu.io import read_h5features
+    emb = read_h5features(os.path.join(exp_path, "heldout"))
+    assert emb.items() == ["t0", "t1"]
+    assert emb.features()[0].shape[1] == 5  # model output dim
+
+
+def test_run_experiment_worker():
+    """The num_jobs process-pool worker function is importable and
+    callable at module level (spawn requirement)."""
+    from abnet3_tpu.gridsearch import _run_experiment_worker
+    import multiprocessing as mp
+    assert callable(_run_experiment_worker)
+    # module-level (picklable for spawn)
+    import abnet3_tpu.gridsearch as g
+    assert getattr(g, "_run_experiment_worker") is _run_experiment_worker
+
+
 def test_embed_only(experiment):
     yaml_path, exp_path, _ = experiment
     GridSearch(input_file=yaml_path).run()  # train first

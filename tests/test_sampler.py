@@ -197,6 +197,28 @@ def test_sample_end_to_end(classes_file, spkid_file, tmp_path):
     assert train == train2
 
 
+def test_sample_batches_mode(classes_file, spkid_file, tmp_path):
+    """sample_batches=True writes pair_N.batch files instead of one
+    dataset file (reference sampler.py:732-737)."""
+    import glob
+    out = str(tmp_path / "pairs")
+    np.random.seed(1)
+    import random as pyrandom
+    pyrandom.seed(1)
+    sampler = SamplerClusterSiamese(
+        std_file=classes_file, spkid_file=spkid_file,
+        directory_output=out, seed=0, max_size_cluster=2, batch_size=8,
+        sample_batches=True, num_total_sampled_pairs=100)
+    sampler.sample()
+    batch_files = glob.glob(os.path.join(out, "train_pairs", "*.batch"))
+    assert len(batch_files) > 0
+    from abnet3_tpu.utils import Parse_Dataset, read_dataset
+    listed = Parse_Dataset(os.path.join(out, "train_pairs"))
+    assert sorted(listed) == sorted(batch_files)
+    pairs = read_dataset(batch_files[0])
+    assert 0 < len(pairs) <= 8
+
+
 def test_sample_batch_ratios(classes_file):
     """Pair-config counts follow the same/diff ratios
     (reference sampler.py:634-645)."""
