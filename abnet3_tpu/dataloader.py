@@ -40,7 +40,8 @@ from abnet3_tpu.utils import (Features_Accessor, get_dtw_alignment,
                               group_pairs, read_dataset, read_feats,
                               read_spkid_file)
 
-__all__ = ["Batch", "BankBatch", "DataLoader", "OriginalDataLoader",
+__all__ = ["Batch", "BankBatch", "SplitBankBatch", "DataLoader",
+           "OriginalDataLoader",
            "PairsDataLoader", "TemporalCoherenceDataLoader",
            "FramesDataLoader", "MultiTaskDataLoader",
            "MultimodalDataLoader", "OnDeviceSamplerDataLoader",
@@ -71,6 +72,23 @@ class BankBatch(NamedTuple):
     pair_w: object
     y_spk: object = None
     bucket: object = None  # static length bucket (max token frames)
+
+
+class SplitBankBatch(NamedTuple):
+    """Bank index batch with a STATIC same/diff split: the fused step runs
+    the DTW DP only on the same-word group and the cheap truncate/diagonal
+    alignment on the diff group (a mixed batch pays the quadratic DP for
+    every pair). Group sizes are fixed per dataloader (ragged tails carry
+    weight 0)."""
+    ids1s: object
+    ids2s: object
+    ws: object     # (Bs,) same-pair validity weights
+    ids1d: object
+    ids2d: object
+    wd: object     # (Bd,) diff-pair validity weights
+    y_spk_s: object = None
+    y_spk_d: object = None
+    bucket: object = None
 
 
 def prefetch_iterator(iterator, size: int = 2):
@@ -137,7 +155,7 @@ class OriginalDataLoader(DataLoader):
     def __init__(self, pairs_path, features_path, num_max_minibatches=1000,
                  seed=None, batch_size=8, shuffle_between_epochs=False,
                  align_different_words=False, tcl=0.0,
-                 align_backend="device"):
+                 align_backend="device", bank_split=True):
         assert 0 <= tcl < 1
         # 'device': per-batch padded arrays aligned on device
         # 'bank'  : whole token corpus resident in HBM, index-only batches
@@ -157,6 +175,9 @@ class OriginalDataLoader(DataLoader):
         self.align_different_words = align_different_words
         self.tcl = tcl
         self.align_backend = align_backend
+        # static same/diff grouping for bank batches: the fused step runs
+        # the DTW DP only on the same-word group
+        self.bank_split = bank_split
         self.train_files = None
         self.pairs = {"train": None, "dev": None}
         self.token_bank = None
@@ -271,6 +292,9 @@ class OriginalDataLoader(DataLoader):
         ids1, ids2, ys, yspk = self._bank_pairs[mode]
         num_pairs = len(ids1)
         if num_pairs == 0:  # empty split: no batches (like device/host)
+            return
+        if self.bank_split:
+            yield from self._split_bank_batches(ids1, ids2, ys, yspk)
             return
         bs = self.batch_size
         num_batches = (num_pairs + bs - 1) // bs
@@ -566,6 +590,68 @@ class OriginalDataLoader(DataLoader):
             jnp.concatenate([batch.y, jnp.asarray(Y_t)], axis=0),
             jnp.concatenate([w, jnp.asarray(w_t)], axis=0),
             batch.y_spk)
+
+
+    def _split_bank_batches(self, ids1, ids2, ys, yspk):
+        """Yield SplitBankBatch index batches with static per-group sizes:
+        Bs same + Bd diff pairs per batch (proportional to the split's
+        global same/diff ratio; ragged tails weigh 0)."""
+        same = ys > 0
+        s1, s2 = ids1[same], ids2[same]
+        d1, d2 = ids1[~same], ids2[~same]
+        spk_s = yspk[same] if yspk is not None else None
+        spk_d = yspk[~same] if yspk is not None else None
+        n_s, n_d = len(s1), len(d1)
+        bs = self.batch_size
+        Bs = max(1, round(bs * n_s / max(n_s + n_d, 1))) if n_s else 1
+        Bd = max(bs - Bs, 1) if n_d else 1
+        num_batches = max(
+            (n_s + Bs - 1) // Bs if n_s else 0,
+            (n_d + Bd - 1) // Bd if n_d else 0, 1)
+        if self.num_max_minibatches < num_batches:
+            selected = self._rng.choice(num_batches,
+                                        self.num_max_minibatches,
+                                        replace=False)
+        else:
+            selected = self._rng.permutation(num_batches)
+        lens = self.token_bank.lengths_host
+
+        def take(arr, b, B, fill=0):
+            sl = arr[b * B:(b + 1) * B]
+            w = np.ones(B, np.float32)
+            if len(sl) < B:
+                w[len(sl):] = 0.0
+                sl = np.concatenate(
+                    [sl, np.full(B - len(sl), fill, arr.dtype)])
+            return sl, w
+
+        for b in selected:
+            bi1s, ws = take(s1, b, Bs)
+            bi2s, _ = take(s2, b, Bs)
+            bi1d, wd = take(d1, b, Bd)
+            bi2d, _ = take(d2, b, Bd)
+            if not n_s:
+                ws[:] = 0.0
+            if not n_d:
+                wd[:] = 0.0
+            maxlen = 1
+            if ws.any():
+                maxlen = max(maxlen, int(np.maximum(
+                    lens[bi1s], lens[bi2s])[ws > 0].max()))
+            if wd.any():
+                maxlen = max(maxlen, int(np.maximum(
+                    lens[bi1d], lens[bi2d])[wd > 0].max()))
+            bucket = self.token_bank.bucket_for(maxlen)
+            bspk_s = bspk_d = None
+            if yspk is not None:
+                bspk_s, _ = take(spk_s, b, Bs, fill=1.0)
+                bspk_d, _ = take(spk_d, b, Bd, fill=1.0)
+            yield SplitBankBatch(
+                jnp.asarray(bi1s), jnp.asarray(bi2s), jnp.asarray(ws),
+                jnp.asarray(bi1d), jnp.asarray(bi2d), jnp.asarray(wd),
+                None if bspk_s is None else jnp.asarray(bspk_s),
+                None if bspk_d is None else jnp.asarray(bspk_d),
+                bucket=bucket)
 
 
 class PairsDataLoader(OriginalDataLoader):

@@ -37,8 +37,8 @@ from abnet3_tpu.ops.dtw import (align_diff_batch, dtw_backtrace,
 
 __all__ = ["make_mesh", "param_shardings", "shard_array",
            "make_fused_train_step", "make_indexed_train_step",
-           "make_pair_train_step", "make_sampled_train_step",
-           "make_sampled_eval_step"]
+           "make_pair_train_step", "make_split_pair_train_step",
+           "make_sampled_train_step", "make_sampled_eval_step"]
 
 
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
@@ -182,6 +182,137 @@ def _bank_align(bank, ids1, ids2, y_pair, pair_w,
     yb = jnp.broadcast_to(y_pair[:, None], (y_pair.shape[0], L))
     return (x1.reshape(-1, d), x2.reshape(-1, d), yb.reshape(-1),
             w.reshape(-1))
+
+
+def _split_bank_align(bank, ids1s, ids2s, ws, ids1d, ids2d, wd,
+                      align_different_words, use_pallas, max_frames):
+    """Static same/diff split: DTW DP only over the same-word group; diff
+    pairs use the cheap truncate/diagonal alignment at L=T (vs a mixed
+    batch paying the quadratic DP and 2T-1 padding for every pair)."""
+    T = max_frames if max_frames is not None else bank.max_len
+    Ls = 2 * T - 1
+    f1s, n1s = bank.take(ids1s, T)
+    f2s, n2s = bank.take(ids2s, T)
+    dist = pairwise_angular_distance(f1s, f2s)
+    from abnet3_tpu.ops.dtw import dtw_costs
+    D = dtw_costs_auto(dist) if use_pallas else dtw_costs(dist)
+    p1s, p2s, plen_s = dtw_backtrace(D, n1s, n2s)
+    x1s = gather_aligned(f1s, p1s)
+    x2s = gather_aligned(f2s, p2s)
+    wfs = ((jnp.arange(Ls)[None, :] < plen_s[:, None]).astype(jnp.float32)
+           * ws[:, None])
+
+    f1d, n1d = bank.take(ids1d, T)
+    f2d, n2d = bank.take(ids2d, T)
+    p1d, p2d, plen_d = align_diff_batch(
+        n1d, n2d, T, T, align_different_words=align_different_words)
+    x1d = gather_aligned(f1d, p1d)
+    x2d = gather_aligned(f2d, p2d)
+    Ld = x1d.shape[1]
+    wfd = ((jnp.arange(Ld)[None, :] < plen_d[:, None]).astype(jnp.float32)
+           * wd[:, None])
+
+    d = x1s.shape[-1]
+    x1 = jnp.concatenate([x1s.reshape(-1, d), x1d.reshape(-1, d)])
+    x2 = jnp.concatenate([x2s.reshape(-1, d), x2d.reshape(-1, d)])
+    y = jnp.concatenate([jnp.ones(x1s.shape[0] * Ls),
+                         -jnp.ones(x1d.shape[0] * Ld)])
+    w = jnp.concatenate([wfs.reshape(-1), wfd.reshape(-1)])
+    return x1, x2, y, w, Ls, Ld
+
+
+def make_split_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
+                               align_different_words: bool = False,
+                               extra_labels: bool = False,
+                               max_frames: int = None):
+    """Train/eval steps over SplitBankBatch index batches (static
+    same/diff groups). Returns (train_step, eval_step)."""
+    dp = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+    single_dev = mesh.size == 1
+    n_batch_args = 8 if extra_labels else 6
+
+    def align(args):
+        if extra_labels:
+            (ids1s, ids2s, ws, ids1d, ids2d, wd, yspk_s, yspk_d) = args
+        else:
+            ids1s, ids2s, ws, ids1d, ids2d, wd = args
+            yspk_s = yspk_d = None
+        x1, x2, y, w, Ls, Ld = _split_bank_align(
+            bank, ids1s, ids2s, ws, ids1d, ids2d, wd,
+            align_different_words, single_dev, max_frames)
+        y_spk = None
+        if extra_labels:
+            y_spk = jnp.concatenate([
+                jnp.repeat(yspk_s, Ls), jnp.repeat(yspk_d, Ld)])
+        return x1, x2, y, w, y_spk
+
+    def step(params, state, opt_state, rng, *args):
+        x1, x2, y, w, y_spk = align(args)
+
+        def loss_fn(p):
+            if extra_labels:
+                spk1, phn1, spk2, phn2, new_state = network.forward(
+                    p, state, x1, x2, rng=rng, train=True, weights=w)
+                return loss(spk1, phn1, spk2, phn2, y_spk, y,
+                            weights=w), new_state
+            e1, e2, new_state = network.forward(p, state, x1, x2, rng=rng,
+                                                train=True, weights=w)
+            return loss(e1, e2, y, weights=w), new_state
+
+        (value, new_state), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, new_opt = optimizer.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), new_state, new_opt,
+                value)
+
+    def eval_step(params, state, *args):
+        x1, x2, y, w, y_spk = align(args)
+        if extra_labels:
+            spk1, phn1, spk2, phn2, _ = network.forward(
+                params, state, x1, x2, train=False)
+            return loss(spk1, phn1, spk2, phn2, y_spk, y, weights=w)
+        e1, e2, _ = network.forward(params, state, x1, x2, train=False)
+        return loss(e1, e2, y, weights=w)
+
+    cache = {}
+    n_data = mesh.shape["data"]
+
+    def _pad_groups(args):
+        """Group sizes must divide the data axis; pad ids with 0 and
+        weights with 0 (spk labels with 1) — padded pairs weigh nothing."""
+        if n_data == 1:
+            return args
+        out = []
+        for i, a in enumerate(args):
+            pad = (-a.shape[0]) % n_data
+            if pad:
+                fill = 0.0 if i in (2, 5) else (1.0 if i >= 6 else 0)
+                a = jnp.concatenate(
+                    [a, jnp.full((pad,), fill, a.dtype)])
+            out.append(a)
+        return tuple(out)
+
+    def compiled(params, state, opt_state, rng, *args):
+        if "jit" not in cache:
+            p_shard = param_shardings(params, mesh)
+            cache["jit"] = jax.jit(
+                step,
+                in_shardings=(p_shard, None, None, rep)
+                + (dp,) * n_batch_args,
+                out_shardings=(p_shard, None, None, None))
+        return cache["jit"](params, state, opt_state, rng,
+                            *_pad_groups(args))
+
+    def compiled_eval(params, state, *args):
+        if "ejit" not in cache:
+            p_shard = param_shardings(params, mesh)
+            cache["ejit"] = jax.jit(
+                eval_step,
+                in_shardings=(p_shard, None) + (dp,) * n_batch_args)
+        return cache["ejit"](params, state, *_pad_groups(args))
+
+    return compiled, compiled_eval
 
 
 def make_sampled_train_step(network, loss, optimizer, bank, sampler,

@@ -364,25 +364,61 @@ class TrainerSiamese(TrainerBuilder):
 
     _BANK_EXTRA_LABELS = False
 
+    def _bank_mesh(self):
+        if self.mesh is not None:
+            return self.mesh
+        from abnet3_tpu.parallel import make_mesh
+        return make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+
     def _ensure_bank_steps(self, bucket=None):
         """Step functions per length bucket (one compile per bucket of the
         coarse ladder; short pair batches run small DTW shapes)."""
         key = ("bank", bucket)
         if key not in self._step_fns:
-            from abnet3_tpu.parallel import make_mesh, make_pair_train_step
-            mesh = self.mesh
-            if mesh is None:
-                mesh = make_mesh(n_data=1, n_model=1,
-                                 devices=jax.devices()[:1])
+            from abnet3_tpu.parallel import make_pair_train_step
             train, evalf = make_pair_train_step(
                 self.network, self.loss, self.optimizer,
-                self.dataloader.token_bank, mesh,
+                self.dataloader.token_bank, self._bank_mesh(),
                 align_different_words=getattr(
                     self.dataloader, "align_different_words", False),
                 extra_labels=self._BANK_EXTRA_LABELS,
                 max_frames=bucket)
             self._step_fns[key] = (train, evalf)
         return self._step_fns[key]
+
+    def _ensure_split_bank_steps(self, bucket=None):
+        key = ("split_bank", bucket)
+        if key not in self._step_fns:
+            from abnet3_tpu.parallel import make_split_pair_train_step
+            self._step_fns[key] = make_split_pair_train_step(
+                self.network, self.loss, self.optimizer,
+                self.dataloader.token_bank, self._bank_mesh(),
+                align_different_words=getattr(
+                    self.dataloader, "align_different_words", False),
+                extra_labels=self._BANK_EXTRA_LABELS,
+                max_frames=bucket)
+        return self._step_fns[key]
+
+    def _split_bank_args(self, b):
+        args = (b.ids1s, b.ids2s, b.ws, b.ids1d, b.ids2d, b.wd)
+        if self._BANK_EXTRA_LABELS:
+            assert b.y_spk_s is not None, \
+                "multitask bank training needs speaker labels"
+            args = args + (b.y_spk_s, b.y_spk_d)
+        return args
+
+    def _give_split_bank_batch(self, b, do_training, rng):
+        train_step, eval_step = self._ensure_split_bank_steps(b.bucket)
+        if do_training:
+            params, state, opt, value = train_step(
+                self.network.params, self.network.state, self._opt_state,
+                rng, *self._split_bank_args(b))
+            self.network.params = params
+            self.network.state = state
+            self._opt_state = opt
+            return value
+        return eval_step(self.network.params, self.network.state,
+                         *self._split_bank_args(b))
 
     def _bank_args(self, b):
         if self._BANK_EXTRA_LABELS:
@@ -407,7 +443,11 @@ class TrainerSiamese(TrainerBuilder):
     def give_batch_to_network(self, batch, do_training, rng):
         """One step; returns the batch loss value
         (reference trainer.py:211-224)."""
-        from abnet3_tpu.dataloader import BankBatch
+        from abnet3_tpu.dataloader import BankBatch, SplitBankBatch
+        if isinstance(batch, SplitBankBatch):
+            if rng is None:
+                rng = jax.random.PRNGKey(self.seed)
+            return self._give_split_bank_batch(batch, do_training, rng)
         if isinstance(batch, BankBatch):
             if rng is None:
                 rng = jax.random.PRNGKey(self.seed)
@@ -572,7 +612,11 @@ class TrainerSiameseMultitask(TrainerSiamese):
     _BANK_EXTRA_LABELS = True
 
     def give_batch_to_network(self, batch, do_training, rng):
-        from abnet3_tpu.dataloader import BankBatch
+        from abnet3_tpu.dataloader import BankBatch, SplitBankBatch
+        if isinstance(batch, SplitBankBatch):
+            if rng is None:
+                rng = jax.random.PRNGKey(self.seed)
+            return self._give_split_bank_batch(batch, do_training, rng)
         if isinstance(batch, BankBatch):
             if rng is None:
                 rng = jax.random.PRNGKey(self.seed)

@@ -262,6 +262,48 @@ def test_pairs_dataloader_bank_backend(tmp_path):
     assert all(np.isfinite(trainer.train_losses))
 
 
+def test_split_bank_batches(corpus):
+    """Default bank batches carry a static same/diff split so the fused
+    step runs the DTW DP only on the same-word group."""
+    from abnet3_tpu.dataloader import SplitBankBatch
+    feats_path, pairs_path, _ = corpus
+    dl = OriginalDataLoader(pairs_path, feats_path, batch_size=4,
+                            num_max_minibatches=10, seed=0,
+                            align_backend="bank")
+    batches = list(dl.batch_iterator(True))
+    assert batches and all(isinstance(b, SplitBankBatch) for b in batches)
+    lens = dl.token_bank.lengths_host
+    types = None
+    # every valid same-group entry really is a same pair from the file
+    ids1, ids2, ys, _ = dl._bank_pairs["train"]
+    same_set = {(a, b) for a, b, y in zip(ids1, ids2, ys) if y > 0}
+    diff_set = {(a, b) for a, b, y in zip(ids1, ids2, ys) if y < 0}
+    seen_same, seen_diff = set(), set()
+    for b in batches:
+        ws = np.asarray(b.ws)
+        wd = np.asarray(b.wd)
+        for i in np.nonzero(ws > 0)[0]:
+            key = (int(np.asarray(b.ids1s)[i]), int(np.asarray(b.ids2s)[i]))
+            assert key in same_set
+            seen_same.add(key)
+        for i in np.nonzero(wd > 0)[0]:
+            key = (int(np.asarray(b.ids1d)[i]), int(np.asarray(b.ids2d)[i]))
+            assert key in diff_set
+            seen_diff.add(key)
+        # bucket covers every valid token in the batch
+        for i in np.nonzero(ws > 0)[0]:
+            assert lens[np.asarray(b.ids1s)[i]] <= b.bucket
+    assert seen_same == same_set and seen_diff == diff_set
+
+    # escape hatch: bank_split=False yields mixed BankBatches
+    from abnet3_tpu.dataloader import BankBatch
+    dl2 = OriginalDataLoader(pairs_path, feats_path, batch_size=4,
+                             num_max_minibatches=10, seed=0,
+                             align_backend="bank", bank_split=False)
+    assert all(isinstance(b, BankBatch)
+               for b in dl2.batch_iterator(True))
+
+
 def test_tcl_bank_guard(corpus):
     """tcl > 0 is incompatible with the bank backend and must be loud."""
     feats_path, pairs_path, _ = corpus
