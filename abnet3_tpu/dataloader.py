@@ -1037,7 +1037,7 @@ class OnDeviceSamplerDataLoader(OriginalDataLoader):
                  ratio_same_diff_type=0.5, type_sampling_mode="log",
                  spk_sampling_mode="log", max_size_cluster=10,
                  max_num_clusters=None, split_method="clusters",
-                 seed=0, pairs_path=None):
+                 seed=0, pairs_path=None, steps_per_call=8):
         # pairs_path accepted (and ignored) for gridsearch auto-wiring
         super().__init__(pairs_path, features_path,
                          num_max_minibatches=num_max_minibatches,
@@ -1053,6 +1053,9 @@ class OnDeviceSamplerDataLoader(OriginalDataLoader):
         self.max_size_cluster = max_size_cluster
         self.max_num_clusters = max_num_clusters
         self.split_method = split_method
+        # optimizer steps chained per jitted dispatch (amortizes
+        # per-dispatch latency; see make_sampled_train_step)
+        self.steps_per_call = steps_per_call
         self.device_samplers = None  # {'train': ..., 'dev': ...}
 
     def whoami(self):

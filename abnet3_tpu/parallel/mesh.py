@@ -317,16 +317,21 @@ def make_split_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
 
 def make_sampled_train_step(network, loss, optimizer, bank, sampler,
                             mesh: Mesh,
-                            align_different_words: bool = False):
-    """The fully on-device pipeline: one jitted step that SAMPLES a fresh
-    pair batch (DevicePairSampler), gathers tokens from the HBM-resident
-    bank, DTW-aligns, and trains — per step the host sends a PRNG key and
+                            align_different_words: bool = False,
+                            steps_per_call: int = 1):
+    """The fully on-device pipeline: one jitted call that SAMPLES fresh
+    pair batches (DevicePairSampler), gathers tokens from the HBM-resident
+    bank, DTW-aligns, and trains — per call the host sends a PRNG key and
     receives a scalar loss; nothing else crosses the host-device boundary.
+
+    steps_per_call > 1 chains that many optimizer steps in one lax.scan'd
+    dispatch: through high-latency runtimes (this repo's TPU tunnel costs
+    tens of ms per dispatch) the per-step overhead divides by K.
     """
     rep = NamedSharding(mesh, P())
     single_dev = mesh.size == 1
 
-    def step(params, state, opt_state, rng):
+    def one_step(params, state, opt_state, rng):
         rng_sample, rng_drop = jax.random.split(rng)
         ids1, ids2, y_pair = sampler.sample(rng_sample)
         pair_w = jnp.ones_like(y_pair)
@@ -344,6 +349,19 @@ def make_sampled_train_step(network, loss, optimizer, bank, sampler,
         updates, new_opt = optimizer.update(grads, opt_state, params)
         return (optax.apply_updates(params, updates), new_state, new_opt,
                 value)
+
+    if steps_per_call == 1:
+        step = one_step
+    else:
+        def step(params, state, opt_state, rng):
+            def body(carry, k):
+                p, s, o = carry
+                p, s, o, v = one_step(p, s, o, jax.random.fold_in(rng, k))
+                return (p, s, o), v
+            (params, state, opt_state), values = jax.lax.scan(
+                body, (params, state, opt_state),
+                jnp.arange(steps_per_call))
+            return params, state, opt_state, jnp.mean(values)
 
     cache = {}
 

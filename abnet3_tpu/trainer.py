@@ -484,10 +484,11 @@ class TrainerSiamese(TrainerBuilder):
                                  devices=jax.devices()[:1])
             bank = self.dataloader.bank_for(train_mode)
             sampler = self.dataloader.sampler_for(train_mode)
+            k = getattr(self.dataloader, "steps_per_call", 1)
             self._step_fns[key] = (
                 make_sampled_train_step(self.network, self.loss,
                                         self.optimizer, bank, sampler,
-                                        mesh),
+                                        mesh, steps_per_call=k),
                 make_sampled_eval_step(self.network, self.loss, bank,
                                        sampler, mesh))
         return self._step_fns[key]
@@ -501,8 +502,10 @@ class TrainerSiamese(TrainerBuilder):
         train_step, _ = self._ensure_sampled_steps(True)
         _, dev_eval = self._ensure_sampled_steps(False)
 
+        k = max(getattr(self.dataloader, "steps_per_call", 1), 1)
+        n_calls = max(self.dataloader.steps_per_epoch(True) // k, 1)
         losses = []
-        for i in range(self.dataloader.steps_per_epoch(True)):
+        for i in range(n_calls):
             rng = jax.random.fold_in(base_rng, i)
             if do_training:
                 params, state, opt, value = train_step(
