@@ -155,7 +155,8 @@ class OriginalDataLoader(DataLoader):
     def __init__(self, pairs_path, features_path, num_max_minibatches=1000,
                  seed=None, batch_size=8, shuffle_between_epochs=False,
                  align_different_words=False, tcl=0.0,
-                 align_backend="device", bank_split=True):
+                 align_backend="device", bank_split=True,
+                 steps_per_call=8):
         assert 0 <= tcl < 1
         # 'device': per-batch padded arrays aligned on device
         # 'bank'  : whole token corpus resident in HBM, index-only batches
@@ -178,6 +179,9 @@ class OriginalDataLoader(DataLoader):
         # static same/diff grouping for bank batches: the fused step runs
         # the DTW DP only on the same-word group
         self.bank_split = bank_split
+        # train steps chained per jitted dispatch (amortizes dispatch
+        # latency; the trainer buffers same-bucket batches to this depth)
+        self.steps_per_call = steps_per_call
         self.train_files = None
         self.pairs = {"train": None, "dev": None}
         self.token_bank = None
@@ -646,12 +650,11 @@ class OriginalDataLoader(DataLoader):
             if yspk is not None:
                 bspk_s, _ = take(spk_s, b, Bs, fill=1.0)
                 bspk_d, _ = take(spk_d, b, Bd, fill=1.0)
-            yield SplitBankBatch(
-                jnp.asarray(bi1s), jnp.asarray(bi2s), jnp.asarray(ws),
-                jnp.asarray(bi1d), jnp.asarray(bi2d), jnp.asarray(wd),
-                None if bspk_s is None else jnp.asarray(bspk_s),
-                None if bspk_d is None else jnp.asarray(bspk_d),
-                bucket=bucket)
+            # numpy on purpose: the trainer host-stacks K batches into one
+            # chained dispatch (stacking device arrays costs extra device
+            # ops; one h2d per stacked field amortizes over K steps)
+            yield SplitBankBatch(bi1s, bi2s, ws, bi1d, bi2d, wd,
+                                 bspk_s, bspk_d, bucket=bucket)
 
 
 class PairsDataLoader(OriginalDataLoader):

@@ -224,13 +224,19 @@ def _split_bank_align(bank, ids1s, ids2s, ws, ids1d, ids2d, wd,
 def make_split_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
                                align_different_words: bool = False,
                                extra_labels: bool = False,
-                               max_frames: int = None):
+                               max_frames: int = None,
+                               steps_per_call: int = 1):
     """Train/eval steps over SplitBankBatch index batches (static
-    same/diff groups). Returns (train_step, eval_step)."""
+    same/diff groups). Returns (train_step, eval_step).
+
+    steps_per_call > 1: the train step takes K stacked batches
+    (leading axis K on every batch array) and lax.scans K optimizer
+    steps in one dispatch — per-dispatch latency amortizes across K."""
     dp = NamedSharding(mesh, P("data"))
     rep = NamedSharding(mesh, P())
     single_dev = mesh.size == 1
     n_batch_args = 8 if extra_labels else 6
+    K = steps_per_call
 
     def align(args):
         if extra_labels:
@@ -247,7 +253,7 @@ def make_split_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
                 jnp.repeat(yspk_s, Ls), jnp.repeat(yspk_d, Ld)])
         return x1, x2, y, w, y_spk
 
-    def step(params, state, opt_state, rng, *args):
+    def one_step(params, state, opt_state, rng, args):
         x1, x2, y, w, y_spk = align(args)
 
         def loss_fn(p):
@@ -266,6 +272,23 @@ def make_split_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
         return (optax.apply_updates(params, updates), new_state, new_opt,
                 value)
 
+    if K == 1:
+        def step(params, state, opt_state, rng, *args):
+            return one_step(params, state, opt_state, rng, args)
+    else:
+        def step(params, state, opt_state, rng, *stacked):
+            # stacked: each batch array has leading axis K
+            def body(carry, inp):
+                p, s, o = carry
+                k, args = inp[0], inp[1:]
+                p, s, o, v = one_step(p, s, o,
+                                      jax.random.fold_in(rng, k), args)
+                return (p, s, o), v
+            (params, state, opt_state), values = jax.lax.scan(
+                body, (params, state, opt_state),
+                (jnp.arange(K),) + stacked)
+            return params, state, opt_state, jnp.mean(values)
+
     def eval_step(params, state, *args):
         x1, x2, y, w, y_spk = align(args)
         if extra_labels:
@@ -277,6 +300,8 @@ def make_split_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
 
     cache = {}
     n_data = mesh.shape["data"]
+    group_axis = 0 if K == 1 else 1  # K>1: leading axis is the step index
+    dp_step = dp if K == 1 else NamedSharding(mesh, P(None, "data"))
 
     def _pad_groups(args):
         """Group sizes must divide the data axis; pad ids with 0 and
@@ -285,11 +310,12 @@ def make_split_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
             return args
         out = []
         for i, a in enumerate(args):
-            pad = (-a.shape[0]) % n_data
+            pad = (-a.shape[group_axis]) % n_data
             if pad:
                 fill = 0.0 if i in (2, 5) else (1.0 if i >= 6 else 0)
-                a = jnp.concatenate(
-                    [a, jnp.full((pad,), fill, a.dtype)])
+                widths = [(0, 0)] * a.ndim
+                widths[group_axis] = (0, pad)
+                a = jnp.pad(a, widths, constant_values=fill)
             out.append(a)
         return tuple(out)
 
@@ -299,7 +325,7 @@ def make_split_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
             cache["jit"] = jax.jit(
                 step,
                 in_shardings=(p_shard, None, None, rep)
-                + (dp,) * n_batch_args,
+                + (dp_step,) * n_batch_args,
                 out_shardings=(p_shard, None, None, None))
         return cache["jit"](params, state, opt_state, rng,
                             *_pad_groups(args))

@@ -386,8 +386,8 @@ class TrainerSiamese(TrainerBuilder):
             self._step_fns[key] = (train, evalf)
         return self._step_fns[key]
 
-    def _ensure_split_bank_steps(self, bucket=None):
-        key = ("split_bank", bucket)
+    def _ensure_split_bank_steps(self, bucket=None, steps_per_call=1):
+        key = ("split_bank", bucket, steps_per_call)
         if key not in self._step_fns:
             from abnet3_tpu.parallel import make_split_pair_train_step
             self._step_fns[key] = make_split_pair_train_step(
@@ -396,8 +396,39 @@ class TrainerSiamese(TrainerBuilder):
                 align_different_words=getattr(
                     self.dataloader, "align_different_words", False),
                 extra_labels=self._BANK_EXTRA_LABELS,
-                max_frames=bucket)
+                max_frames=bucket, steps_per_call=steps_per_call)
         return self._step_fns[key]
+
+    @property
+    def _bank_steps_per_call(self):
+        return max(getattr(self.dataloader, "steps_per_call", 1), 1)
+
+    def _dispatch_split_chunk(self, bucket, chunk, rng):
+        """Dispatch K buffered same-bucket batches as one scanned call."""
+        K = len(chunk)
+        train_step, _ = self._ensure_split_bank_steps(bucket, K)
+        n_args = len(self._split_bank_args(chunk[0]))
+        stacked = tuple(np.stack([np.asarray(self._split_bank_args(b)[i])
+                                  for b in chunk])
+                        for i in range(n_args))
+        params, state, opt, value = train_step(
+            self.network.params, self.network.state, self._opt_state,
+            rng, *stacked)
+        self.network.params = params
+        self.network.state = state
+        self._opt_state = opt
+        return value
+
+    def _flush_split_buffers(self, rng):
+        # leftovers run single-step: a chained variant per partial chunk
+        # size would trigger a fresh compile each epoch
+        vals = []
+        for bucket, chunk in list(self._split_buf.items()):
+            for j, b in enumerate(chunk):
+                vals.append(self._give_split_single(
+                    b, True, jax.random.fold_in(rng, j)))
+        self._split_buf = {}
+        return vals
 
     def _split_bank_args(self, b):
         args = (b.ids1s, b.ids2s, b.ws, b.ids1d, b.ids2d, b.wd)
@@ -407,8 +438,8 @@ class TrainerSiamese(TrainerBuilder):
             args = args + (b.y_spk_s, b.y_spk_d)
         return args
 
-    def _give_split_bank_batch(self, b, do_training, rng):
-        train_step, eval_step = self._ensure_split_bank_steps(b.bucket)
+    def _give_split_single(self, b, do_training, rng):
+        train_step, eval_step = self._ensure_split_bank_steps(b.bucket, 1)
         if do_training:
             params, state, opt, value = train_step(
                 self.network.params, self.network.state, self._opt_state,
@@ -419,6 +450,22 @@ class TrainerSiamese(TrainerBuilder):
             return value
         return eval_step(self.network.params, self.network.state,
                          *self._split_bank_args(b))
+
+    def _give_split_bank_batch(self, b, do_training, rng):
+        """Train batches accumulate into per-bucket buffers of K and get
+        dispatched as one scanned call (returns None while buffering);
+        eval batches run single-step."""
+        K = self._bank_steps_per_call
+        if not do_training or K == 1:
+            return self._give_split_single(b, do_training, rng)
+        if not hasattr(self, "_split_buf"):
+            self._split_buf = {}
+        buf = self._split_buf.setdefault(b.bucket, [])
+        buf.append(b)
+        if len(buf) >= K:
+            self._split_buf[b.bucket] = []
+            return self._dispatch_split_chunk(b.bucket, buf, rng)
+        return None
 
     def _bank_args(self, b):
         if self._BANK_EXTRA_LABELS:
@@ -557,9 +604,17 @@ class TrainerSiamese(TrainerBuilder):
                 self.dataloader.batch_iterator(train_mode=True),
                 self.prefetch)):
             rng = jax.random.fold_in(base_rng, i)
-            losses.append(self.give_batch_to_network(batch, do_training,
-                                                     rng))
+            value = self.give_batch_to_network(batch, do_training, rng)
+            if value is None:  # buffered into a chained dispatch
+                continue
+            losses.append(value)
             num_batches_train += 1
+        # flush partial chained buffers (one entry per flushed chunk)
+        if do_training and getattr(self, "_split_buf", None):
+            flush_rng = jax.random.fold_in(base_rng, 1 << 20)
+            for value in self._flush_split_buffers(flush_rng):
+                losses.append(value)
+                num_batches_train += 1
         train_loss = float(np.sum([np.asarray(l) for l in losses])) \
             if losses else 0.0
 
