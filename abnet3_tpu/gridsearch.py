@@ -279,7 +279,17 @@ class GridSearch:
 
 
 def _run_experiment_worker(args):
-    """Module-level worker for multiprocessing (one experiment)."""
+    """Module-level worker for multiprocessing (one experiment).
+
+    ABNET3_WORKER_PLATFORM (e.g. 'cpu') pins the jax backend in workers —
+    useful when several experiments share one host and must not all grab
+    the same accelerator (device-level isolation is deployment-specific:
+    set the platform/visible-devices env per worker pool as appropriate).
+    """
+    platform = os.environ.get("ABNET3_WORKER_PLATFORM")
+    if platform:
+        import jax
+        jax.config.update("jax_platforms", platform)
     input_file, exp, test_files, embed_only, test_only = args
     grid = GridSearch(input_file=input_file, num_jobs=1,
                       embed_only=embed_only, test_only=test_only)

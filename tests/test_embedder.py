@@ -105,6 +105,27 @@ def test_embedder_sharded_mesh(feature_file, tmp_path):
         np.testing.assert_allclose(fa, fb, rtol=1e-5, atol=1e-6)
 
 
+def test_embedder_bf16_transfer(feature_file, tmp_path):
+    """transfer_dtype='bfloat16' halves d2h bytes; output stays float32
+    and close to the f32 path."""
+    path, items, feats, _ = feature_file
+    net = SiameseNetwork(input_dim=6, num_hidden_layers=1, hidden_dim=16,
+                         output_dim=7, p_dropout=0.0,
+                         activation_layer="sigmoid")
+    net.ensure_init(0)
+    out32 = str(tmp_path / "e32.h5f")
+    EmbedderSiamese(network=net, feature_path=path, output_path=out32,
+                    batch_size=64).embed()
+    out16 = str(tmp_path / "e16.h5f")
+    EmbedderSiamese(network=net, feature_path=path, output_path=out16,
+                    batch_size=64, transfer_dtype="bfloat16").embed()
+    a = read_h5features(out32)
+    b = read_h5features(out16)
+    for fa, fb in zip(a.features(), b.features()):
+        assert fb.dtype == np.float32
+        np.testing.assert_allclose(fa, fb, atol=5e-3)
+
+
 def test_embedder_requires_network():
     with pytest.raises(ValueError):
         EmbedderSiamese(network=None, feature_path="x", output_path="y")

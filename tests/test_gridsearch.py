@@ -210,6 +210,27 @@ def test_run_experiment_worker():
     assert getattr(g, "_run_experiment_worker") is _run_experiment_worker
 
 
+@pytest.mark.skipif(not os.environ.get("ABNET3_RUN_SLOW_TESTS"),
+                    reason="worker processes re-import jax and may hit "
+                           "the slow remote-compile path (~6 min); set "
+                           "ABNET3_RUN_SLOW_TESTS=1 to run")
+def test_num_jobs_parallel_grid(experiment, tmp_path, monkeypatch):
+    """A 2-point grid runs in 2 worker processes (the reference declared
+    num_jobs but never implemented it, reference gridsearch.py:299-300)."""
+    yaml_path, exp_path, yaml_text = experiment
+    grid_yaml = str(tmp_path / "grid2.yaml")
+    with open(grid_yaml, "w") as f:
+        f.write(yaml_text + "grid_params:\n  trainer:\n    arguments:\n"
+                            "      lr: [0.1, 0.01]\n")
+    monkeypatch.setenv("ABNET3_WORKER_PLATFORM", "cpu")
+    grid = GridSearch(input_file=grid_yaml, num_jobs=2, date="2026-01-02")
+    grid.run()
+    import glob
+    embs = glob.glob(os.path.join(exp_path, "2026-01-02", "lr", "*",
+                                  "embeddings.h5f"))
+    assert len(embs) == 2
+
+
 def test_embed_only(experiment):
     yaml_path, exp_path, _ = experiment
     GridSearch(input_file=yaml_path).run()  # train first
