@@ -326,6 +326,10 @@ class OriginalDataLoader(DataLoader):
                     bspk = np.concatenate([bspk,
                                            np.ones(pad, np.float32)])
                 w[n:] = 0.0
+            self.statistics_training["SameType"] += int(
+                ((by > 0) & (w > 0)).sum())
+            self.statistics_training["DiffType"] += int(
+                ((by < 0) & (w > 0)).sum())
             # stage on device from the (prefetch) thread so transfers
             # overlap with the previous step's compute
             yield BankBatch(jnp.asarray(bi1), jnp.asarray(bi2),
@@ -650,6 +654,8 @@ class OriginalDataLoader(DataLoader):
             if yspk is not None:
                 bspk_s, _ = take(spk_s, b, Bs, fill=1.0)
                 bspk_d, _ = take(spk_d, b, Bd, fill=1.0)
+            self.statistics_training["SameType"] += int(ws.sum())
+            self.statistics_training["DiffType"] += int(wd.sum())
             # numpy on purpose: the trainer host-stacks K batches into one
             # chained dispatch (stacking device arrays costs extra device
             # ops; one h2d per stacked field amortizes over K steps)
@@ -1072,6 +1078,7 @@ class OnDeviceSamplerDataLoader(OriginalDataLoader):
             "ratio_same_diff_type": self.ratio_same_diff_type,
             "type_sampling_mode": self.type_sampling_mode,
             "spk_sampling_mode": self.spk_sampling_mode,
+            "steps_per_call": self.steps_per_call,
             "seed": self.seed,
         }, "class_name": self.__class__.__name__}
 
