@@ -196,6 +196,8 @@ class OriginalDataLoader(DataLoader):
             "num_max_minibatches": self.num_max_minibatches,
             "batch_size": self.batch_size,
             "align_backend": self.align_backend,
+            "bank_split": self.bank_split,
+            "steps_per_call": self.steps_per_call,
             "tcl": self.tcl,
         }, "class_name": self.__class__.__name__}
 
@@ -298,7 +300,8 @@ class OriginalDataLoader(DataLoader):
         if num_pairs == 0:  # empty split: no batches (like device/host)
             return
         if self.bank_split:
-            yield from self._split_bank_batches(ids1, ids2, ys, yspk)
+            yield from self._split_bank_batches(ids1, ids2, ys, yspk,
+                                                count_stats=train_mode)
             return
         bs = self.batch_size
         num_batches = (num_pairs + bs - 1) // bs
@@ -326,10 +329,11 @@ class OriginalDataLoader(DataLoader):
                     bspk = np.concatenate([bspk,
                                            np.ones(pad, np.float32)])
                 w[n:] = 0.0
-            self.statistics_training["SameType"] += int(
-                ((by > 0) & (w > 0)).sum())
-            self.statistics_training["DiffType"] += int(
-                ((by < 0) & (w > 0)).sum())
+            if train_mode:
+                self.statistics_training["SameType"] += int(
+                    ((by > 0) & (w > 0)).sum())
+                self.statistics_training["DiffType"] += int(
+                    ((by < 0) & (w > 0)).sum())
             # stage on device from the (prefetch) thread so transfers
             # overlap with the previous step's compute
             yield BankBatch(jnp.asarray(bi1), jnp.asarray(bi2),
@@ -600,7 +604,8 @@ class OriginalDataLoader(DataLoader):
             batch.y_spk)
 
 
-    def _split_bank_batches(self, ids1, ids2, ys, yspk):
+    def _split_bank_batches(self, ids1, ids2, ys, yspk,
+                            count_stats=True):
         """Yield SplitBankBatch index batches with static per-group sizes:
         Bs same + Bd diff pairs per batch (proportional to the split's
         global same/diff ratio; ragged tails weigh 0)."""
@@ -654,8 +659,9 @@ class OriginalDataLoader(DataLoader):
             if yspk is not None:
                 bspk_s, _ = take(spk_s, b, Bs, fill=1.0)
                 bspk_d, _ = take(spk_d, b, Bd, fill=1.0)
-            self.statistics_training["SameType"] += int(ws.sum())
-            self.statistics_training["DiffType"] += int(wd.sum())
+            if count_stats:  # train pairs only (dev passes don't count)
+                self.statistics_training["SameType"] += int(ws.sum())
+                self.statistics_training["DiffType"] += int(wd.sum())
             # numpy on purpose: the trainer host-stacks K batches into one
             # chained dispatch (stacking device arrays costs extra device
             # ops; one h2d per stacked field amortizes over K steps)

@@ -155,10 +155,15 @@ class EmbedderSiameseMultitask(EmbedderBuilder):
         data = read_h5features(self.feature_path, "features")
         network = self.network
 
+        transfer_dtype = self.transfer_dtype
+
         @jax.jit
         def forward(params, state, x):
             spk, phn, _ = network.forward_once(params, state, x,
                                                train=False)
+            if transfer_dtype == "bfloat16":
+                spk = spk.astype(jnp.bfloat16)
+                phn = phn.astype(jnp.bfloat16)
             return spk, phn
 
         params, state = network.params, network.state
@@ -175,7 +180,8 @@ class EmbedderSiameseMultitask(EmbedderBuilder):
                     chunk = np.vstack([chunk, np.zeros(
                         (pad, feat.shape[1]), np.float32)])
                 s, p = forward(params, state, jnp.asarray(chunk))
-                s, p = np.asarray(s), np.asarray(p)
+                s = np.asarray(s).astype(np.float32)
+                p = np.asarray(p).astype(np.float32)
                 if pad:
                     s, p = s[:-pad], p[:-pad]
                 spk_chunks.append(s)

@@ -174,6 +174,18 @@ class GridSearch:
 
         return features, sampler, model, loss, dataloader, trainer, embedder
 
+    def _prerun_once_stages(self, single_experiment):
+        """Execute run='once' features/sampler stages serially (used
+        before spawning parallel workers)."""
+        os.makedirs(single_experiment["pathname_experience"], exist_ok=True)
+        features, sampler = self._instantiate(single_experiment)[:2]
+        if features.run == "once":
+            features.generate()
+            self.features_run = True
+        if sampler.run == "once":
+            sampler.sample()
+            self.sampler_run = True
+
     def run_single_experiment(self, single_experiment=None, gpu_id=0):
         """One experiment: features -> sampler -> train -> embed -> test
         embeddings (reference gridsearch.py:129-277)."""
@@ -263,13 +275,19 @@ class GridSearch:
         grid_experiments = self.build_grid_experiments()
         print("Start the grid search ...")
         if self.num_jobs and self.num_jobs > 1 and len(grid_experiments) > 1:
+            # run-once stages (shared feature/pair files across the grid)
+            # must execute before the pool: concurrent workers would race
+            # on the same output paths
+            if not (self.embed_only or self.test_only):
+                self._prerun_once_stages(grid_experiments[0])
             import multiprocessing as mp
             ctx = mp.get_context("spawn")
             with ctx.Pool(processes=min(self.num_jobs,
                                         len(grid_experiments))) as pool:
                 pool.map(_run_experiment_worker,
                          [(self.input_file, exp, self.test_files,
-                           self.embed_only, self.test_only)
+                           self.embed_only, self.test_only,
+                           self.features_run, self.sampler_run)
                           for exp in grid_experiments])
             return
         for index, exp in enumerate(grid_experiments):
@@ -290,9 +308,12 @@ def _run_experiment_worker(args):
     if platform:
         import jax
         jax.config.update("jax_platforms", platform)
-    input_file, exp, test_files, embed_only, test_only = args
+    (input_file, exp, test_files, embed_only, test_only,
+     features_run, sampler_run) = args
     grid = GridSearch(input_file=input_file, num_jobs=1,
                       embed_only=embed_only, test_only=test_only)
+    grid.features_run = features_run
+    grid.sampler_run = sampler_run
     grid.test_files = test_files or []
     grid.run_single_experiment(single_experiment=exp)
 

@@ -236,6 +236,7 @@ def make_split_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
     rep = NamedSharding(mesh, P())
     single_dev = mesh.size == 1
     n_batch_args = 8 if extra_labels else 6
+    assert steps_per_call >= 1, "steps_per_call must be >= 1"
     K = steps_per_call
 
     def align(args):
@@ -331,6 +332,10 @@ def make_split_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
                             *_pad_groups(args))
 
     def compiled_eval(params, state, *args):
+        if K != 1:
+            raise ValueError(
+                "eval batches are unstacked; build a steps_per_call=1 "
+                "factory for evaluation (the trainer does this)")
         if "ejit" not in cache:
             p_shard = param_shardings(params, mesh)
             cache["ejit"] = jax.jit(
@@ -354,6 +359,7 @@ def make_sampled_train_step(network, loss, optimizer, bank, sampler,
     dispatch: through high-latency runtimes (this repo's TPU tunnel costs
     tens of ms per dispatch) the per-step overhead divides by K.
     """
+    assert steps_per_call >= 1, "steps_per_call must be >= 1"
     rep = NamedSharding(mesh, P())
     single_dev = mesh.size == 1
 

@@ -423,10 +423,12 @@ class TrainerSiamese(TrainerBuilder):
         # leftovers run single-step: a chained variant per partial chunk
         # size would trigger a fresh compile each epoch
         vals = []
+        j = 0  # running index: distinct dropout rng per flushed batch
         for bucket, chunk in list(self._split_buf.items()):
-            for j, b in enumerate(chunk):
+            for b in chunk:
                 vals.append(self._give_split_single(
                     b, True, jax.random.fold_in(rng, j)))
+                j += 1
         self._split_buf = {}
         return vals
 
@@ -464,7 +466,9 @@ class TrainerSiamese(TrainerBuilder):
         buf.append(b)
         if len(buf) >= K:
             self._split_buf[b.bucket] = []
-            return self._dispatch_split_chunk(b.bucket, buf, rng)
+            # (mean-of-K, K): the epoch average weights the chunk by K
+            return (self._dispatch_split_chunk(b.bucket, buf, rng),
+                    len(buf))
         return None
 
     def _bank_args(self, b):
@@ -549,8 +553,16 @@ class TrainerSiamese(TrainerBuilder):
         train_step, _ = self._ensure_sampled_steps(True)
         _, dev_eval = self._ensure_sampled_steps(False)
 
-        k = max(getattr(self.dataloader, "steps_per_call", 1), 1)
-        n_calls = max(self.dataloader.steps_per_epoch(True) // k, 1)
+        k = getattr(self.dataloader, "steps_per_call", 1)
+        assert k >= 1, "steps_per_call must be >= 1"
+        n_steps = self.dataloader.steps_per_epoch(True)
+        n_calls = max(round(n_steps / k), 1)
+        if n_calls * k != n_steps and not getattr(
+                self, "_warned_steps", False):
+            print(f"steps_per_call={k} does not divide "
+                  f"num_max_minibatches={n_steps}; running "
+                  f"{n_calls * k} steps per epoch")
+            self._warned_steps = True
         losses = []
         for i in range(n_calls):
             rng = jax.random.fold_in(base_rng, i)
@@ -607,16 +619,20 @@ class TrainerSiamese(TrainerBuilder):
             value = self.give_batch_to_network(batch, do_training, rng)
             if value is None:  # buffered into a chained dispatch
                 continue
-            losses.append(value)
-            num_batches_train += 1
-        # flush partial chained buffers (one entry per flushed chunk)
+            if isinstance(value, tuple):  # (mean over k batches, k)
+                value, count = value
+            else:
+                count = 1
+            losses.append((value, count))
+            num_batches_train += count
+        # flush partial chained buffers
         if do_training and getattr(self, "_split_buf", None):
             flush_rng = jax.random.fold_in(base_rng, 1 << 20)
             for value in self._flush_split_buffers(flush_rng):
-                losses.append(value)
+                losses.append((value, 1))
                 num_batches_train += 1
-        train_loss = float(np.sum([np.asarray(l) for l in losses])) \
-            if losses else 0.0
+        train_loss = float(np.sum(
+            [np.asarray(v) * c for v, c in losses])) if losses else 0.0
 
         dev_loss, num_batches_dev = 0.0, 0
         losses = []
