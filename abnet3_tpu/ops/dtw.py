@@ -42,6 +42,7 @@ import jax.numpy as jnp
 
 __all__ = [
     "pairwise_angular_distance", "dtw_costs", "dtw_backtrace",
+    "moves_from_costs", "walk_moves", "dtw_moves_auto",
     "dtw_align_batch", "align_diff_batch", "gather_aligned",
 ]
 
@@ -115,11 +116,14 @@ def dtw_backtrace(D: jnp.ndarray, n1: jnp.ndarray, n2: jnp.ndarray
     Tie-breaking prefers the diagonal step (matches the host oracle
     utils.dtw_numpy).
     """
-    B, T1, T2 = D.shape
-    L = T1 + T2 - 1
+    move = moves_from_costs(D)
+    return walk_moves(move, n1, n2)
 
-    # precompute the move matrix in one vectorized pass (boundary cells
-    # compare against BIG); each backtrace step is then a single gather
+
+def moves_from_costs(D: jnp.ndarray) -> jnp.ndarray:
+    """Vectorized argmin move matrix from a DP cost tensor: 3=diag,
+    2=up, 1=left (boundary cells compare against BIG)."""
+    B, T1, T2 = D.shape
     pad_col = jnp.full((B, T1, 1), _BIG)
     pad_row = jnp.full((B, 1, T2), _BIG)
     diag = jnp.concatenate(
@@ -133,7 +137,14 @@ def dtw_backtrace(D: jnp.ndarray, n1: jnp.ndarray, n2: jnp.ndarray
     di = jnp.where(take_diag | take_up, 1, 0).astype(jnp.int32)
     dj = jnp.where(take_diag | (~take_diag & ~take_up), 1, 0).astype(
         jnp.int32)
-    move = (di * 2 + dj).astype(jnp.int8)  # 3=diag, 2=up, 1=left
+    return (di * 2 + dj).astype(jnp.int8)
+
+
+def walk_moves(move: jnp.ndarray, n1: jnp.ndarray, n2: jnp.ndarray):
+    """Walk move matrices back from each pair's endpoint; output
+    convention as in dtw_backtrace."""
+    B, T1, T2 = move.shape
+    L = T1 + T2 - 1
 
     def one(mv, i0, j0):
         def step(carry, _):
@@ -188,11 +199,25 @@ def dtw_costs_auto(dist: jnp.ndarray) -> jnp.ndarray:
     well as XLA's cumsum). The Pallas kernel stays available behind
     ABNET3_PALLAS_DTW=1 for future kernel work.
     """
-    if os.environ.get("ABNET3_PALLAS_DTW", "").lower() in ("1", "true", "yes") \
-            and _pallas_available():
+    if _pallas_enabled():
         from abnet3_tpu.ops.pallas_dtw import dtw_costs_pallas
         return dtw_costs_pallas(dist)
     return dtw_costs(dist)
+
+
+def _pallas_enabled() -> bool:
+    return (os.environ.get("ABNET3_PALLAS_DTW", "").lower()
+            in ("1", "true", "yes") and _pallas_available())
+
+
+def dtw_moves_auto(dist: jnp.ndarray) -> jnp.ndarray:
+    """Move matrix for backtrace: the fused Pallas kernel (DP + argmin
+    in one kernel; D never materialized in HBM) when ABNET3_PALLAS_DTW is
+    on, else the XLA row scan + vectorized move pass."""
+    if _pallas_enabled():
+        from abnet3_tpu.ops.pallas_dtw import dtw_moves_pallas
+        return dtw_moves_pallas(dist)
+    return moves_from_costs(dtw_costs(dist))
 
 
 @jax.jit
@@ -204,8 +229,7 @@ def dtw_align_batch(f1: jnp.ndarray, f2: jnp.ndarray,
     Returns (path1, path2, path_len) as in :func:`dtw_backtrace`.
     """
     dist = pairwise_angular_distance(f1, f2)
-    D = dtw_costs_auto(dist)
-    return dtw_backtrace(D, n1, n2)
+    return walk_moves(dtw_moves_auto(dist), n1, n2)
 
 
 def align_diff_batch(n1: jnp.ndarray, n2: jnp.ndarray, T1: int, T2: int,

@@ -38,7 +38,7 @@ try:
 except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
-__all__ = ["dtw_costs_pallas"]
+__all__ = ["dtw_costs_pallas", "dtw_moves_pallas"]
 
 _BIG = 1e30  # plain float: jnp constants cannot be captured by a kernel
 BLOCK_B = 8  # minimum block; the call picks the largest VMEM-fitting block
@@ -105,6 +105,64 @@ def _dtw_kernel(dist_ref, out_ref):
         return x
 
     jax.lax.fori_loop(1, T1, row_step, row0)
+
+
+def _dtw_move_kernel(dist_ref, move_ref):
+    """Fused DP + backtrace-move matrix: runs the row recurrence and emits
+    the per-cell argmin move (3=diag, 2=up, 1=left) directly — the D
+    tensor never leaves the kernel, replacing the separate vectorized
+    move pass over a materialized D. int32 output (Mosaic cannot store
+    int8 rows into 3-D refs)."""
+    T1 = dist_ref.shape[1]
+    B = dist_ref.shape[0]
+    T2 = dist_ref.shape[2]
+
+    prev0 = _prefix_sum(dist_ref[:, 0, :])
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, T2), 1)
+    move_ref[:, 0, :] = jnp.where(col == 0, 3, 1)
+
+    def row_step(i, prev):
+        c = dist_ref[:, i, :]
+        diag = _shift_right(prev, 1, _BIG)
+        m = jnp.minimum(prev, diag)
+        x0 = prev[:, :1] + c[:, :1]
+        S = _prefix_sum(jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.float32), c[:, 1:]], axis=1))
+        b = m - _shift_right(S, 1, -_BIG)
+        x = S + jnp.minimum(_prefix_min(b), x0)
+        left = _shift_right(x, 1, _BIG)
+        take_diag = (diag <= prev) & (diag <= left)
+        take_up = (~take_diag) & (prev <= left)
+        di = jnp.where(take_diag | take_up, 1, 0)
+        dj = jnp.where(take_diag | (~take_diag & ~take_up), 1, 0)
+        move_ref[:, i, :] = di * 2 + dj
+        return x
+
+    jax.lax.fori_loop(1, T1, row_step, prev0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def dtw_moves_pallas(dist: jnp.ndarray, interpret: bool = False
+                     ) -> jnp.ndarray:
+    """Batched DTW move matrix (int8) via the fused Pallas kernel."""
+    B, T1, T2 = dist.shape
+    block = _pick_block(B, T1, T2)
+    pad = (-B) % block
+    if pad:
+        dist = jnp.concatenate(
+            [dist, jnp.zeros((pad, T1, T2), dist.dtype)], axis=0)
+    Bp = B + pad
+    out = pl.pallas_call(
+        _dtw_move_kernel,
+        grid=(Bp // block,),
+        in_specs=[pl.BlockSpec((block, T1, T2), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((block, T1, T2), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, T1, T2), jnp.int32),
+        interpret=interpret,
+    )(dist.astype(jnp.float32))
+    return out[:B].astype(jnp.int8)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
