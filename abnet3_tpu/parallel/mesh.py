@@ -31,8 +31,8 @@ import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from abnet3_tpu.ops.dtw import (align_diff_batch, dtw_backtrace,
-                                dtw_costs_auto, gather_aligned,
+from abnet3_tpu.ops.dtw import (align_diff_batch, dtw_align_from_dist,
+                                gather_aligned,
                                 pairwise_angular_distance)
 
 __all__ = ["make_mesh", "param_shardings", "shard_array",
@@ -80,13 +80,12 @@ def _align_and_flatten(network, loss, f1s, f2s, n1s, n2s,
     """Shared fused-step body: on-device alignment + flattened frame
     batch with padding weights.
 
-    use_pallas: the Pallas DP kernel cannot be auto-partitioned by GSPMD,
-    so multi-device meshes use the XLA row scan (which GSPMD shards over
-    'data' like any other op)."""
+    use_pallas: the fused Pallas move kernel cannot be auto-partitioned
+    by GSPMD, so multi-device meshes use the XLA row scan (which GSPMD
+    shards over 'data' like any other op)."""
     dist = pairwise_angular_distance(f1s, f2s)
-    from abnet3_tpu.ops.dtw import dtw_costs
-    D = dtw_costs_auto(dist) if use_pallas else dtw_costs(dist)
-    p1s, p2s, plens = dtw_backtrace(D, n1s, n2s)
+    p1s, p2s, plens = dtw_align_from_dist(dist, n1s, n2s,
+                                          use_pallas=use_pallas)
     x1s = gather_aligned(f1s, p1s)
     x2s = gather_aligned(f2s, p2s)
     Ls = x1s.shape[1]
@@ -165,9 +164,8 @@ def _bank_align(bank, ids1, ids2, y_pair, pair_w,
     f1, n1 = bank.take(ids1, T)
     f2, n2 = bank.take(ids2, T)
     dist = pairwise_angular_distance(f1, f2)
-    from abnet3_tpu.ops.dtw import dtw_costs
-    D = dtw_costs_auto(dist) if use_pallas else dtw_costs(dist)
-    p1s, p2s, plen_s = dtw_backtrace(D, n1, n2)
+    p1s, p2s, plen_s = dtw_align_from_dist(dist, n1, n2,
+                                           use_pallas=use_pallas)
     p1d, p2d, plen_d = align_diff_batch(
         n1, n2, T, T, align_different_words=align_different_words, L=L)
     same = (y_pair > 0)[:, None]
@@ -194,9 +192,8 @@ def _split_bank_align(bank, ids1s, ids2s, ws, ids1d, ids2d, wd,
     f1s, n1s = bank.take(ids1s, T)
     f2s, n2s = bank.take(ids2s, T)
     dist = pairwise_angular_distance(f1s, f2s)
-    from abnet3_tpu.ops.dtw import dtw_costs
-    D = dtw_costs_auto(dist) if use_pallas else dtw_costs(dist)
-    p1s, p2s, plen_s = dtw_backtrace(D, n1s, n2s)
+    p1s, p2s, plen_s = dtw_align_from_dist(dist, n1s, n2s,
+                                           use_pallas=use_pallas)
     x1s = gather_aligned(f1s, p1s)
     x2s = gather_aligned(f2s, p2s)
     wfs = ((jnp.arange(Ls)[None, :] < plen_s[:, None]).astype(jnp.float32)
