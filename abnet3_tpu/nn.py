@@ -78,6 +78,23 @@ INITS = {
 }
 
 
+def _dropout_key(key):
+    """Re-key dropout onto the 'rbg' PRNG (XLA RngBitGenerator).
+
+    Threefry mask generation costs ~2ms per train step at production
+    shapes on TPU (4.52ms -> 2.57ms full fwd+bwd+adam step when switched,
+    measured with chained params); dropout needs no counter-based stream
+    guarantees, so the hardware generator is the right tool. The mapping
+    from the caller's key is deterministic, so runs stay reproducible."""
+    data = key
+    if jnp.issubdtype(getattr(key, "dtype", jnp.uint32),
+                      jax.dtypes.prng_key):
+        data = jax.random.key_data(key)
+    data = jnp.asarray(data).reshape(-1).astype(jnp.uint32)
+    return jax.random.wrap_key_data(
+        jnp.concatenate([data, data])[:4], impl="rbg")
+
+
 def init_dense(key, in_dim: int, out_dim: int, type_init: str,
                gain: float) -> Params:
     """Dense params stored (in_dim, out_dim); bias zero-filled
@@ -168,7 +185,8 @@ class Tower:
         partials: List[jnp.ndarray] = []
         if train and spec.p_dropout > 0.0:
             assert rng is not None, "dropout at train time needs an rng"
-            drop_keys = jax.random.split(rng, spec.num_layers)
+            drop_keys = jax.random.split(_dropout_key(rng),
+                                         spec.num_layers)
         for i in range(spec.num_layers):
             p = params[f"layer_{i}"]
             if save_partials:

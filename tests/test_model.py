@@ -186,3 +186,28 @@ def test_xavier_init_statistics():
     assert np.abs(w).max() > bound * 0.95  # actually fills the range
     b = np.asarray(params["layer_0"]["b"])
     assert np.all(b == 0)
+
+
+def test_dropout_rbg_mask_fraction_and_determinism():
+    """Dropout re-keys onto the rbg PRNG (nn._dropout_key): same caller
+    key -> identical masks; drop fraction ~= p; kept values scaled."""
+    from abnet3_tpu.nn import Tower, TowerSpec
+    spec = TowerSpec(dims=[16, 16], activations=[None], p_dropout=0.5)
+    tower = Tower(spec)
+    params, state = tower.init(jax.random.PRNGKey(0))
+    # identity-ish probe: measure the mask through a linear layer by
+    # comparing train vs eval outputs elementwise
+    x = np.ones((4096, 16), np.float32)
+    ev, _ = tower.apply(params, state, jnp.asarray(x), train=False)
+    t1, _ = tower.apply(params, state, jnp.asarray(x),
+                        rng=jax.random.PRNGKey(7), train=True)
+    t2, _ = tower.apply(params, state, jnp.asarray(x),
+                        rng=jax.random.PRNGKey(7), train=True)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    ev, t1 = np.asarray(ev), np.asarray(t1)
+    dropped = t1 == 0.0
+    frac = dropped.mean()
+    assert 0.45 < frac < 0.55, frac
+    # kept entries are scaled by 1/keep
+    kept = ~dropped & (np.abs(ev) > 1e-6)
+    np.testing.assert_allclose(t1[kept], ev[kept] * 2.0, rtol=1e-5)
