@@ -55,17 +55,19 @@ def _frames_in_batch(batch):
     return total
 
 
-def bench_ours(batch, n_steps=50):
-    """The TPU-native training recipe: the token corpus is uploaded to HBM
-    once (TokenBank); every step streams only int32 token ids and runs the
-    whole pipeline (gather + DTW align + fwd/bwd + update) as one XLA
-    computation."""
+def bench_ours(batch, n_calls=25, steps_per_call=8):
+    """The TPU-native training recipe exactly as TrainerSiamese runs it:
+    the token corpus is uploaded to HBM once (TokenBank); each dispatch
+    streams only int32 token ids for steps_per_call batches and lax.scans
+    that many optimizer steps (gather + DTW align + fwd/bwd + update) in
+    one XLA computation, amortizing the per-dispatch latency."""
     import jax
+    import jax.numpy as jnp
     import optax
     from abnet3_tpu.loss import coscos2
     from abnet3_tpu.models import SiameseNetwork
     from abnet3_tpu.ops.bank import TokenBank
-    from abnet3_tpu.parallel import make_indexed_train_step, make_mesh
+    from abnet3_tpu.parallel import make_mesh, make_split_pair_train_step
 
     f1s, f2s, n1s, n2s, f1d, f2d, n1d, n2d = batch
     # bank holds the same tokens the baseline consumes
@@ -75,9 +77,17 @@ def bench_ours(batch, n_steps=50):
         for b in range(f.shape[0]):
             token_feats[(g, b)] = f[b, :n[b]]
     bank = TokenBank(token_feats)
-    ids = [jax.device_put(
-        bank.ids([(g, b) for b in range(B_SAME if g < 2 else B_DIFF)]))
-        for g in range(4)]
+    K = steps_per_call
+    ids = []
+    for g in range(4):
+        flat = bank.ids([(g, b) for b in range(B_SAME if g < 2 else
+                                               B_DIFF)])
+        ids.append(jax.device_put(
+            np.tile(flat, (K, 1)) if K > 1 else flat))
+    one = (lambda n: np.ones((K, n) if K > 1 else (n,), np.float32))
+    ws = jax.device_put(one(B_SAME))
+    wd = jax.device_put(one(B_DIFF))
+    args = (ids[0], ids[1], ws, ids[2], ids[3], wd)
 
     mesh = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
     net = SiameseNetwork(input_dim=DIM_IN, num_hidden_layers=2,
@@ -87,25 +97,26 @@ def bench_ours(batch, n_steps=50):
     loss = coscos2()
     optimizer = optax.adam(1e-3)
     opt_state = optimizer.init(params)
-    step = make_indexed_train_step(net, loss, optimizer, bank, mesh)
+    step, _ = make_split_pair_train_step(net, loss, optimizer, bank, mesh,
+                                         steps_per_call=K)
     rng = jax.random.PRNGKey(0)
 
     # warmup: compile + the tunnel's slow first post-compile steps
-    for _ in range(30):
+    for _ in range(max(30 // K, 4)):
         params, state, opt_state, value = step(params, state, opt_state,
-                                               rng, *ids)
+                                               rng, *args)
     jax.block_until_ready(value)
     t0 = time.perf_counter()
-    for _ in range(n_steps):
+    for _ in range(n_calls):
         params, state, opt_state, value = step(params, state, opt_state,
-                                               rng, *ids)
+                                               rng, *args)
     jax.block_until_ready(value)
     dt = time.perf_counter() - t0
     assert np.isfinite(float(value))
-    return n_steps / dt
+    return n_calls * K / dt
 
 
-def bench_torch_baseline(batch, n_steps=3):
+def bench_torch_baseline(batch, n_steps=6):
     import torch
     import torch.nn as nn
     from abnet3_tpu.utils import cosine_distance, dtw_numpy_fast
