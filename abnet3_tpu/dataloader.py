@@ -89,6 +89,14 @@ class SplitBankBatch(NamedTuple):
     y_spk_s: object = None
     y_spk_d: object = None
     bucket: object = None
+    # temporal-coherence group (bank backend, tcl > 0): global frame-index
+    # pairs into the dataloader's frame_bank + labels/weights. The step
+    # rescales tcl_w so the loss mixes exactly the tcl fraction
+    # (reference dataloader.py:314-352 appends host frame pairs instead).
+    tcl_i1: object = None
+    tcl_i2: object = None
+    tcl_y: object = None
+    tcl_w: object = None
 
 
 def prefetch_iterator(iterator, size: int = 2):
@@ -162,9 +170,10 @@ class OriginalDataLoader(DataLoader):
         # 'bank'  : whole token corpus resident in HBM, index-only batches
         # 'host'  : reference-exact numpy path (parity tests)
         assert align_backend in ("device", "bank", "host")
-        assert not (tcl > 0 and align_backend == "bank"), (
-            "temporal-coherence mixing needs per-batch frame injection; "
-            "use align_backend='device' (or 'host') with tcl > 0")
+        assert not (tcl > 0 and align_backend == "bank"
+                    and not bank_split), (
+            "temporal-coherence mixing on the bank backend needs the "
+            "split path (bank_split=True) for its static tcl group")
         self.pairs_path = pairs_path
         self.features_path = features_path
         self.statistics_training = defaultdict(int)
@@ -186,6 +195,8 @@ class OriginalDataLoader(DataLoader):
         self.pairs = {"train": None, "dev": None}
         self.token_bank = None
         self._bank_pairs = None
+        self.frame_bank = None  # (N_frames, d) device frame corpus (tcl)
+        self._tcl_files = None
         self._rng = np.random.RandomState(seed)
 
     def whoami(self):
@@ -206,6 +217,7 @@ class OriginalDataLoader(DataLoader):
     # Works for every subclass: heavy lazily-loaded caches are nulled to
     # their initial sentinels and load_data() rebuilds them.
     _HEAVY_ATTRS = ("features", "token_bank", "_bank_pairs",
+                    "frame_bank",
                     "features_dict", "device_samplers", "_banks")
     _HEAVY_MODE_DICTS = ("token_features", "frame_pairs", "token_tables")
 
@@ -247,6 +259,9 @@ class OriginalDataLoader(DataLoader):
             | {p[3] for p in self.pairs["train"]})
         if self.align_backend == "bank" and self.token_bank is None:
             self._build_token_bank()
+        if (self.align_backend == "bank" and self.tcl > 0
+                and self.frame_bank is None):
+            self._build_frame_bank()
 
     def _build_token_bank(self, fid2spk=None):
         """Upload every unique token of both splits into one HBM-resident
@@ -604,6 +619,59 @@ class OriginalDataLoader(DataLoader):
             batch.y_spk)
 
 
+    def _build_frame_bank(self):
+        """Device-resident frame corpus for temporal-coherence sampling:
+        one (N_frames, d) array of the train files' frames. TCL pairs then
+        travel as int32 index pairs and are gathered inside the jitted
+        step (the reference ships the frames themselves with each batch,
+        reference dataloader.py:324-352)."""
+        files = self.train_files or []
+        max_delta = max(self.TCL_DISTANCES_DIFF)
+        chunks, self._tcl_files = [], []
+        offset = 0
+        for f in files:
+            feat = self.features.features.get(self.features._key(f))
+            if feat is None:
+                continue
+            if len(feat) > max_delta:
+                # anchors stay >= max_delta from the end (reference
+                # dataloader.py:337)
+                self._tcl_files.append((offset, len(feat) - max_delta))
+            chunks.append(np.asarray(feat, np.float32))
+            offset += len(feat)
+        if not self._tcl_files:
+            print("Warning: tcl=%g is a no-op — no train file is longer "
+                  "than %d frames" % (self.tcl, max_delta))
+            self.frame_bank = None
+            return
+        self.frame_bank = jnp.asarray(np.concatenate(chunks, axis=0))
+        # static tcl group size per batch: per-anchor yield is
+        # 1 same + len(TCL_DISTANCES_DIFF) diff pairs; the anchor count
+        # approximates tcl/(1-tcl) of the batch's expected frame pairs
+        # (the step rescales weights to the exact fraction)
+        per_iter = len(self.TCL_DISTANCE_SAME) + len(self.TCL_DISTANCES_DIFF)
+        mean_len = float(self.token_bank.lengths_host.mean())
+        approx_frames = self.batch_size * 1.25 * mean_len
+        self._tcl_anchors = max(1, round(
+            self.tcl / (1.0 - self.tcl) * approx_frames / per_iter))
+
+    def _sample_tcl_group(self):
+        """One static-size tcl index group: close positives (dt=1), far
+        negatives (dt in {15,20,25,30}), anchors uniform over files then
+        over time (reference dataloader.py:333-352)."""
+        files = self._tcl_files
+        i1, i2, y = [], [], []
+        for fi in self._rng.randint(len(files), size=self._tcl_anchors):
+            off, max_t = files[fi]
+            a = off + self._rng.randint(max_t)
+            for dt in self.TCL_DISTANCE_SAME:
+                i1.append(a); i2.append(a + dt); y.append(1.0)
+            for dt in self.TCL_DISTANCES_DIFF:
+                i1.append(a); i2.append(a + dt); y.append(-1.0)
+        return (np.asarray(i1, np.int32), np.asarray(i2, np.int32),
+                np.asarray(y, np.float32),
+                np.ones(len(y), np.float32))
+
     def _split_bank_batches(self, ids1, ids2, ys, yspk,
                             count_stats=True):
         """Yield SplitBankBatch index batches with static per-group sizes:
@@ -665,8 +733,14 @@ class OriginalDataLoader(DataLoader):
             # numpy on purpose: the trainer host-stacks K batches into one
             # chained dispatch (stacking device arrays costs extra device
             # ops; one h2d per stacked field amortizes over K steps)
+            tcl_fields = {}
+            if self.frame_bank is not None:
+                ti1, ti2, ty, tw = self._sample_tcl_group()
+                tcl_fields = dict(tcl_i1=ti1, tcl_i2=ti2,
+                                  tcl_y=ty, tcl_w=tw)
             yield SplitBankBatch(bi1s, bi2s, ws, bi1d, bi2d, wd,
-                                 bspk_s, bspk_d, bucket=bucket)
+                                 bspk_s, bspk_d, bucket=bucket,
+                                 **tcl_fields)
 
 
 class PairsDataLoader(OriginalDataLoader):

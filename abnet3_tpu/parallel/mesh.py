@@ -222,21 +222,38 @@ def make_split_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
                                align_different_words: bool = False,
                                extra_labels: bool = False,
                                max_frames: int = None,
-                               steps_per_call: int = 1):
+                               steps_per_call: int = 1,
+                               frame_bank=None, tcl: float = 0.0):
     """Train/eval steps over SplitBankBatch index batches (static
     same/diff groups). Returns (train_step, eval_step).
 
     steps_per_call > 1: the train step takes K stacked batches
     (leading axis K on every batch array) and lax.scans K optimizer
-    steps in one dispatch — per-dispatch latency amortizes across K."""
+    steps in one dispatch — per-dispatch latency amortizes across K.
+
+    frame_bank + tcl > 0: each batch carries a static temporal-coherence
+    group of frame-index pairs (4 extra args: i1, i2, y, w); the gathered
+    frame pairs join the loss with weights rescaled on device so the tcl
+    group carries exactly tcl/(1-tcl) of the token pairs' total weight —
+    the reference's mixing fraction (reference dataloader.py:314-322)
+    with static shapes."""
     dp = NamedSharding(mesh, P("data"))
     rep = NamedSharding(mesh, P())
     single_dev = mesh.size == 1
+    assert not (extra_labels and frame_bank is not None), (
+        "tcl mixing is a monotask feature (the reference never combines "
+        "it with multitask speaker labels)")
     n_batch_args = 8 if extra_labels else 6
+    if frame_bank is not None:
+        assert 0 < tcl < 1
+        n_batch_args += 4
     assert steps_per_call >= 1, "steps_per_call must be >= 1"
     K = steps_per_call
 
     def align(args):
+        tcl_args = None
+        if frame_bank is not None:
+            args, tcl_args = args[:-4], args[-4:]
         if extra_labels:
             (ids1s, ids2s, ws, ids1d, ids2d, wd, yspk_s, yspk_d) = args
         else:
@@ -249,6 +266,14 @@ def make_split_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
         if extra_labels:
             y_spk = jnp.concatenate([
                 jnp.repeat(yspk_s, Ls), jnp.repeat(yspk_d, Ld)])
+        if tcl_args is not None:
+            ti1, ti2, ty, tw = tcl_args
+            wt = tw * (tcl / (1.0 - tcl)) * (
+                jnp.sum(w) / jnp.maximum(jnp.sum(tw), 1e-6))
+            x1 = jnp.concatenate([x1, frame_bank[ti1]])
+            x2 = jnp.concatenate([x2, frame_bank[ti2]])
+            y = jnp.concatenate([y, ty])
+            w = jnp.concatenate([w, wt])
         return x1, x2, y, w, y_spk
 
     def one_step(params, state, opt_state, rng, args):
@@ -306,11 +331,17 @@ def make_split_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
         weights with 0 (spk labels with 1) — padded pairs weigh nothing."""
         if n_data == 1:
             return args
+        n_tok_args = n_batch_args - (4 if frame_bank is not None else 0)
         out = []
         for i, a in enumerate(args):
             pad = (-a.shape[group_axis]) % n_data
             if pad:
-                fill = 0.0 if i in (2, 5) else (1.0 if i >= 6 else 0)
+                if i in (2, 5) or i >= n_tok_args + 2:  # weights / tcl y,w
+                    fill = 0.0
+                elif extra_labels and i >= 6:  # spk labels
+                    fill = 1.0
+                else:  # token / tcl frame ids
+                    fill = 0
                 widths = [(0, 0)] * a.ndim
                 widths[group_axis] = (0, pad)
                 a = jnp.pad(a, widths, constant_values=fill)

@@ -396,7 +396,9 @@ class TrainerSiamese(TrainerBuilder):
                 align_different_words=getattr(
                     self.dataloader, "align_different_words", False),
                 extra_labels=self._BANK_EXTRA_LABELS,
-                max_frames=bucket, steps_per_call=steps_per_call)
+                max_frames=bucket, steps_per_call=steps_per_call,
+                frame_bank=getattr(self.dataloader, "frame_bank", None),
+                tcl=getattr(self.dataloader, "tcl", 0.0))
         return self._step_fns[key]
 
     @property
@@ -438,6 +440,8 @@ class TrainerSiamese(TrainerBuilder):
             assert b.y_spk_s is not None, \
                 "multitask bank training needs speaker labels"
             args = args + (b.y_spk_s, b.y_spk_d)
+        if b.tcl_i1 is not None:
+            args = args + (b.tcl_i1, b.tcl_i2, b.tcl_y, b.tcl_w)
         return args
 
     def _give_split_single(self, b, do_training, rng):

@@ -305,11 +305,101 @@ def test_split_bank_batches(corpus):
 
 
 def test_tcl_bank_guard(corpus):
-    """tcl > 0 is incompatible with the bank backend and must be loud."""
+    """tcl > 0 on the bank backend needs the split path."""
     feats_path, pairs_path, _ = corpus
     with pytest.raises(AssertionError):
         OriginalDataLoader(pairs_path, feats_path, tcl=0.3,
-                           align_backend="bank")
+                           align_backend="bank", bank_split=False)
+
+
+def test_tcl_bank_batches(corpus):
+    """Bank-backend tcl batches carry a static frame-index group with
+    valid in-file indices and the right same/diff labels."""
+    feats_path, pairs_path, _ = corpus
+    dl = OriginalDataLoader(pairs_path, feats_path, tcl=0.3,
+                            align_backend="bank", batch_size=4,
+                            num_max_minibatches=6, seed=0)
+    batches = list(dl.batch_iterator(True))
+    assert batches and dl.frame_bank is not None
+    n_frames = dl.frame_bank.shape[0]
+    sizes = set()
+    for b in batches:
+        assert b.tcl_i1 is not None
+        sizes.add(len(b.tcl_i1))
+        assert (np.asarray(b.tcl_i2) < n_frames).all()
+        assert (np.asarray(b.tcl_i2) > np.asarray(b.tcl_i1)).all()
+        deltas = np.asarray(b.tcl_i2) - np.asarray(b.tcl_i1)
+        y = np.asarray(b.tcl_y)
+        assert set(deltas[y > 0]) <= {1}
+        assert set(deltas[y < 0]) <= {15, 20, 25, 30}
+        assert (np.asarray(b.tcl_w) == 1.0).all()
+    assert len(sizes) == 1  # static group size -> one compiled variant
+
+
+def test_tcl_bank_loss_mixture(corpus):
+    """The step's loss is exactly (1-tcl)*L_tokens + tcl*L_tcl (the
+    reference's mixing fraction, dataloader.py:314-322)."""
+    import jax
+    import optax
+    from abnet3_tpu.loss import coscos2
+    from abnet3_tpu.models import SiameseNetwork
+    from abnet3_tpu.parallel import make_mesh, make_split_pair_train_step
+
+    feats_path, pairs_path, _ = corpus
+    tcl = 0.3
+    dl = OriginalDataLoader(pairs_path, feats_path, tcl=tcl,
+                            align_backend="bank", batch_size=4,
+                            num_max_minibatches=4, seed=0)
+    b = next(iter(dl.batch_iterator(True)))
+    net = SiameseNetwork(input_dim=4, num_hidden_layers=1, hidden_dim=8,
+                         output_dim=4, p_dropout=0.0,
+                         activation_layer="sigmoid")
+    net.ensure_init(0)
+    loss = coscos2()
+    opt = optax.adam(1e-3)
+    mesh = make_mesh(n_data=1, n_model=1)
+
+    def eval_for(frame_bank, tcl_v, args):
+        _, ev = make_split_pair_train_step(
+            net, loss, opt, dl.token_bank, mesh, max_frames=b.bucket,
+            frame_bank=frame_bank, tcl=tcl_v)
+        return float(ev(net.params, net.state, *args))
+
+    tok_args = (b.ids1s, b.ids2s, b.ws, b.ids1d, b.ids2d, b.wd)
+    full = eval_for(dl.frame_bank, tcl,
+                    tok_args + (b.tcl_i1, b.tcl_i2, b.tcl_y, b.tcl_w))
+    tokens_only = eval_for(None, 0.0, tok_args)
+    x1 = np.asarray(dl.frame_bank)[np.asarray(b.tcl_i1)]
+    x2 = np.asarray(dl.frame_bank)[np.asarray(b.tcl_i2)]
+    e1, _ = net.forward_once(net.params, net.state, x1, train=False)
+    e2, _ = net.forward_once(net.params, net.state, x2, train=False)
+    tcl_only = float(loss(e1, e2, np.asarray(b.tcl_y)))
+    np.testing.assert_allclose(
+        full, (1 - tcl) * tokens_only + tcl * tcl_only, rtol=1e-5)
+
+
+def test_tcl_bank_trains(corpus, tmp_path_factory):
+    """End-to-end: bank backend with tcl > 0 trains and improves."""
+    from abnet3_tpu.loss import coscos2
+    from abnet3_tpu.models import SiameseNetwork
+    from abnet3_tpu.trainer import TrainerSiamese
+
+    feats_path, pairs_path, _ = corpus
+    dl = OriginalDataLoader(pairs_path, feats_path, tcl=0.2,
+                            align_backend="bank", batch_size=4,
+                            num_max_minibatches=6, seed=0,
+                            steps_per_call=2)
+    net = SiameseNetwork(input_dim=4, num_hidden_layers=1, hidden_dim=16,
+                         output_dim=4, p_dropout=0.1,
+                         activation_layer="sigmoid",
+                         output_path=str(tmp_path_factory.getbasetemp()
+                                         / "tcl_net"))
+    tr = TrainerSiamese(network=net, loss=coscos2(), dataloader=dl,
+                        optimizer_type="adam", lr=0.01, num_epochs=4,
+                        patience=10, seed=0)
+    tr.train()
+    assert np.isfinite(tr.train_losses).all()
+    assert tr.train_losses[-1] < tr.train_losses[0]
 
 
 def test_prefetch_iterator():
