@@ -78,26 +78,30 @@ class EmbedderBuilder:
                            out_shardings=dp)
         return jax.jit(forward_impl)
 
-    def _embed_corpus(self, forward, feats_list) -> list:
+    def _embed_corpus(self, forward, feats_list, n_outputs: int = 1):
         """Embed every file's frames through fixed-size padded chunks.
 
         Fully pipelined: all chunk forwards are dispatched asynchronously
         and device->host copies are started as results complete, so
         compute, h2d and d2h transfers overlap across the whole corpus
         (the reference synchronizes per chunk, reference embedder.py:88-96).
+
+        n_outputs > 1: ``forward`` returns that many embedding heads per
+        chunk (multitask spk/phn); returns one corpus list per head.
         """
         bs = self.batch_size
         params, state = self.network.params, self.network.state
-        outputs = [[] for _ in feats_list]
+        outputs = [[[] for _ in feats_list] for _ in range(n_outputs)]
         window = 16  # in-flight chunks: keeps device memory O(window)
-        pending = []  # (file_idx, valid_rows, device_buffer)
+        pending = []  # (file_idx, valid_rows, device_buffers)
 
         def drain_one():
-            fi, valid, emb = pending.pop(0)
-            host = np.asarray(emb)[:valid]
-            if host.dtype != np.float32:
-                host = host.astype(np.float32)
-            outputs[fi].append(host)
+            fi, valid, embs = pending.pop(0)
+            for h, emb in enumerate(embs):
+                host = np.asarray(emb)[:valid]
+                if host.dtype != np.float32:
+                    host = host.astype(np.float32)
+                outputs[h][fi].append(host)
 
         for fi, feat in enumerate(feats_list):
             if feat.dtype != np.float32:
@@ -108,17 +112,22 @@ class EmbedderBuilder:
                 if pad:
                     chunk = np.vstack([chunk, np.zeros(
                         (pad, feat.shape[1]), np.float32)])
-                emb = forward(params, state, jnp.asarray(chunk))
-                try:
-                    emb.copy_to_host_async()
-                except AttributeError:
-                    pass
-                pending.append((fi, bs - pad, emb))
+                embs = forward(params, state, jnp.asarray(chunk))
+                if n_outputs == 1:
+                    embs = (embs,)
+                for emb in embs:
+                    try:
+                        emb.copy_to_host_async()
+                    except AttributeError:
+                        pass
+                pending.append((fi, bs - pad, embs))
                 if len(pending) >= window:
                     drain_one()
         while pending:
             drain_one()
-        return [np.vstack(chunks) for chunks in outputs]
+        corpora = [[np.vstack(chunks) for chunks in outputs[h]]
+                   for h in range(n_outputs)]
+        return corpora[0] if n_outputs == 1 else corpora
 
     def _embed_array(self, forward, feat: np.ndarray) -> np.ndarray:
         """Embed one file (kept for API compat); see _embed_corpus."""
@@ -166,28 +175,10 @@ class EmbedderSiameseMultitask(EmbedderBuilder):
                 phn = phn.astype(jnp.bfloat16)
             return spk, phn
 
-        params, state = network.params, network.state
-        emb_spk, emb_phn = [], []
-        bs = self.batch_size
-        for feat in data.features():
-            feat = feat.astype(np.float32)
-            n = len(feat)
-            spk_chunks, phn_chunks = [], []
-            for c0 in range(0, n, bs):
-                chunk = feat[c0:c0 + bs]
-                pad = bs - len(chunk)
-                if pad:
-                    chunk = np.vstack([chunk, np.zeros(
-                        (pad, feat.shape[1]), np.float32)])
-                s, p = forward(params, state, jnp.asarray(chunk))
-                s = np.asarray(s).astype(np.float32)
-                p = np.asarray(p).astype(np.float32)
-                if pad:
-                    s, p = s[:-pad], p[:-pad]
-                spk_chunks.append(s)
-                phn_chunks.append(p)
-            emb_spk.append(np.vstack(spk_chunks))
-            emb_phn.append(np.vstack(phn_chunks))
+        # both heads ride the pipelined corpus path (async dispatch +
+        # overlapped d2h), same as the monotask embedder
+        emb_spk, emb_phn = self._embed_corpus(forward, data.features(),
+                                              n_outputs=2)
 
         for suffix, embs in ((".spk", emb_spk), (".phn", emb_phn)):
             path = self.output_path + suffix
