@@ -39,7 +39,13 @@ class EmbedderBuilder:
         self.feature_path = feature_path
         self.output_path = output_path
         self.cuda = cuda  # kept for YAML compat
-        self.mesh = mesh  # jax.sharding.Mesh: shard chunks over 'data'
+        # jax.sharding.Mesh — or a YAML-friendly {"data": N, "model": M}
+        # dict (gridsearch configs), like TrainerBuilder
+        if isinstance(mesh, dict):
+            from abnet3_tpu.parallel import make_mesh
+            mesh = make_mesh(n_data=mesh.get("data"),
+                             n_model=mesh.get("model", 1))
+        self.mesh = mesh  # shard chunks over 'data'
         # 'bfloat16' casts embeddings on device before the d2h copy —
         # halves export transfer bytes (the bottleneck on slow links) at
         # ~3 decimal digits of precision; files still store float32

@@ -129,3 +129,19 @@ def test_embedder_bf16_transfer(feature_file, tmp_path):
 def test_embedder_requires_network():
     with pytest.raises(ValueError):
         EmbedderSiamese(network=None, feature_path="x", output_path="y")
+
+
+def test_embedder_mesh_dict(feature_file, tmp_path):
+    """YAML-friendly mesh dicts work like Mesh objects (gridsearch)."""
+    path, items, feats, _ = feature_file
+    net = SiameseNetwork(input_dim=6, num_hidden_layers=0, hidden_dim=4,
+                         output_dim=3, p_dropout=0.0,
+                         activation_layer="relu")
+    net.ensure_init(0)
+    out = str(tmp_path / "emb.h5f")
+    emb = EmbedderSiamese(network=net, feature_path=path, output_path=out,
+                          batch_size=50, mesh={"data": 8})
+    assert emb.mesh.shape["data"] == 8
+    assert emb.batch_size % 8 == 0
+    emb.embed()
+    assert read_h5features(out).items() == items
