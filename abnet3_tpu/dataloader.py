@@ -260,7 +260,9 @@ class OriginalDataLoader(DataLoader):
         if self.align_backend == "bank" and self.token_bank is None:
             self._build_token_bank()
         if (self.align_backend == "bank" and self.tcl > 0
-                and self.frame_bank is None):
+                and getattr(self, "frame_bank", None) is None):
+            # getattr: checkpoints pickled before tcl-on-bank existed
+            # restore without the attribute
             self._build_frame_bank()
 
     def _build_token_bank(self, fid2spk=None):
@@ -734,7 +736,7 @@ class OriginalDataLoader(DataLoader):
             # chained dispatch (stacking device arrays costs extra device
             # ops; one h2d per stacked field amortizes over K steps)
             tcl_fields = {}
-            if self.frame_bank is not None:
+            if getattr(self, "frame_bank", None) is not None:
                 ti1, ti2, ty, tw = self._sample_tcl_group()
                 tcl_fields = dict(tcl_i1=ti1, tcl_i2=ti2,
                                   tcl_y=ty, tcl_w=tw)

@@ -203,7 +203,9 @@ def dtw_costs_auto(dist: jnp.ndarray) -> jnp.ndarray:
 
 def _pallas_enabled() -> bool:
     """Pallas DTW kernels default ON where they compile (TPU);
-    ABNET3_PALLAS_DTW=0/false/no/off opts out."""
+    ABNET3_PALLAS_DTW=0/false/no/off opts out. Read at trace time:
+    set it before the process builds its train/align steps — flipping
+    it later does not invalidate already-compiled jit caches."""
     flag = os.environ.get("ABNET3_PALLAS_DTW", "").lower()
     if flag in ("0", "false", "no", "off"):
         return False
