@@ -156,6 +156,8 @@ def walk_moves(move: jnp.ndarray, n1: jnp.ndarray, n2: jnp.ndarray):
             nj = jnp.where(done, 0, j - (m & 1))
             return (jnp.maximum(ni, 0), jnp.maximum(nj, 0)), (i, j)
 
+        # unroll=4: unroll=16 shaves only ~0.02ms/step on TPU but doubles
+        # CPU compile time across the test suite — not worth it
         (_, _), (ris, rjs) = jax.lax.scan(step, (i0, j0), None, length=L,
                                           unroll=4)
         # ris/rjs go from the endpoint back to (0,0) then repeat (0,0);
