@@ -239,3 +239,22 @@ def test_embed_only(experiment):
     grid = GridSearch(input_file=yaml_path, embed_only=True)
     grid.run()
     assert os.path.exists(emb_path)
+
+
+def test_run_with_yaml_mesh(experiment, tmp_path):
+    """Mesh dicts in the YAML shard training (data x model) and embedding
+    over the virtual 8-device mesh through the orchestrator."""
+    yaml_path, exp_path, yaml_text = experiment
+    meshed = yaml_text.replace(
+        "      patience: 5",
+        "      patience: 5\n      mesh: {data: 4, model: 2}").replace(
+        "      batch_size: 64",
+        "      batch_size: 64\n      mesh: {data: 8}")
+    assert "mesh" in meshed
+    mesh_yaml = str(tmp_path / "mesh.yaml")
+    with open(mesh_yaml, "w") as f:
+        f.write(meshed)
+    GridSearch(input_file=mesh_yaml).run()
+    from abnet3_tpu.io import read_h5features
+    emb = read_h5features(os.path.join(exp_path, "embeddings.h5f"))
+    assert emb.features()[0].shape[1] == 5
