@@ -183,8 +183,12 @@ def _pallas_available() -> bool:
         _PALLAS_OK = False
         if jax.default_backend() != "cpu":
             try:
-                from abnet3_tpu.ops.pallas_dtw import dtw_costs_pallas
+                from abnet3_tpu.ops.pallas_dtw import (dtw_costs_pallas,
+                                                       dtw_moves_pallas)
                 probe = jnp.zeros((1, 8, 128), jnp.float32)
+                # probe both kernels: the default align path runs the
+                # fused move kernel, dtw_costs_auto the DP kernel
+                jax.block_until_ready(dtw_moves_pallas(probe))
                 jax.block_until_ready(dtw_costs_pallas(probe))
                 _PALLAS_OK = True
             except Exception:
