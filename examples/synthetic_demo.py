@@ -112,7 +112,10 @@ def abx_error(accessor, tok_meta, rng, n_triples=1000):
 
 def main():
     workdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/abnet3_demo"
-    os.makedirs(workdir, exist_ok=True)
+    if os.path.exists(workdir):  # h5features writes append; sampler
+        import shutil            # output dirs must not pre-exist
+        shutil.rmtree(workdir)
+    os.makedirs(workdir)
     np.random.seed(0)
     random.seed(0)
 
