@@ -431,3 +431,46 @@ def test_multimodal_dataloader(corpus, tmp_path):
     assert b.x1[0].shape == (16, 4)
     assert b.x1[1].shape == (16, 6)
     assert b.y.shape == (16,)
+
+
+def test_tcl_bank_multidevice_mesh(corpus):
+    """tcl batches run on a multi-device mesh: the group padding must fill
+    tcl weights with 0 so padded entries contribute nothing."""
+    import jax
+    import optax
+    from abnet3_tpu.loss import coscos2
+    from abnet3_tpu.models import SiameseNetwork
+    from abnet3_tpu.parallel import make_mesh, make_split_pair_train_step
+
+    feats_path, pairs_path, _ = corpus
+    tcl = 0.3
+    dl = OriginalDataLoader(pairs_path, feats_path, tcl=tcl,
+                            align_backend="bank", batch_size=4,
+                            num_max_minibatches=4, seed=0)
+    b = next(iter(dl.batch_iterator(True)))
+    net = SiameseNetwork(input_dim=4, num_hidden_layers=1, hidden_dim=8,
+                         output_dim=4, p_dropout=0.0,
+                         activation_layer="sigmoid")
+    net.ensure_init(0)
+    loss = coscos2()
+    opt = optax.adam(1e-3)
+    args = (b.ids1s, b.ids2s, b.ws, b.ids1d, b.ids2d, b.wd,
+            b.tcl_i1, b.tcl_i2, b.tcl_y, b.tcl_w)
+    losses = {}
+    for n_data in (1, 8):
+        mesh = make_mesh(n_data=n_data, n_model=1)
+        _, ev = make_split_pair_train_step(
+            net, loss, opt, dl.token_bank, mesh, max_frames=b.bucket,
+            frame_bank=dl.frame_bank, tcl=tcl)
+        losses[n_data] = float(ev(net.params, net.state, *args))
+    # group padding to the 8-device data axis must not change the loss
+    np.testing.assert_allclose(losses[8], losses[1], rtol=1e-5)
+
+    # and a train step must run (pad fill exercised on every arg)
+    mesh = make_mesh(n_data=8, n_model=1)
+    tr, _ = make_split_pair_train_step(
+        net, loss, opt, dl.token_bank, mesh, max_frames=b.bucket,
+        frame_bank=dl.frame_bank, tcl=tcl)
+    _, _, _, v = tr(net.params, net.state, opt.init(net.params),
+                    jax.random.PRNGKey(0), *args)
+    assert np.isfinite(float(v))
