@@ -150,3 +150,20 @@ def test_dtw_length_one_tokens():
     assert int(plen[0]) == 6
     np.testing.assert_array_equal(np.asarray(p1)[0, :6], np.zeros(6))
     np.testing.assert_array_equal(np.asarray(p2)[0, :6], np.arange(6))
+
+
+def test_dtw_align_from_dist_api():
+    """Public dispatch helper: matches dtw_align_batch and respects
+    use_pallas=False (the multi-device escape hatch)."""
+    from abnet3_tpu.ops.dtw import (dtw_align_batch, dtw_align_from_dist,
+                                    pairwise_angular_distance)
+    rng = np.random.RandomState(5)
+    f1 = jnp.asarray(rng.randn(3, 16, 6).astype(np.float32))
+    f2 = jnp.asarray(rng.randn(3, 16, 6).astype(np.float32))
+    n = jnp.asarray([16, 12, 9], jnp.int32)
+    ref = dtw_align_batch(f1, f2, n, n)
+    dist = pairwise_angular_distance(f1, f2)
+    for use_pallas in (True, False):
+        out = dtw_align_from_dist(dist, n, n, use_pallas=use_pallas)
+        for a, b in zip(ref, out):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
