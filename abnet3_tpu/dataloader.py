@@ -862,7 +862,7 @@ class PairsDataLoader(OriginalDataLoader):
     def batch_iterator(self, train_mode=True):
         """Sample positive pairs + wrongly-aligned same-token negatives
         (reference dataloader.py:507-546)."""
-        print("constructing batches")
+        print("building pair batches")
         mode = "train" if train_mode else "test"
         self.load_data()
         iterations = self.iterations[mode]
@@ -872,9 +872,8 @@ class PairsDataLoader(OriginalDataLoader):
         num_pairs = iterations * self.batch_size
         num_pos = int(num_pairs * self.proportion_positive_pairs)
         if num_pos > len(all_positive):
-            print("Not enough positive pairs to sample this number of "
-                  "iterations. There is only {}, but {} requested"
-                  .format(len(all_positive), num_pos))
+            print("positive-pair budget capped: requested {} but the "
+                  "corpus only has {}".format(num_pos, len(all_positive)))
             num_pos = len(all_positive)
         num_neg = num_pairs - num_pos
         positive = [p + ["same"]
@@ -884,7 +883,7 @@ class PairsDataLoader(OriginalDataLoader):
                     for i in range(0, len(toks), 2)]
         pairs = positive + negative
         random.shuffle(pairs)
-        print("done constructing batches for epoch")
+        print("pair batches ready for this epoch")
         for i in range(iterations):
             chunk = pairs[i * self.batch_size:(i + 1) * self.batch_size]
             if not chunk:

@@ -271,9 +271,9 @@ class TrainerBuilder:
             else:
                 self.patience_dev += 1
                 if self.patience_dev > self.patience:
-                    print("No improvements after {} iterations, "
-                          "stopping now".format(self.patience))
-                    print("Finished Training")
+                    print("early stop: dev loss flat for {} epochs"
+                          .format(self.patience))
+                    print("training finished")
                     break
             self.save_checkpoint(epoch)
         print("Saving best checkpoint network")
