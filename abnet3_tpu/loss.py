@@ -56,12 +56,18 @@ def cosmargin_fn(input1, input2, y, margin=0.5, weights=None, avg=True):
     return _reduce(vals, weights, avg)
 
 
-def kl_loss_fn(input1, input2, y, margin=1.0, weights=None, avg=True):
+def kl_loss_fn(input1, input2, y, margin=1.0, weights=None, avg=True,
+               eps=1e-8):
     """Symmetric contrastive KL with hinge on diff pairs
     (reference loss.py:127-137). Inputs must be positive distributions
-    (e.g. softmax outputs)."""
-    kld1 = jnp.sum(input1 * jnp.log(input1 / input2), axis=1)
-    kld2 = jnp.sum(input2 * jnp.log(input2 / input1), axis=1)
+    (e.g. softmax outputs).
+
+    ``eps`` keeps log() finite on saturated softmax outputs and on
+    all-zero padded rows (0*log(0/0) would poison the weighted sum with
+    NaN even at weight 0, since 0*nan = nan)."""
+    r = jnp.log((input1 + eps) / (input2 + eps))
+    kld1 = jnp.sum(input1 * r, axis=1)
+    kld2 = -jnp.sum(input2 * r, axis=1)
     # HingeEmbeddingLoss: x if y==1 else max(0, margin - x)
     h1 = jnp.where(y > 0, kld1, jnp.maximum(margin - kld1, 0.0))
     h2 = jnp.where(y > 0, kld2, jnp.maximum(margin - kld2, 0.0))

@@ -104,7 +104,9 @@ class SiameseNetwork(NetworkBuilder):
                  type_init="xavier_uni", activation_layer=None,
                  output_path=None, last_non_linearity="default",
                  compute_dtype="float32"):
-        assert activation_layer in ("relu", "sigmoid", "tanh")
+        # softmax output pairs with KLLoss (distributions over classes),
+        # reference model.py:19-23 + loss.py:108-137
+        assert activation_layer in ("relu", "sigmoid", "tanh", "softmax")
         assert type_init in ("xavier_uni", "xavier_normal", "orthogonal")
         assert isinstance(input_dim, int), "input dim should be int"
         assert isinstance(hidden_dim, int), "hidden dim should be int"
@@ -190,7 +192,7 @@ class SiameseMultitaskNetwork(NetworkBuilder):
                  hidden_dim=None, output_dim=None, p_dropout=0.1,
                  batch_norm=False, type_init="xavier_uni",
                  activation_layer=None, output_path=None):
-        assert activation_layer in ("relu", "sigmoid", "tanh")
+        assert activation_layer in ("relu", "sigmoid", "tanh", "softmax")
         assert type_init in ("xavier_uni", "xavier_normal", "orthogonal")
         for v in (input_dim, hidden_dim, output_dim, num_hidden_layers_shared,
                   num_hidden_layers_spk, num_hidden_layers_phn):

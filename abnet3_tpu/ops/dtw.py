@@ -47,7 +47,11 @@ __all__ = [
     "dtw_align_batch", "align_diff_batch", "gather_aligned",
 ]
 
-_BIG = jnp.float32(1e30)
+# plain float, not jnp.float32(...): a module-level jnp constant would
+# eagerly initialise the default jax backend at import time, before
+# callers (spawned gridsearch workers, the multi-chip dryrun) get the
+# chance to pin the platform. jnp.full coerces it to f32 in-trace.
+_BIG = 1e30
 
 
 def pairwise_angular_distance(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:

@@ -210,10 +210,6 @@ def test_run_experiment_worker():
     assert getattr(g, "_run_experiment_worker") is _run_experiment_worker
 
 
-@pytest.mark.skipif(not os.environ.get("ABNET3_RUN_SLOW_TESTS"),
-                    reason="worker processes re-import jax and may hit "
-                           "the slow remote-compile path (~6 min); set "
-                           "ABNET3_RUN_SLOW_TESTS=1 to run")
 def test_num_jobs_parallel_grid(experiment, tmp_path, monkeypatch):
     """A 2-point grid runs in 2 worker processes (the reference declared
     num_jobs but never implemented it, reference gridsearch.py:299-300)."""
@@ -229,6 +225,29 @@ def test_num_jobs_parallel_grid(experiment, tmp_path, monkeypatch):
     embs = glob.glob(os.path.join(exp_path, "2026-01-02", "lr", "*",
                                   "embeddings.h5f"))
     assert len(embs) == 2
+
+
+def test_softmax_kl_yaml_end_to_end(experiment, tmp_path):
+    """The KLLoss-on-distributions recipe is configurable from YAML just
+    like the reference allows (softmax activation, reference
+    model.py:19-23, + KLLoss, reference loss.py:108-137)."""
+    yaml_path, exp_path, yaml_text = experiment
+    kl_yaml_text = yaml_text.replace(
+        "activation_layer: sigmoid", "activation_layer: softmax").replace(
+        "class: coscos2", "class: KLLoss").replace(
+        "avg: true", "avg: true\n      margin: 1.0")
+    assert "softmax" in kl_yaml_text and "KLLoss" in kl_yaml_text
+    kl_yaml = str(tmp_path / "kl.yaml")
+    with open(kl_yaml, "w") as f:
+        f.write(kl_yaml_text)
+    GridSearch(input_file=kl_yaml).run()
+    from abnet3_tpu.io import read_h5features
+    emb = read_h5features(os.path.join(exp_path, "embeddings.h5f"))
+    feats = emb.features()[0]
+    assert feats.shape == (80, 5)
+    # embeddings really are distributions
+    assert np.all(feats > 0)
+    np.testing.assert_allclose(feats.sum(axis=1), 1.0, rtol=1e-4)
 
 
 def test_embed_only(experiment):
