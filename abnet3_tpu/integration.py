@@ -284,13 +284,25 @@ class BiWeightedPreTrained(BiWeightedDeepLearnt):
         net_2.load_network(net_path2)
         self._pre1 = net_1
         self._pre2 = net_2
-        # layer trimming of the pre-trained towers is not reproduced
-        # structurally; start/end indices select tower layers
+        # trim_net* selects a block window of the pre-trained tower
+        # (reference integration.py:492-543 unrolls the torch Sequential
+        # and keeps child[start:end+1]; the functional analogue slices
+        # the TowerSpec + params, Tower.sliced)
         self._trim1 = (trim_net1_start, trim_net1_end)
         self._trim2 = (trim_net2_start, trim_net2_end)
 
-    def _run_pretrained(self, net, x):
-        out, _ = net.forward_once(net.params, net.state, x, train=False)
+    def _run_pretrained(self, net, x, trim=(None, None)):
+        start, end = trim
+        if start is None and end is None:
+            out, _ = net.forward_once(net.params, net.state, x,
+                                      train=False)
+        else:
+            assert hasattr(net, "_tower"), (
+                "trim_net* requires a single-tower pre-trained network "
+                "(SiameseNetwork)")
+            tower, p, st = net._tower.sliced(net.params, net.state,
+                                             start, end)
+            out, _ = tower.apply(p, st, x, train=False)
         return jax.lax.stop_gradient(out)
 
     def apply(self, params, x_list, diff_input=None, rng=None, train=False):
@@ -300,7 +312,7 @@ class BiWeightedPreTrained(BiWeightedDeepLearnt):
             di1, di2 = diff_input
         else:
             di1, di2 = i1, i2
-        di1 = self._run_pretrained(self._pre1, di1)
-        di2 = self._run_pretrained(self._pre2, di2)
+        di1 = self._run_pretrained(self._pre1, di1, self._trim1)
+        di2 = self._run_pretrained(self._pre2, di2, self._trim2)
         return super().apply(params, [i1, i2], diff_input=[di1, di2],
                              rng=rng, train=train)

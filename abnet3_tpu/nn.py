@@ -166,6 +166,38 @@ class Tower:
                  if spec.batch_norm else {})
         return params, state
 
+    def sliced(self, params: Params, state: Params,
+               start: Optional[int] = None, end: Optional[int] = None):
+        """Trim the tower to the block range [start, end] (inclusive).
+
+        The reference unrolls the pre-trained net into a flat module list
+        and keeps child[start:end+1] (reference integration.py:523-543,
+        ``__trim_network``); here the unit of trimming is one
+        Linear->Dropout->[BN]->activation block. ``None`` leaves that side
+        untrimmed; like the reference, a falsy start means 0 and end is
+        inclusive.
+
+        Returns (sub_tower, sub_params, sub_state) sharing the original
+        parameter arrays (no copy).
+        """
+        n = self.spec.num_layers
+        s = int(start) if start else 0
+        e = int(end) if end is not None else n - 1
+        assert 0 <= s <= e < n, \
+            f"trim range [{s}, {e}] outside tower of {n} blocks"
+        spec = self.spec
+        sub = TowerSpec(spec.dims[s:e + 2], spec.activations[s:e + 1],
+                        p_dropout=spec.p_dropout,
+                        batch_norm=spec.batch_norm,
+                        type_init=spec.type_init,
+                        gain_activation=spec.gain_activation,
+                        compute_dtype=spec.compute_dtype)
+        p = {f"layer_{i - s}": params[f"layer_{i}"]
+             for i in range(s, e + 1)}
+        st = ({f"bn_{i - s}": state[f"bn_{i}"] for i in range(s, e + 1)}
+              if spec.batch_norm else {})
+        return Tower(sub), p, st
+
     def apply(self, params: Params, state: Params, x: jnp.ndarray,
               rng=None, train: bool = False,
               bn_momentum: float = 0.1, bn_eps: float = 1e-5,

@@ -90,6 +90,73 @@ def test_biweighted_deep_learnt():
         0.5 * np.asarray(x[0]) + 0.5 * np.asarray(x[1]), rtol=1e-5)
 
 
+def test_biweighted_pretrained_trimming(tmp_path):
+    """trim_net* really trims the pre-trained towers to a block window
+    (reference integration.py:492-543): trimmed and untrimmed give
+    different attention inputs with the expected dimensions."""
+    from abnet3_tpu.integration import BiWeightedPreTrained
+    from abnet3_tpu.models import SiameseNetwork
+
+    def make_net(seed):
+        net = SiameseNetwork(input_dim=4, num_hidden_layers=1,
+                             hidden_dim=6, output_dim=3, p_dropout=0.0,
+                             activation_layer="sigmoid",
+                             output_path=str(tmp_path / f"net{seed}"))
+        net.ensure_init(seed)
+        net.save_network()
+        return net, str(tmp_path / f"net{seed}.pth")
+
+    n1, p1 = make_net(0)
+    n2, p2 = make_net(1)
+    x = _inputs(d1=4, d2=4)
+
+    # untrimmed: attention inputs are the towers' 3-dim outputs
+    full = BiWeightedPreTrained(
+        SiameseNetwork(input_dim=4, num_hidden_layers=1, hidden_dim=6,
+                       output_dim=3, p_dropout=0.0,
+                       activation_layer="sigmoid"),
+        SiameseNetwork(input_dim=4, num_hidden_layers=1, hidden_dim=6,
+                       output_dim=3, p_dropout=0.0,
+                       activation_layer="sigmoid"),
+        p1, p2, net_params=[[3, 8, 1], [3, 8, 1]],
+        activation_type="sigmoid", integration_mode="sum")
+    params = full.init_params(jax.random.PRNGKey(2))
+    out_full = full.apply(params, x)
+    w_full = np.asarray(full.get_weights())
+
+    # trim to blocks [0, 1]: attention inputs become the 6-dim hidden
+    # activations -> the attention nets take 6-dim inputs
+    trimmed = BiWeightedPreTrained(
+        SiameseNetwork(input_dim=4, num_hidden_layers=1, hidden_dim=6,
+                       output_dim=3, p_dropout=0.0,
+                       activation_layer="sigmoid"),
+        SiameseNetwork(input_dim=4, num_hidden_layers=1, hidden_dim=6,
+                       output_dim=3, p_dropout=0.0,
+                       activation_layer="sigmoid"),
+        p1, p2, trim_net1_end=1, trim_net2_end=1,
+        net_params=[[6, 8, 1], [6, 8, 1]],
+        activation_type="sigmoid", integration_mode="sum")
+    params_t = trimmed.init_params(jax.random.PRNGKey(2))
+    out_trim = trimmed.apply(params_t, x)
+    w_trim = np.asarray(trimmed.get_weights())
+    assert out_trim.shape == out_full.shape
+    # same rng for the attention init but different attention inputs ->
+    # different weights (trimming actually changed the computation)
+    assert w_full.shape == w_trim.shape == (6, 1)
+    assert not np.allclose(w_full, w_trim)
+
+    # the trimmed sub-tower is numerically the prefix of the full tower:
+    # block window [0,1] output feeds block [2,2] to reproduce the full net
+    tower, tp, ts = n1._tower.sliced(n1.params, n1.state, None, 1)
+    hidden, _ = tower.apply(tp, ts, x[0])
+    assert hidden.shape == (6, 6)
+    tail, tp2, ts2 = n1._tower.sliced(n1.params, n1.state, 2, None)
+    reconstructed, _ = tail.apply(tp2, ts2, hidden)
+    direct, _ = n1.forward_once(n1.params, n1.state, x[0], train=False)
+    np.testing.assert_allclose(np.asarray(reconstructed),
+                               np.asarray(direct), rtol=1e-6)
+
+
 def test_multitask_integration_masks():
     unit = MultitaskIntegration(
         representation_modes=[(1, 0), (0, 1), (1, 1)],
