@@ -57,9 +57,20 @@ class EmbedCLI:
         if self.input_features is not None:
             feature_path = self.input_features
         else:
+            # no -i: resolve the experiment's default features and
+            # GENERATE them if the file does not exist yet
+            # (reference tools/embed_cli.py:60-70)
             features_prop = single_experiment["features"]
-            feature_path = features_prop["arguments"].get(
-                "output_path", os.path.join(exp_path, "features"))
+            arguments = dict(features_prop.get("arguments") or {})
+            if "output_path" not in arguments:
+                arguments["output_path"] = os.path.join(exp_path,
+                                                        "features")
+            feature_path = arguments["output_path"]
+            if not os.path.exists(feature_path):
+                features_class = getattr(abnet3_tpu.features,
+                                         features_prop["class"])
+                features_class(**arguments).generate()
+            print("Using default features : %s" % feature_path)
 
         if self.output_embeddings is not None:
             output_path = self.output_embeddings

@@ -81,6 +81,46 @@ def test_embed_cli_main(experiment_yaml, monkeypatch, tmp_path):
     assert data.features()[0].shape == (60, 5)
 
 
+def test_embed_cli_generates_missing_features(experiment_yaml, monkeypatch,
+                                              tmp_path):
+    """No -i and no existing features file: the CLI generates the
+    experiment's default features before embedding
+    (reference tools/embed_cli.py:60-70)."""
+    from scipy.io import wavfile
+    from abnet3_tpu.gridsearch import main as gs_main
+    from abnet3_tpu.tools.embed_cli import main as embed_main
+    yaml_path, exp_path, feats_path = experiment_yaml
+    monkeypatch.setattr(sys, "argv", ["abnet3-gridsearch", yaml_path])
+    gs_main()  # trains network.pth
+
+    wavdir = tmp_path / "cliwavs"
+    wavdir.mkdir()
+    fs = 16000
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        wavfile.write(str(wavdir / f"w{i}.wav"), fs,
+                      (rng.randn(fs // 2) * 1000).astype(np.int16))
+    gen_feats = str(tmp_path / "generated.h5f")  # does not exist yet
+    with open(yaml_path) as f:
+        text = f.read()
+    text = text.replace(
+        f"run: never, output_path: {feats_path}",
+        f"run: once, files: {wavdir}, n_filters: 4, "
+        f"output_path: {gen_feats}")
+    gen_yaml = str(tmp_path / "gen.yaml")
+    with open(gen_yaml, "w") as f:
+        f.write(text)
+    out = str(tmp_path / "gen_emb.h5f")
+    monkeypatch.setattr(sys, "argv", [
+        "abnet3-embed", gen_yaml, "-w",
+        os.path.join(exp_path, "network.pth"), "-o", out])
+    embed_main()
+    assert os.path.exists(gen_feats)  # generated on demand
+    data = read_h5features(out)
+    assert data.items() == ["w0", "w1"]
+    assert data.features()[0].shape[1] == 5
+
+
 def test_features_cli_main(tmp_path, monkeypatch):
     from scipy.io import wavfile
     from abnet3_tpu.features import main as feats_main
