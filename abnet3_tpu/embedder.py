@@ -93,7 +93,12 @@ class EmbedderBuilder:
         (the reference synchronizes per chunk, reference embedder.py:88-96).
 
         n_outputs > 1: ``forward`` returns that many embedding heads per
-        chunk (multitask spk/phn); returns one corpus list per head.
+        chunk (multitask spk/phn, multimodal emb+attention); returns one
+        corpus list per head.
+
+        A ``feats_list`` entry may be a tuple of per-modality arrays
+        (equal frame counts); each modality is chunked/padded in sync and
+        ``forward`` receives one positional array per modality.
         """
         bs = self.batch_size
         params, state = self.network.params, self.network.state
@@ -110,15 +115,22 @@ class EmbedderBuilder:
                 outputs[h][fi].append(host)
 
         for fi, feat in enumerate(feats_list):
-            if feat.dtype != np.float32:
-                feat = feat.astype(np.float32)
-            for c0 in range(0, len(feat), bs):
-                chunk = feat[c0:c0 + bs]
-                pad = bs - len(chunk)
-                if pad:
-                    chunk = np.vstack([chunk, np.zeros(
-                        (pad, feat.shape[1]), np.float32)])
-                embs = forward(params, state, jnp.asarray(chunk))
+            mods = feat if isinstance(feat, tuple) else (feat,)
+            mods = [m.astype(np.float32) if m.dtype != np.float32 else m
+                    for m in mods]
+            n_frames = len(mods[0])
+            assert all(len(m) == n_frames for m in mods), \
+                "modalities must have the same frame count per file"
+            for c0 in range(0, n_frames, bs):
+                chunks = []
+                for m in mods:
+                    chunk = m[c0:c0 + bs]
+                    pad = bs - len(chunk)
+                    if pad:
+                        chunk = np.vstack([chunk, np.zeros(
+                            (pad, m.shape[1]), np.float32)])
+                    chunks.append(jnp.asarray(chunk))
+                embs = forward(params, state, *chunks)
                 if n_outputs == 1:
                     embs = (embs,)
                 for emb in embs:
@@ -126,7 +138,7 @@ class EmbedderBuilder:
                         emb.copy_to_host_async()
                     except AttributeError:
                         pass
-                pending.append((fi, bs - pad, embs))
+                pending.append((fi, min(bs, n_frames - c0), embs))
                 if len(pending) >= window:
                     drain_one()
         while pending:
@@ -210,6 +222,15 @@ class MultimodalEmbedder(EmbedderBuilder):
                 self.output_path + "attention_weights.features"))
 
     def embed(self):
+        """TPU-first multimodal export: one jitted multi-input forward over
+        fixed-size padded chunks, pipelined through the same async-d2h
+        corpus path as the monotask embedder (the reference runs one eager
+        forward per file, reference embedder.py:195-208).
+
+        Attention weights are RETURNED by the jitted forward instead of
+        read back from integration-unit object state afterwards — under
+        jit that state only ever holds the stale tracer from trace time.
+        """
         self._load()
         datasets = [read_h5features(p, "features")
                     for p in self.feature_path]
@@ -217,23 +238,53 @@ class MultimodalEmbedder(EmbedderBuilder):
         times = datasets[0].labels()
         print("Done loading input feature file")
         network = self.network
-        params, state = network.params, network.state
+        unit = getattr(network, "integration_unit", None)
+        want_attention = bool(self.observers)
+        transfer_dtype = self.transfer_dtype
 
-        embeddings = []
-        for feats in zip(*(d.features() for d in datasets)):
-            x_list = [jnp.asarray(f.astype(np.float32)) for f in feats]
-            emb, _ = network.forward_once(params, state, x_list,
+        def forward_impl(params, state, *xs):
+            if want_attention:
+                unit._last_weight = None  # trace-time reset (see below)
+            emb, _ = network.forward_once(params, state, list(xs),
                                           train=False)
-            embeddings.append(np.asarray(emb))
-            for observer in self.observers:
-                observer.register_status()
+            outs = [emb]
+            if want_attention:
+                # apply() stored this trace's attention tensor; None means
+                # the unit is frozen to a scalar (headstart)
+                w = unit._last_weight
+                if w is None:
+                    w = jnp.full((xs[0].shape[0], 1),
+                                 float(unit.get_weights()))
+                outs.append(w)
+            if transfer_dtype == "bfloat16":
+                outs = [o.astype(jnp.bfloat16) for o in outs]
+            return outs[0] if len(outs) == 1 else tuple(outs)
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            dp = NamedSharding(self.mesh, P("data"))
+            forward = jax.jit(
+                forward_impl,
+                in_shardings=(None, None) + (dp,) * len(datasets),
+                out_shardings=dp if not want_attention else (dp, dp))
+        else:
+            forward = jax.jit(forward_impl)
+
+        feats_list = [tuple(fs)
+                      for fs in zip(*(d.features() for d in datasets))]
+        n_outputs = 2 if want_attention else 1
+        result = self._embed_corpus(forward, feats_list,
+                                    n_outputs=n_outputs)
+        embeddings = result[0] if want_attention else result
 
         path = self.output_path + "embedded.features"
         if _exists(path):
             _remove(path)
         write_h5features(path, "features", items, times, embeddings)
-        for observer in self.observers:
-            observer.save(items, times)
+        if want_attention:
+            for observer in self.observers:
+                observer.record_arrays(result[1])
+                observer.save(items, times)
 
 
 def _exists(path):

@@ -375,6 +375,12 @@ class EmbeddingObserver:
         response = self.status_getter()
         self.intern_responses.append(np.asarray(response))
 
+    def record_arrays(self, arrays):
+        """Bulk registration from returned results (the TPU-first embed
+        path: the jitted forward RETURNS internal responses, rather than
+        the observer reading object state that jit never updates)."""
+        self.intern_responses = [np.asarray(a) for a in arrays]
+
     def save(self, items, times):
         from abnet3_tpu.io.h5f import write_h5features
         if os.path.exists(self.path):

@@ -227,7 +227,97 @@ def test_multimodal_asynchronous_attention():
     assert out.shape == (6, 3)
 
 
-def test_multimodal_trainer_end_to_end(tmp_path):
+def test_multimodal_embedder_chunked_matches_eager(tmp_path):
+    """Files longer than batch_size embed through fixed-size padded
+    chunks, compile ONCE, and match the eager per-file forward exactly;
+    attention weights come from the returned arrays."""
+    from abnet3_tpu.embedder import MultimodalEmbedder
+    from abnet3_tpu.io import read_h5features, write_h5features
+
+    rng = np.random.RandomState(0)
+    items = ["a", "b", "c"]
+    lengths = [50, 33, 7]  # 50 and 33 exceed batch_size=16
+    paths, all_feats = [], []
+    for m, d in enumerate((4, 5)):
+        p = str(tmp_path / f"m{m}.h5f")
+        feats = [rng.randn(n, d).astype(np.float32) for n in lengths]
+        times = [np.arange(n) * 0.01 + 0.0025 for n in lengths]
+        write_h5features(p, "features", items, times, feats)
+        paths.append(p)
+        all_feats.append(feats)
+
+    unit = BiWeightedDeepLearnt(net_params=[[6, 1], [6, 1]],
+                                integration_mode="sum")
+    net = MultimodalSiameseNetwork(
+        integration_unit=unit,
+        pre_integration_net_params=[[4, 6], [5, 6]],
+        post_integration_net_params=[6, 3],
+        p_dropout=0.0, activation_layer="sigmoid",
+        output_path=str(tmp_path / "net"))
+    net.ensure_init(0)
+    net.save_network()
+
+    emb = MultimodalEmbedder(network=net, feature_path=paths,
+                             network_path=str(tmp_path / "net.pth"),
+                             output_path=str(tmp_path / "out"),
+                             batch_size=16)
+    emb.embed()
+    data = read_h5features(str(tmp_path / "out") + "embedded.features")
+    att = read_h5features(
+        str(tmp_path / "out") + "attention_weights.features")
+
+    for i, n in enumerate(lengths):
+        x_list = [jnp.asarray(all_feats[m][i]) for m in range(2)]
+        eager, _ = net.forward_once(net.params, net.state, x_list,
+                                    train=False)
+        np.testing.assert_allclose(data.features()[i], np.asarray(eager),
+                                   rtol=1e-5, atol=1e-6)
+        w_eager = np.asarray(unit.get_weights())
+        assert att.features()[i].shape == (n, 1)
+        np.testing.assert_allclose(att.features()[i], w_eager[:n],
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_multimodal_embedder_compiles_once(tmp_path, monkeypatch):
+    """Ragged files all route through ONE compiled chunk shape."""
+    from abnet3_tpu.embedder import MultimodalEmbedder
+    from abnet3_tpu.io import write_h5features
+
+    rng = np.random.RandomState(0)
+    items = ["a", "b", "c", "d"]
+    lengths = [40, 17, 9, 25]
+    paths = []
+    for m, d in enumerate((4, 5)):
+        p = str(tmp_path / f"m{m}.h5f")
+        feats = [rng.randn(n, d).astype(np.float32) for n in lengths]
+        times = [np.arange(n) * 0.01 + 0.0025 for n in lengths]
+        write_h5features(p, "features", items, times, feats)
+        paths.append(p)
+
+    unit = BiWeightedDeepLearnt(net_params=[[6, 1], [6, 1]],
+                                integration_mode="sum")
+    net = MultimodalSiameseNetwork(
+        integration_unit=unit,
+        pre_integration_net_params=[[4, 6], [5, 6]],
+        post_integration_net_params=[6, 3],
+        p_dropout=0.0, activation_layer="sigmoid")
+    net.ensure_init(0)
+
+    # forward_once only runs at trace time inside the jitted chunk
+    # forward: one call == one compilation for the whole ragged corpus
+    calls = {"n": 0}
+    orig_forward = MultimodalSiameseNetwork.forward_once
+
+    def counting(self, *a, **k):
+        calls["n"] += 1
+        return orig_forward(self, *a, **k)
+
+    monkeypatch.setattr(MultimodalSiameseNetwork, "forward_once", counting)
+    emb = MultimodalEmbedder(network=net, feature_path=paths,
+                             output_path=str(tmp_path / "out"),
+                             batch_size=16)
+    emb.embed()
+    assert calls["n"] == 1
     """MultimodalDataLoader + MultimodalTrainer + MultimodalEmbedder."""
     import os
     from abnet3_tpu.dataloader import MultimodalDataLoader
