@@ -234,15 +234,23 @@ def dtw_moves_auto(dist: jnp.ndarray) -> jnp.ndarray:
 
 
 def dtw_align_from_dist(dist: jnp.ndarray, n1: jnp.ndarray,
-                        n2: jnp.ndarray, use_pallas: bool = True):
+                        n2: jnp.ndarray, use_pallas: bool = True,
+                        mesh=None):
     """Alignment paths from a precomputed distance tensor.
 
-    use_pallas=False forces the XLA scan regardless of the env flag —
-    GSPMD cannot auto-partition a pallas_call, so multi-device pjit
-    factories (parallel/mesh.py) pass False on >1-device meshes."""
+    use_pallas=False forces the XLA scan regardless of the env flag.
+    ``mesh`` (a >1-device jax.sharding.Mesh with a 'data' axis) routes the
+    fused kernel through shard_map so each device runs Pallas on its local
+    batch shard — GSPMD cannot auto-partition a pallas_call, but the DP is
+    embarrassingly parallel over pairs (pallas_dtw.py
+    dtw_moves_pallas_sharded)."""
     if use_pallas and _pallas_enabled():
-        from abnet3_tpu.ops.pallas_dtw import dtw_moves_pallas
-        move = dtw_moves_pallas(dist)
+        if mesh is not None and mesh.size > 1:
+            from abnet3_tpu.ops.pallas_dtw import dtw_moves_pallas_sharded
+            move = dtw_moves_pallas_sharded(dist, mesh)
+        else:
+            from abnet3_tpu.ops.pallas_dtw import dtw_moves_pallas
+            move = dtw_moves_pallas(dist)
     else:
         move = moves_from_costs(dtw_costs(dist))
     return walk_moves(move, n1, n2)

@@ -41,7 +41,8 @@ try:
 except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
-__all__ = ["dtw_costs_pallas", "dtw_moves_pallas"]
+__all__ = ["dtw_costs_pallas", "dtw_moves_pallas",
+           "dtw_moves_pallas_sharded"]
 
 _BIG = 1e30  # plain float: jnp constants cannot be captured by a kernel
 BLOCK_B = 8  # minimum block; the call picks the largest VMEM-fitting block
@@ -166,6 +167,30 @@ def dtw_moves_pallas(dist: jnp.ndarray, interpret: bool = False
         interpret=interpret,
     )(dist.astype(jnp.float32))
     return out[:B].astype(jnp.int8)
+
+
+def dtw_moves_pallas_sharded(dist: jnp.ndarray, mesh,
+                             interpret: bool = False) -> jnp.ndarray:
+    """Fused move kernel on a multi-device mesh via ``jax.shard_map``.
+
+    GSPMD cannot auto-partition a ``pallas_call``, but the DTW DP is
+    embarrassingly parallel over pairs: shard the batch over the mesh's
+    'data' axis and run the kernel per device on its local shard — the
+    TPU-native way to keep the measured 1.9x Pallas win on multi-chip
+    meshes instead of falling back to the XLA scan. The batch must divide
+    the 'data' axis (the pjit factories already pad group sizes to it,
+    parallel/mesh.py _pad_groups). Arrays stay replicated over any other
+    mesh axes ('model'): every member runs the identical kernel, so the
+    replication invariant holds by construction (check_vma off — Pallas
+    calls carry no varying-manual-axes info for the checker).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    spec = P("data")
+    f = jax.shard_map(
+        lambda d: dtw_moves_pallas(d, interpret=interpret),
+        mesh=mesh, in_specs=spec, out_specs=spec, check_vma=False)
+    return f(dist)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -76,16 +76,15 @@ def param_shardings(params, mesh: Mesh):
 
 
 def _align_and_flatten(network, loss, f1s, f2s, n1s, n2s,
-                       f1d, f2d, n1d, n2d, use_pallas=True):
+                       f1d, f2d, n1d, n2d, mesh=None):
     """Shared fused-step body: on-device alignment + flattened frame
     batch with padding weights.
 
-    use_pallas: the fused Pallas move kernel cannot be auto-partitioned
-    by GSPMD, so multi-device meshes use the XLA row scan (which GSPMD
-    shards over 'data' like any other op)."""
+    mesh: >1-device meshes run the fused Pallas move kernel through
+    shard_map over 'data' (GSPMD cannot auto-partition a pallas_call);
+    the same-pair batch must divide the 'data' axis."""
     dist = pairwise_angular_distance(f1s, f2s)
-    p1s, p2s, plens = dtw_align_from_dist(dist, n1s, n2s,
-                                          use_pallas=use_pallas)
+    p1s, p2s, plens = dtw_align_from_dist(dist, n1s, n2s, mesh=mesh)
     x1s = gather_aligned(f1s, p1s)
     x2s = gather_aligned(f2s, p2s)
     Ls = x1s.shape[1]
@@ -115,8 +114,6 @@ def make_indexed_train_step(network, loss, optimizer, bank, mesh: Mesh):
     dp = NamedSharding(mesh, P("data"))
     rep = NamedSharding(mesh, P())
 
-    single_dev = mesh.size == 1
-
     def step(params, state, opt_state, rng, ids1s, ids2s, ids1d, ids2d):
         f1s, n1s = bank.take(ids1s)
         f2s, n2s = bank.take(ids2s)
@@ -124,7 +121,7 @@ def make_indexed_train_step(network, loss, optimizer, bank, mesh: Mesh):
         f2d, n2d = bank.take(ids2d)
         x1, x2, y, w = _align_and_flatten(network, loss, f1s, f2s, n1s,
                                           n2s, f1d, f2d, n1d, n2d,
-                                          use_pallas=single_dev)
+                                          mesh=mesh)
 
         def loss_fn(p):
             e1, e2, new_state = network.forward(p, state, x1, x2, rng=rng,
@@ -152,7 +149,7 @@ def make_indexed_train_step(network, loss, optimizer, bank, mesh: Mesh):
 
 
 def _bank_align(bank, ids1, ids2, y_pair, pair_w,
-                align_different_words: bool, use_pallas: bool,
+                align_different_words: bool, mesh=None,
                 max_frames: int = None):
     """Gather pairs from the bank + per-pair alignment selected by label.
 
@@ -164,8 +161,7 @@ def _bank_align(bank, ids1, ids2, y_pair, pair_w,
     f1, n1 = bank.take(ids1, T)
     f2, n2 = bank.take(ids2, T)
     dist = pairwise_angular_distance(f1, f2)
-    p1s, p2s, plen_s = dtw_align_from_dist(dist, n1, n2,
-                                           use_pallas=use_pallas)
+    p1s, p2s, plen_s = dtw_align_from_dist(dist, n1, n2, mesh=mesh)
     p1d, p2d, plen_d = align_diff_batch(
         n1, n2, T, T, align_different_words=align_different_words, L=L)
     same = (y_pair > 0)[:, None]
@@ -183,7 +179,7 @@ def _bank_align(bank, ids1, ids2, y_pair, pair_w,
 
 
 def _split_bank_align(bank, ids1s, ids2s, ws, ids1d, ids2d, wd,
-                      align_different_words, use_pallas, max_frames):
+                      align_different_words, mesh, max_frames):
     """Static same/diff split: DTW DP only over the same-word group; diff
     pairs use the cheap truncate/diagonal alignment at L=T (vs a mixed
     batch paying the quadratic DP and 2T-1 padding for every pair)."""
@@ -192,8 +188,7 @@ def _split_bank_align(bank, ids1s, ids2s, ws, ids1d, ids2d, wd,
     f1s, n1s = bank.take(ids1s, T)
     f2s, n2s = bank.take(ids2s, T)
     dist = pairwise_angular_distance(f1s, f2s)
-    p1s, p2s, plen_s = dtw_align_from_dist(dist, n1s, n2s,
-                                           use_pallas=use_pallas)
+    p1s, p2s, plen_s = dtw_align_from_dist(dist, n1s, n2s, mesh=mesh)
     x1s = gather_aligned(f1s, p1s)
     x2s = gather_aligned(f2s, p2s)
     wfs = ((jnp.arange(Ls)[None, :] < plen_s[:, None]).astype(jnp.float32)
@@ -239,7 +234,6 @@ def make_split_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
     with static shapes."""
     dp = NamedSharding(mesh, P("data"))
     rep = NamedSharding(mesh, P())
-    single_dev = mesh.size == 1
     assert not (extra_labels and frame_bank is not None), (
         "tcl mixing is a monotask feature (the reference never combines "
         "it with multitask speaker labels)")
@@ -261,7 +255,7 @@ def make_split_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
             yspk_s = yspk_d = None
         x1, x2, y, w, Ls, Ld = _split_bank_align(
             bank, ids1s, ids2s, ws, ids1d, ids2d, wd,
-            align_different_words, single_dev, max_frames)
+            align_different_words, mesh, max_frames)
         y_spk = None
         if extra_labels:
             y_spk = jnp.concatenate([
@@ -389,14 +383,17 @@ def make_sampled_train_step(network, loss, optimizer, bank, sampler,
     """
     assert steps_per_call >= 1, "steps_per_call must be >= 1"
     rep = NamedSharding(mesh, P())
-    single_dev = mesh.size == 1
+    if mesh.size > 1:
+        assert sampler.batch_size % mesh.shape["data"] == 0, (
+            "sampler batch_size must divide the mesh 'data' axis so the "
+            "sharded Pallas DTW kernel gets equal per-device blocks")
 
     def one_step(params, state, opt_state, rng):
         rng_sample, rng_drop = jax.random.split(rng)
         ids1, ids2, y_pair = sampler.sample(rng_sample)
         pair_w = jnp.ones_like(y_pair)
         x1, x2, y, w = _bank_align(bank, ids1, ids2, y_pair, pair_w,
-                                   align_different_words, single_dev)
+                                   align_different_words, mesh)
 
         def loss_fn(p):
             e1, e2, new_state = network.forward(p, state, x1, x2,
@@ -441,13 +438,12 @@ def make_sampled_eval_step(network, loss, bank, sampler, mesh: Mesh,
     """Eval twin of make_sampled_train_step: sample + align + loss, no
     gradient/update."""
     rep = NamedSharding(mesh, P())
-    single_dev = mesh.size == 1
 
     def step(params, state, rng):
         ids1, ids2, y_pair = sampler.sample(rng)
         pair_w = jnp.ones_like(y_pair)
         x1, x2, y, w = _bank_align(bank, ids1, ids2, y_pair, pair_w,
-                                   align_different_words, single_dev)
+                                   align_different_words, mesh)
         e1, e2, _ = network.forward(params, state, x1, x2, train=False)
         return loss(e1, e2, y, weights=w)
 
@@ -478,13 +474,12 @@ def make_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
     """
     dp = NamedSharding(mesh, P("data"))
     rep = NamedSharding(mesh, P())
-    single_dev = mesh.size == 1
     T = max_frames if max_frames is not None else bank.max_len
     L = 2 * T - 1
 
     def align(ids1, ids2, y_pair, pair_w):
         return _bank_align(bank, ids1, ids2, y_pair, pair_w,
-                           align_different_words, single_dev,
+                           align_different_words, mesh,
                            max_frames=max_frames)
 
     if extra_labels:
@@ -576,13 +571,11 @@ def make_fused_train_step(network, loss, optimizer, mesh: Mesh):
     dp = NamedSharding(mesh, P("data"))
     rep = NamedSharding(mesh, P())
 
-    single_dev = mesh.size == 1
-
     def step(params, state, opt_state, rng,
              f1s, f2s, n1s, n2s, f1d, f2d, n1d, n2d):
         x1, x2, y, w = _align_and_flatten(network, loss, f1s, f2s, n1s,
                                           n2s, f1d, f2d, n1d, n2d,
-                                          use_pallas=single_dev)
+                                          mesh=mesh)
 
         # --- fused siamese fwd/bwd + update -----------------------------
         def loss_fn(p):

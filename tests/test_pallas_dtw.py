@@ -49,3 +49,51 @@ def test_moves_auto_flag(monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(dtw_moves_auto(dist)),
         np.asarray(moves_from_costs(dtw_costs(dist))))
+
+
+def test_pallas_moves_sharded_matches_single_device():
+    """shard_map over the 8-device 'data' axis gives exactly the
+    single-device fused-kernel moves AND the XLA move matrix (interpret
+    mode; on TPU the same wrapper keeps the Pallas win on multi-chip
+    meshes, parallel/mesh.py)."""
+    import jax
+    from abnet3_tpu.ops.dtw import moves_from_costs
+    from abnet3_tpu.ops.pallas_dtw import (dtw_moves_pallas,
+                                           dtw_moves_pallas_sharded)
+    from abnet3_tpu.parallel import make_mesh
+    rng = np.random.RandomState(4)
+    dist = jnp.asarray(rng.rand(16, 16, 24).astype(np.float32))
+    single = np.asarray(dtw_moves_pallas(dist, interpret=True))
+    for n_data, n_model in ((8, 1), (4, 2)):
+        mesh = make_mesh(n_data=n_data, n_model=n_model)
+        sharded = np.asarray(
+            dtw_moves_pallas_sharded(dist, mesh, interpret=True))
+        np.testing.assert_array_equal(sharded, single)
+    np.testing.assert_array_equal(
+        single, np.asarray(moves_from_costs(dtw_costs(dist))))
+
+
+def test_pallas_sharded_inside_jitted_step():
+    """dtw_align_from_dist(mesh=...) composes with jit on a >1-device
+    mesh (the path the pjit step factories trace when Pallas is on)."""
+    import jax
+    from abnet3_tpu.ops.dtw import walk_moves
+    from abnet3_tpu.ops.pallas_dtw import dtw_moves_pallas_sharded
+    from abnet3_tpu.parallel import make_mesh
+    rng = np.random.RandomState(5)
+    dist = jnp.asarray(rng.rand(8, 16, 16).astype(np.float32))
+    n1 = jnp.full((8,), 16, jnp.int32)
+    n2 = jnp.full((8,), 13, jnp.int32)
+    mesh = make_mesh(n_data=8, n_model=1)
+
+    @jax.jit
+    def aligned(d):
+        move = dtw_moves_pallas_sharded(d, mesh, interpret=True)
+        return walk_moves(move, n1, n2)
+
+    p1, p2, plen = aligned(dist)
+    from abnet3_tpu.ops.dtw import dtw_align_from_dist
+    q1, q2, qlen = dtw_align_from_dist(dist, n1, n2, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(q1))
+    np.testing.assert_array_equal(np.asarray(p2), np.asarray(q2))
+    np.testing.assert_array_equal(np.asarray(plen), np.asarray(qlen))
