@@ -1,7 +1,10 @@
 #!/usr/bin/env python3
-"""Benchmark: siamese training throughput (aligned frame pairs/sec/chip).
+"""Benchmarks: siamese training throughput (aligned frame pairs/sec/chip)
+and embedding-export throughput (embedded frames/sec/chip).
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line {"metric", "value", "unit", "vs_baseline"} per
+benchmark; the headline train metric prints FIRST (driver compatibility),
+the embed metric second (BASELINE.json north-star #1).
 
 Metric: frame pairs per second through one FULL training step of the
 canonical ABnet3 network (280 -> 2x500 sigmoid -> 100, the reference's
@@ -78,16 +81,25 @@ def bench_ours(batch, n_calls=25, steps_per_call=8):
             token_feats[(g, b)] = f[b, :n[b]]
     bank = TokenBank(token_feats)
     K = steps_per_call
-    ids = []
-    for g in range(4):
-        flat = bank.ids([(g, b) for b in range(B_SAME if g < 2 else
-                                               B_DIFF)])
-        ids.append(jax.device_put(
-            np.tile(flat, (K, 1)) if K > 1 else flat))
+    # a rotation of DISTINCT id batches (different permutations per epoch,
+    # staged to HBM up front like SplitBankBatch does) so successive
+    # dispatches never replay the same executable+inputs and the epoch's
+    # batch variety is included in the measurement
+    n_variants = 4
+    rng_ids = np.random.RandomState(7)
+    variants = []
     one = (lambda n: np.ones((K, n) if K > 1 else (n,), np.float32))
     ws = jax.device_put(one(B_SAME))
     wd = jax.device_put(one(B_DIFF))
-    args = (ids[0], ids[1], ws, ids[2], ids[3], wd)
+    for _ in range(n_variants):
+        ids = []
+        for g in range(4):
+            nb = B_SAME if g < 2 else B_DIFF
+            flat = bank.ids([(g, b) for b in
+                             rng_ids.permutation(nb)])
+            ids.append(jax.device_put(
+                np.tile(flat, (K, 1)) if K > 1 else flat))
+        variants.append((ids[0], ids[1], ws, ids[2], ids[3], wd))
 
     mesh = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
     net = SiameseNetwork(input_dim=DIM_IN, num_hidden_layers=2,
@@ -102,18 +114,102 @@ def bench_ours(batch, n_calls=25, steps_per_call=8):
     rng = jax.random.PRNGKey(0)
 
     # warmup: compile + the tunnel's slow first post-compile steps
-    for _ in range(max(30 // K, 4)):
-        params, state, opt_state, value = step(params, state, opt_state,
-                                               rng, *args)
+    for i in range(max(30 // K, 4)):
+        params, state, opt_state, value = step(
+            params, state, opt_state, rng, *variants[i % n_variants])
     jax.block_until_ready(value)
     t0 = time.perf_counter()
-    for _ in range(n_calls):
-        params, state, opt_state, value = step(params, state, opt_state,
-                                               rng, *args)
+    for i in range(n_calls):
+        params, state, opt_state, value = step(
+            params, state, opt_state, rng, *variants[i % n_variants])
     jax.block_until_ready(value)
     dt = time.perf_counter() - t0
     assert np.isfinite(float(value))
     return n_calls * K / dt
+
+
+EMBED_CHUNK = 4096
+EMBED_CHUNKS = 48  # ~200k frames
+
+
+def bench_embed_ours(n_warm=8):
+    """North-star metric #1: embedded frames/sec/chip.
+
+    The production embed recipe (embedder.py _embed_corpus): one jitted
+    forward per fixed-size chunk, asynchronously dispatched with
+    overlapped device->host embedding copies, bf16 transfer cast. The
+    corpus lives device-resident (generated in HBM — export throughput,
+    not the dev tunnel's h2d rate, is what production hosts see); every
+    chunk is distinct data so the tunnel's replay cache cannot skew the
+    timing."""
+    import jax
+    import jax.numpy as jnp
+    from abnet3_tpu.models import SiameseNetwork
+
+    net = SiameseNetwork(input_dim=DIM_IN, num_hidden_layers=2,
+                         hidden_dim=HID, output_dim=OUT, p_dropout=0.0,
+                         activation_layer="sigmoid")
+    params, state = net.init_params(jax.random.PRNGKey(0))
+
+    @jax.jit
+    def corpus_chunk(k):
+        return jax.random.normal(jax.random.fold_in(jax.random.PRNGKey(1),
+                                                    k),
+                                 (EMBED_CHUNK, DIM_IN), jnp.float32)
+
+    chunks = [corpus_chunk(k) for k in range(EMBED_CHUNKS)]
+    jax.block_until_ready(chunks)
+
+    @jax.jit
+    def forward(params, state, x):
+        out, _ = net.forward_once(params, state, x, train=False)
+        return out.astype(jnp.bfloat16)  # halve export bytes
+
+    def run(n):
+        window, pending, out = 16, [], []
+        for k in range(n):
+            emb = forward(params, state, chunks[k % EMBED_CHUNKS])
+            try:
+                emb.copy_to_host_async()
+            except AttributeError:
+                pass
+            pending.append(emb)
+            if len(pending) >= window:
+                out.append(np.asarray(pending.pop(0)))
+        while pending:
+            out.append(np.asarray(pending.pop(0)))
+        return out
+
+    run(n_warm)  # compile + post-compile warmup
+    t0 = time.perf_counter()
+    out = run(EMBED_CHUNKS)
+    dt = time.perf_counter() - t0
+    assert len(out) == EMBED_CHUNKS and out[0].shape == (EMBED_CHUNK, OUT)
+    return EMBED_CHUNKS * EMBED_CHUNK / dt
+
+
+def bench_embed_torch(n_chunks=12):
+    """Reference embed recipe on this host: chunked torch-CPU forward +
+    numpy copy-out (reference embedder.py:85-96)."""
+    import torch
+    import torch.nn as nn
+
+    layers = []
+    dims = [DIM_IN, HID, HID, OUT]
+    for i in range(3):
+        layers += [nn.Linear(dims[i], dims[i + 1]), nn.Dropout(0.0),
+                   nn.Sigmoid()]
+    net = nn.Sequential(*layers).eval()
+    rng = np.random.RandomState(0)
+    feats = rng.randn(EMBED_CHUNK, DIM_IN).astype(np.float32)
+    with torch.no_grad():
+        net(torch.from_numpy(feats[:256]))  # warm
+        t0 = time.perf_counter()
+        for k in range(n_chunks):
+            emb = net(torch.from_numpy(feats)).numpy()
+        dt = time.perf_counter() - t0
+    assert emb.shape == (EMBED_CHUNK, OUT)
+    return n_chunks * EMBED_CHUNK / dt
 
 
 def bench_torch_baseline(batch, n_steps=6):
@@ -174,7 +270,16 @@ def main():
         "value": round(ours_sps * frames, 1),
         "unit": "frame-pairs/s",
         "vs_baseline": round(ours_sps / base_sps, 2),
-    }))
+    }), flush=True)
+    embed_fps = bench_embed_ours()
+    embed_base = bench_embed_torch()
+    print(json.dumps({
+        "metric": ("embedding-export throughput/chip: frames through the "
+                   "jitted pipelined embedder incl. bf16 d2h copy-out"),
+        "value": round(embed_fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(embed_fps / embed_base, 2),
+    }), flush=True)
 
 
 if __name__ == "__main__":
