@@ -307,12 +307,32 @@ class OriginalDataLoader(DataLoader):
                 ids1[order], ids2[order], ys[order],
                 yspk[order] if yspk is not None else None)
 
+    def _epoch_bank_pairs(self, mode):
+        """Pairs for one epoch: length-sorted, and (with
+        shuffle_between_epochs) re-shuffled WITHIN equal-bucket groups so
+        batch composition varies across epochs while batches still hold
+        similar-length pairs — same compile variants, fresh mixes (the
+        device/host backends honor the flag via _select_batches)."""
+        ids1, ids2, ys, yspk = self._bank_pairs[mode]
+        if not self.shuffle_between_epochs or len(ids1) == 0:
+            return ids1, ids2, ys, yspk
+        lens = self.token_bank.lengths_host
+        pair_len = np.maximum(lens[ids1], lens[ids2])
+        buckets = np.asarray([self.token_bank.bucket_for(int(l))
+                              for l in pair_len])
+        order = np.arange(len(ids1))
+        for b in np.unique(buckets):
+            grp = np.flatnonzero(buckets == b)
+            order[grp] = self._rng.permutation(order[grp])
+        return (ids1[order], ids2[order], ys[order],
+                yspk[order] if yspk is not None else None)
+
     def bank_batch_iterator(self, train_mode=True):
         """Yield fixed-size BankBatch index batches (an 'epoch' samples
         num_max_minibatches batches, like batch_iterator)."""
         self.load_data()
         mode = "train" if train_mode else "dev"
-        ids1, ids2, ys, yspk = self._bank_pairs[mode]
+        ids1, ids2, ys, yspk = self._epoch_bank_pairs(mode)
         num_pairs = len(ids1)
         if num_pairs == 0:  # empty split: no batches (like device/host)
             return

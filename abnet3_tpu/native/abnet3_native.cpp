@@ -159,6 +159,17 @@ int64_t abnet3_parse_pairs(const char* buf, int64_t len, int64_t max_pairs,
     auto skip_spaces = [&](int64_t& p) {
         while (p < len && buf[p] == ' ') ++p;
     };
+    // exactly ONE line terminator ('\n', '\r', or '\r\n' as a unit): the
+    // main loop counts every line itself, so the -(line number) error
+    // code stays exact across blank lines and CRLF files
+    auto consume_eol = [&](int64_t& p) {
+        if (p < len && buf[p] == '\r') {
+            ++p;
+            if (p < len && buf[p] == '\n') ++p;
+        } else if (p < len && buf[p] == '\n') {
+            ++p;
+        }
+    };
     auto read_tok = [&](int64_t& p, int64_t& t0, int64_t& t1) -> bool {
         skip_spaces(p);
         t0 = p;
@@ -180,9 +191,9 @@ int64_t abnet3_parse_pairs(const char* buf, int64_t len, int64_t max_pairs,
 
     while (pos < len) {
         ++line_no;
-        // skip blank lines
+        // skip blank lines (one per loop iteration so line_no tracks)
         if (buf[pos] == '\n' || buf[pos] == '\r') {
-            ++pos;
+            consume_eol(pos);
             continue;
         }
         if (count >= max_pairs) return -line_no;
@@ -216,7 +227,7 @@ int64_t abnet3_parse_pairs(const char* buf, int64_t len, int64_t max_pairs,
         skip_spaces(pos);
         if (pos < len && buf[pos] != '\n' && buf[pos] != '\r')
             return -line_no;
-        while (pos < len && (buf[pos] == '\n' || buf[pos] == '\r')) ++pos;
+        consume_eol(pos);
         ++count;
     }
     if ((int64_t)names.size() > names_cap) return -1;

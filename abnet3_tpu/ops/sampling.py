@@ -153,10 +153,13 @@ class DevicePairSampler:
             r1 = jax.random.randint(k_t1, (cfg["n"],), 0, 1 << 30) % \
                 jnp.maximum(len1, 1)
             if cfg["same_group"]:
-                # two distinct tokens from one group
+                # two distinct tokens from one group; clamp keeps even a
+                # singleton group (zero-probability today, but nothing
+                # structurally prevents one) inside its own table row
+                # instead of reading padded id 0 from position 1
                 r2 = jax.random.randint(k_t2, (cfg["n"],), 0, 1 << 30) % \
                     jnp.maximum(len1 - 1, 1)
-                r2 = r2 + (r2 >= r1)
+                r2 = jnp.minimum(r2 + (r2 >= r1), len1 - 1)
             else:
                 r2 = jax.random.randint(k_t2, (cfg["n"],), 0, 1 << 30) % \
                     jnp.maximum(len2, 1)

@@ -176,6 +176,10 @@ class TrainerBuilder:
                 "opt_state": self._opt_state}
         meta = {"epoch": epoch,
                 "best_dev": self.best_dev,
+                # best_dev is the per-batch MEAN dev loss (a summed value
+                # would break resume comparability when dev-batch-count
+                # knobs like num_max_minibatches change between runs)
+                "best_dev_is_mean": True,
                 "patience_dev": self.patience_dev,
                 "best_epoch": self.best_epoch,
                 "train_losses": [float(x) for x in self.train_losses],
@@ -211,7 +215,11 @@ class TrainerBuilder:
             "checkpoint optimizer state does not match the optimizer"
         self._opt_state = jax.tree_util.tree_unflatten(
             treedef, [jnp.asarray(s) for s in saved_leaves])
-        self.best_dev = meta["best_dev"]
+        # pre-mean checkpoints stored the summed dev loss; a sum is not
+        # comparable with the means computed after resume — drop it and
+        # let the first post-resume epoch re-establish the best
+        self.best_dev = (meta["best_dev"]
+                         if meta.get("best_dev_is_mean") else None)
         self.patience_dev = meta["patience_dev"]
         self.best_epoch = meta["best_epoch"]
         self.train_losses = list(meta["train_losses"])
@@ -597,7 +605,10 @@ class TrainerSiamese(TrainerBuilder):
         self.dev_losses.append(dev_loss / max(n_dev, 1))
         self.pretty_print_losses(self.train_losses[-1],
                                  self.dev_losses[-1])
-        return dev_loss
+        # per-batch mean: checkpoint-stable across dev-batch-count changes
+        # (same early-stop decisions as the reference's sum when the dev
+        # set is fixed, reference trainer.py:131-142)
+        return self.dev_losses[-1]
 
     # -- epoch ---------------------------------------------------------------
 
@@ -653,7 +664,8 @@ class TrainerSiamese(TrainerBuilder):
         self.pretty_print_losses(self.train_losses[-1], self.dev_losses[-1])
         self.statistics_training = dict(
             getattr(self.dataloader, "statistics_training", {}))
-        return dev_loss
+        # per-batch mean (see _optimize_model_sampled)
+        return self.dev_losses[-1]
 
 
 class TrainerSiameseMultitask(TrainerSiamese):

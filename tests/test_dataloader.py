@@ -378,6 +378,37 @@ def test_tcl_bank_loss_mixture(corpus):
         full, (1 - tcl) * tokens_only + tcl * tcl_only, rtol=1e-5)
 
 
+def test_bank_shuffle_between_epochs(corpus):
+    """shuffle_between_epochs on the bank backend reshuffles batch
+    composition across epochs WITHIN length buckets (same compile
+    variants, fresh pair mixes); with the flag off composition is
+    stable."""
+    feats_path, pairs_path, _ = corpus
+
+    def epoch_compositions(shuffle):
+        dl = OriginalDataLoader(pairs_path, feats_path,
+                                align_backend="bank", batch_size=4,
+                                num_max_minibatches=64, seed=0,
+                                shuffle_between_epochs=shuffle)
+        epochs = []
+        for _ in range(2):
+            comp = set()
+            for b in dl.bank_batch_iterator(True):
+                ids = tuple(np.asarray(b.ids1s)[np.asarray(b.ws) > 0])
+                comp.add((ids, b.bucket))
+            epochs.append(frozenset(comp))
+        return epochs
+
+    stable = epoch_compositions(False)
+    assert stable[0] == stable[1]
+
+    shuffled = epoch_compositions(True)
+    assert shuffled[0] != shuffled[1]
+    # bucketing preserved: the multiset of batch buckets is unchanged
+    assert sorted(b for _, b in shuffled[0]) == \
+        sorted(b for _, b in shuffled[1])
+
+
 def test_tcl_bank_trains(corpus, tmp_path_factory):
     """End-to-end: bank backend with tcl > 0 trains and improves."""
     from abnet3_tpu.loss import coscos2

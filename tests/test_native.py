@@ -81,6 +81,35 @@ def test_parse_pairs_malformed(tmp_path):
         native.parse_pairs(str(p))
 
 
+def test_parse_pairs_line_numbers_blank_and_crlf(tmp_path):
+    """The -(line number) error points at the right line even after
+    blank lines and with CRLF terminators (one terminator consumed per
+    record, blank lines counted)."""
+    p = tmp_path / "bad_after_blanks"
+    p.write_text("fa 0.1 0.5 fb 1.0 1.4 same\n"
+                 "\n"
+                 "\n"
+                 "fa 0.1 0.5 fb 1.0 1.4 banana\n")
+    with pytest.raises(ValueError, match="line 4"):
+        native.parse_pairs(str(p))
+
+    p2 = tmp_path / "bad_crlf"
+    p2.write_bytes(b"fa 0.1 0.5 fb 1.0 1.4 same\r\n"
+                   b"fb 0.2 0.6 fa 1.1 1.5 diff\r\n"
+                   b"oops\r\n")
+    with pytest.raises(ValueError, match="line 3"):
+        native.parse_pairs(str(p2))
+
+    # CRLF + blank CRLF lines parse cleanly and count correctly
+    p3 = tmp_path / "ok_crlf"
+    p3.write_bytes(b"fa 0.1 0.5 fb 1.0 1.4 same\r\n"
+                   b"\r\n"
+                   b"fb 0.2 0.6 fa 1.1 1.5 diff\r\n")
+    names, f1, s1, e1, f2, s2, e2, same = native.parse_pairs(str(p3))
+    assert same.tolist() == [1, -1]
+    assert names == ["fa", "fb"]
+
+
 def test_native_faster_than_python_dtw():
     """Best-of-3 timing (tolerant to background load on shared CI)."""
     rng = np.random.RandomState(4)
