@@ -27,6 +27,7 @@ setup(
             "abnet3-gridsearch = abnet3_tpu.gridsearch:main",
             "abnet3-embed = abnet3_tpu.tools.embed_cli:main",
             "abnet3-features = abnet3_tpu.features:main",
+            "abnet3-abx = abnet3_tpu.eval.abx:main",
         ],
     },
 )

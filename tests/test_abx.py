@@ -1,0 +1,160 @@
+"""TPU-native ABX evaluation: distance parity with the host oracle,
+triplet-aggregation correctness, end-to-end discriminability + CLI."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from abnet3_tpu.eval import abx_error, distance_matrix, evaluate
+from abnet3_tpu.eval.abx import make_pair_distance_fn
+from abnet3_tpu.ops.bank import TokenBank
+from abnet3_tpu.utils import cosine_distance, get_dtw_alignment
+
+
+def _tokens(n=12, d=6, seed=0):
+    rng = np.random.RandomState(seed)
+    return {i: rng.randn(rng.randint(5, 18), d).astype(np.float32)
+            for i in range(n)}
+
+
+def test_pair_distance_matches_host_oracle():
+    """Normalized DTW token distance == mean frame distance along the
+    host-oracle DTW path."""
+    feats = _tokens()
+    bank = TokenBank(feats)
+    fn = make_pair_distance_fn(bank)
+    ids1 = np.asarray([0, 2, 5, 7], np.int32)
+    ids2 = np.asarray([1, 3, 6, 11], np.int32)
+    got = np.asarray(fn(ids1, ids2))
+    for k, (i, j) in enumerate(zip(ids1, ids2)):
+        p1, p2 = get_dtw_alignment(feats[int(i)], feats[int(j)])
+        dist = cosine_distance(feats[int(i)], feats[int(j)])
+        want = float(np.mean(dist[p1, p2]))
+        assert got[k] == pytest.approx(want, rel=1e-5)
+
+
+def test_distance_matrix_properties():
+    feats = _tokens(n=9)
+    bank = TokenBank(feats)
+    D = distance_matrix(bank, batch_size=8)  # forces tail padding
+    assert D.shape == (9, 9)
+    np.testing.assert_allclose(D, D.T, atol=1e-7)
+    np.testing.assert_allclose(np.diag(D), 0.0, atol=1e-7)
+    assert (D[np.triu_indices(9, 1)] > 0).all()
+
+
+def test_mean_cos_distance_matrix():
+    feats = _tokens(n=6)
+    bank = TokenBank(feats)
+    D = distance_matrix(bank, distance="mean_cos", batch_size=4)
+    pooled = {i: f.mean(0) for i, f in feats.items()}
+    want = cosine_distance(np.stack([pooled[i] for i in range(6)]),
+                           np.stack([pooled[i] for i in range(6)]))
+    # arccos amplifies f32 rounding near cos ~ 1
+    np.testing.assert_allclose(D, want, atol=5e-4)
+
+
+def _brute_force_across(D, labels, speakers):
+    labels, speakers = np.asarray(labels), np.asarray(speakers)
+    cells = {}
+    N = len(labels)
+    for a in range(N):
+        for b in range(N):
+            for x in range(N):
+                if labels[b] != labels[a] or speakers[b] == speakers[a]:
+                    continue
+                if labels[x] == labels[a] or speakers[x] != speakers[a]:
+                    continue
+                err = (1.0 if D[a, b] > D[a, x]
+                       else 0.5 if D[a, b] == D[a, x] else 0.0)
+                key = (labels[a], labels[x])
+                s, c = cells.get(key, (0.0, 0))
+                cells[key] = (s + err, c + 1)
+    scores = [s / c for s, c in cells.values()]
+    return float(np.mean(scores)), sum(c for _, c in cells.values())
+
+
+def test_abx_error_matches_brute_force():
+    rng = np.random.RandomState(3)
+    N = 14
+    D = rng.rand(N, N).astype(np.float32)
+    D = (D + D.T) / 2
+    np.fill_diagonal(D, 0.0)
+    labels = rng.randint(0, 3, N)
+    speakers = rng.choice(["s1", "s2", "s3"], N)
+    got = abx_error(D, labels, speakers, task="across")
+    want_err, want_n = _brute_force_across(D, labels, speakers)
+    assert got["error"] == pytest.approx(want_err, rel=1e-6)
+    assert got["n_triplets"] == want_n
+
+
+def test_abx_discriminability_signal():
+    """Class-clustered tokens score near 0; the same features with
+    shuffled labels score near chance."""
+    rng = np.random.RandomState(0)
+    d, n_cls, per = 8, 4, 6
+    centers = rng.randn(n_cls, d) * 3
+    feats, labels, speakers = {}, [], []
+    tid = 0
+    for c in range(n_cls):
+        for k in range(per):
+            T = rng.randint(6, 14)
+            feats[tid] = (centers[c] +
+                          0.1 * rng.randn(T, d)).astype(np.float32)
+            labels.append(c)
+            speakers.append(f"spk{k % 3}")
+            tid += 1
+    D = distance_matrix(TokenBank(feats), batch_size=64)
+    good = abx_error(D, labels, speakers, task="across")
+    assert good["error"] < 0.05
+    within = abx_error(D, labels, speakers, task="within")
+    assert within["error"] < 0.05
+    shuffled = list(labels)
+    rng.shuffle(shuffled)
+    chance = abx_error(D, shuffled, speakers, task="across")
+    assert 0.2 < chance["error"] < 0.8
+
+
+def test_abx_cli_end_to_end(tmp_path, monkeypatch, capsys):
+    """abnet3-abx over an h5features file + .classes + spkid mapping."""
+    from abnet3_tpu.eval.abx import main
+    from abnet3_tpu.io import write_h5features
+
+    rng = np.random.RandomState(0)
+    d = 5
+    centers = {"alpha": rng.randn(d) * 3, "bravo": rng.randn(d) * 3}
+    items = ["fA", "fB", "fC"]
+    n_frames = 120
+    feats = [np.zeros((n_frames, d), np.float32) for _ in items]
+    times = [np.arange(n_frames) * 0.01 + 0.005 for _ in items]
+    classes_lines, tok = [], 0
+    for ci, (cname, center) in enumerate(centers.items()):
+        classes_lines.append(f"{ci} {cname}")
+        for fi, f in enumerate(items):
+            t0 = 10 + 30 * ci
+            feats[fi][t0:t0 + 20] = center + 0.1 * rng.randn(20, d)
+            classes_lines.append(
+                f"{f} {t0 * 0.01:.2f} {(t0 + 19) * 0.01:.2f}")
+            tok += 1
+        classes_lines.append("")
+    fpath = str(tmp_path / "feats.h5f")
+    write_h5features(fpath, "features", items, times, feats)
+    cpath = str(tmp_path / "tokens.classes")
+    with open(cpath, "w") as f:
+        f.write("\n".join(classes_lines) + "\n")
+    spath = str(tmp_path / "spk.txt")
+    with open(spath, "w") as f:
+        f.write("fA spk1\nfB spk2\nfC spk3\n")
+    out = str(tmp_path / "abx.json")
+    monkeypatch.setattr(sys, "argv", [
+        "abnet3-abx", fpath, cpath, "-s", spath, "-o", out])
+    main()
+    result = json.loads(open(out).read())
+    assert result["task"] == "across"
+    assert result["n_tokens"] == 6
+    assert result["error"] < 0.1  # clean class clusters
+    printed = capsys.readouterr().out.strip().splitlines()[-1]
+    assert json.loads(printed) == result
