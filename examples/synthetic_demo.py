@@ -162,6 +162,15 @@ def main():
     print(f"trained-embedding ABX-proxy error: {trained_err:.3f} "
           f"(raw: {base_err:.3f})")
     assert trained_err < base_err, "training did not improve ABX"
+
+    print("== framework ABX (batched DTW distances on device) ==")
+    from abnet3_tpu.eval import evaluate
+    result = evaluate(emb_path, classes_path, spkid_file=spk_path,
+                      task="across", distance="dtw_cos")
+    print(f"abnet3-abx across-speaker dtw_cos error: "
+          f"{result['error']:.3f} over {result['n_triplets']} triplets "
+          f"({result['n_cells']} cells)")
+    assert result["error"] < 0.45, "framework ABX disagrees with proxy"
     print("OK")
 
 
