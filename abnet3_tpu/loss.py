@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 __all__ = [
     "cosine_similarity", "coscos2_fn", "cosmargin_fn", "kl_loss_fn",
+    "coscos2_from_cos", "cosmargin_from_cos",
     "LossBuilder", "coscos2", "cosmargin", "KLLoss", "weighted_loss_multi",
 ]
 
@@ -56,6 +57,25 @@ def cosmargin_fn(input1, input2, y, margin=0.5, weights=None, avg=True):
     return _reduce(vals, weights, avg)
 
 
+def coscos2_from_cos(c, y, weights=None, avg=True):
+    """coscos2 on precomputed cosine similarities of any shape.
+
+    The matrix-loss train path (parallel/mesh.py) computes the full
+    cosine matrix of *unique* frame embeddings on the MXU and weights it
+    by the DTW alignment mask instead of gathering frames per path step;
+    the loss itself is elementwise in cos, so this is the same math as
+    :func:`coscos2_fn` over the gathered pairs."""
+    vals = jnp.where(y > 0, (1.0 - c) / 2.0, c * c)
+    return _reduce(vals, weights, avg)
+
+
+def cosmargin_from_cos(c, y, margin=0.5, weights=None, avg=True):
+    """cosmargin on precomputed cosine similarities (see
+    :func:`coscos2_from_cos`)."""
+    vals = jnp.where(y > 0, 1.0 - c, jnp.maximum(c - margin, 0.0))
+    return _reduce(vals, weights, avg)
+
+
 def kl_loss_fn(input1, input2, y, margin=1.0, weights=None, avg=True,
                eps=1e-8):
     """Symmetric contrastive KL with hinge on diff pairs
@@ -77,8 +97,17 @@ def kl_loss_fn(input1, input2, y, margin=1.0, weights=None, avg=True,
 class LossBuilder:
     """Generic loss wrapper (reference loss.py:15-34)."""
 
+    #: True when the loss is elementwise in the cosine similarity, so the
+    #: matrix-loss train path can evaluate it on a cosine matrix weighted
+    #: by the DTW alignment mask (parallel/mesh.py).
+    supports_cos = False
+
     def __init__(self, *args, **kwargs):
         pass
+
+    def from_cos(self, c, y, weights=None):
+        raise NotImplementedError(
+            "Loss is not elementwise in cos:", self.__class__.__name__)
 
     def __call__(self, *args, **kwargs):
         raise NotImplementedError("Unimplemented __call__ for class:",
@@ -95,6 +124,8 @@ class LossBuilder:
 
 
 class coscos2(LossBuilder):
+    supports_cos = True
+
     def __init__(self, avg=True, *args, **kwargs):
         super().__init__(*args, **kwargs)
         self.avg = avg
@@ -103,8 +134,13 @@ class coscos2(LossBuilder):
         assert input1.shape == input2.shape, "Input not the same size"
         return coscos2_fn(input1, input2, y, weights=weights, avg=self.avg)
 
+    def from_cos(self, c, y, weights=None):
+        return coscos2_from_cos(c, y, weights=weights, avg=self.avg)
+
 
 class cosmargin(LossBuilder):
+    supports_cos = True
+
     def __init__(self, avg=True, margin=0.5, *args, **kwargs):
         super().__init__(*args, **kwargs)
         assert 0 <= margin <= 1
@@ -115,6 +151,10 @@ class cosmargin(LossBuilder):
         assert input1.shape == input2.shape, "Input not the same size"
         return cosmargin_fn(input1, input2, y, margin=self.margin,
                             weights=weights, avg=self.avg)
+
+    def from_cos(self, c, y, weights=None):
+        return cosmargin_from_cos(c, y, margin=self.margin,
+                                  weights=weights, avg=self.avg)
 
 
 class KLLoss(LossBuilder):

@@ -42,17 +42,20 @@ except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
 __all__ = ["dtw_costs_pallas", "dtw_moves_pallas",
-           "dtw_moves_pallas_sharded"]
+           "dtw_moves_pallas_sharded", "dtw_path_pallas",
+           "dtw_path_pallas_sharded"]
 
 _BIG = 1e30  # plain float: jnp constants cannot be captured by a kernel
 BLOCK_B = 8  # minimum block; the call picks the largest VMEM-fitting block
 
 
 def _pick_block(B: int, T1: int, T2: int,
-                vmem_budget: int = 8 * 1024 * 1024) -> int:
+                vmem_budget: int = 8 * 1024 * 1024,
+                n_buffers: int = 2) -> int:
     """TPU grid iterations run sequentially, so bigger batch blocks mean
-    fewer sequential kernel bodies; cap by VMEM (in + out block)."""
-    per_pair = T1 * T2 * 4 * 2
+    fewer sequential kernel bodies; cap by VMEM (n_buffers 4-byte
+    (T1, T2) planes per pair: in + out, plus any scratch)."""
+    per_pair = T1 * T2 * 4 * n_buffers
     block = BLOCK_B
     while block * 2 <= max(B, BLOCK_B) and (block * 2) * per_pair \
             <= vmem_budget:
@@ -143,6 +146,134 @@ def _dtw_move_kernel(dist_ref, move_ref):
         return x
 
     jax.lax.fori_loop(1, T1, row_step, prev0)
+
+
+def _shift_left(x, k, fill):
+    B = x.shape[0]
+    return jnp.concatenate(
+        [x[:, k:], jnp.full((B, k), jnp.float32(fill))], axis=1)
+
+
+def _suffix_min(x):
+    T = x.shape[1]
+    shift = 1
+    while shift < T:
+        x = jnp.minimum(x, _shift_left(x, shift, _BIG))
+        shift *= 2
+    return x
+
+
+def _dtw_path_kernel(dist_ref, n1_ref, n2_ref, out_ref, mv_ref):
+    """Fused DP + on-path mask: phase 1 runs the forward row recurrence
+    and stores argmin moves in VMEM scratch; phase 2 runs the *reverse*
+    row recurrence of ops.dtw.onpath_from_moves (suffix-min closed form
+    of the left-move OR-scan) and emits the alignment mask A — the moves
+    never leave the kernel and no sequential backtrace walk happens
+    anywhere (the walk costs ~0.9 ms at B=64, T=96; both DP phases
+    together are ~0.06 ms)."""
+    B = dist_ref.shape[0]
+    T1 = dist_ref.shape[1]
+    T2 = dist_ref.shape[2]
+
+    # ---- phase 1: forward DP -> moves (same math as _dtw_move_kernel)
+    prev0 = _prefix_sum(dist_ref[:, 0, :])
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, T2), 1)
+    mv_ref[:, 0, :] = jnp.where(col == 0, 3, 1)
+
+    def fwd_step(i, prev):
+        c = dist_ref[:, i, :]
+        diag = _shift_right(prev, 1, _BIG)
+        m = jnp.minimum(prev, diag)
+        x0 = prev[:, :1] + c[:, :1]
+        S = _prefix_sum(jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.float32), c[:, 1:]], axis=1))
+        b = m - _shift_right(S, 1, -_BIG)
+        x = S + jnp.minimum(_prefix_min(b), x0)
+        left = _shift_right(x, 1, _BIG)
+        take_diag = (diag <= prev) & (diag <= left)
+        take_up = (~take_diag) & (prev <= left)
+        di = jnp.where(take_diag | take_up, 1, 0)
+        dj = jnp.where(take_diag | (~take_diag & ~take_up), 1, 0)
+        mv_ref[:, i, :] = di * 2 + dj
+        return x
+
+    jax.lax.fori_loop(1, T1, fwd_step, prev0)
+
+    # ---- phase 2: reverse DP -> on-path mask
+    n1m1 = n1_ref[:, :1] - 1                          # (B, 1)
+    seed_col = (col == (n2_ref[:, :1] - 1)).astype(jnp.float32)
+
+    def rev_step(t, carry):
+        r_below, mv_below = carry
+        i = T1 - 1 - t
+        mv_row = mv_ref[:, i, :]
+        cnt = _prefix_sum((mv_row != 1).astype(jnp.float32))
+        from_up = r_below * (mv_below == 2)
+        from_diag = jnp.concatenate(
+            [(r_below * (mv_below == 3))[:, 1:],
+             jnp.zeros((B, 1), jnp.float32)], axis=1)
+        is_end = (n1m1 == i).astype(jnp.float32)
+        ext = jnp.maximum(jnp.maximum(is_end * seed_col, from_up),
+                          from_diag)
+        m = jnp.where(ext > 0, cnt, _BIG)
+        r = (_suffix_min(m) == cnt).astype(jnp.float32)
+        out_ref[:, i, :] = r
+        return r, mv_row
+
+    init = (jnp.zeros((B, T2), jnp.float32),
+            jnp.zeros((B, T2), jnp.int32))
+    jax.lax.fori_loop(0, T1, rev_step, init)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def dtw_path_pallas(dist: jnp.ndarray, n1: jnp.ndarray, n2: jnp.ndarray,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Batched DTW alignment-path mask A (B, T1, T2) float32 via the
+    fused forward+reverse Pallas kernel; A[b].sum() == path length.
+    Same cells as ops.dtw.onpath_from_moves (tested equal)."""
+    B, T1, T2 = dist.shape
+    block = _pick_block(B, T1, T2, n_buffers=3)  # in + out + move scratch
+    pad = (-B) % block
+    if pad:
+        dist = jnp.concatenate(
+            [dist, jnp.zeros((pad, T1, T2), dist.dtype)], axis=0)
+        n1 = jnp.concatenate([n1, jnp.ones((pad,), n1.dtype)])
+        n2 = jnp.concatenate([n2, jnp.ones((pad,), n2.dtype)])
+    Bp = B + pad
+    out = pl.pallas_call(
+        _dtw_path_kernel,
+        grid=(Bp // block,),
+        in_specs=[
+            pl.BlockSpec((block, T1, T2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block, T1, T2), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, T1, T2), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block, T1, T2), jnp.int32)],
+        interpret=interpret,
+    )(dist.astype(jnp.float32),
+      n1.astype(jnp.int32)[:, None], n2.astype(jnp.int32)[:, None])
+    return out[:B]
+
+
+def dtw_path_pallas_sharded(dist: jnp.ndarray, n1: jnp.ndarray,
+                            n2: jnp.ndarray, mesh,
+                            interpret: bool = False) -> jnp.ndarray:
+    """Fused path-mask kernel on a multi-device mesh via ``jax.shard_map``
+    over 'data' (same rationale as dtw_moves_pallas_sharded: GSPMD cannot
+    partition a pallas_call, the DP is independent per pair)."""
+    from jax.sharding import PartitionSpec as P
+
+    f = jax.shard_map(
+        lambda d, a, b: dtw_path_pallas(d, a, b, interpret=interpret),
+        mesh=mesh, in_specs=(P("data"), P("data"), P("data")),
+        out_specs=P("data"), check_vma=False)
+    return f(dist, n1, n2)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

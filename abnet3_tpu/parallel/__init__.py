@@ -10,4 +10,5 @@ from abnet3_tpu.parallel.mesh import (  # noqa: F401
     make_sampled_eval_step,
     param_shardings,
     shard_array,
+    use_matrix_loss,
 )

@@ -31,14 +31,17 @@ import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+import os
+
 from abnet3_tpu.ops.dtw import (align_diff_batch, dtw_align_from_dist,
-                                gather_aligned,
+                                dtw_path_from_dist, gather_aligned,
                                 pairwise_angular_distance)
 
 __all__ = ["make_mesh", "param_shardings", "shard_array",
            "make_fused_train_step", "make_indexed_train_step",
            "make_pair_train_step", "make_split_pair_train_step",
-           "make_sampled_train_step", "make_sampled_eval_step"]
+           "make_sampled_train_step", "make_sampled_eval_step",
+           "use_matrix_loss"]
 
 
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
@@ -75,6 +78,53 @@ def param_shardings(params, mesh: Mesh):
         params)
 
 
+def use_matrix_loss(loss, extra_labels: bool = False,
+                    override: Optional[bool] = None) -> bool:
+    """Whether a step factory should take the matrix-loss path.
+
+    Matrix mode is the TPU-first alignment contract: the DTW path never
+    materializes as per-step frame indices. Instead the fused Pallas
+    forward+reverse kernel emits the alignment mask A (B, T1, T2), every
+    frame is embedded exactly ONCE (the gather path embeds each frame
+    once per path visit — ~1.5x the tower FLOPs at T=96), and the loss
+    is an A-weighted reduction of the embedding cosine matrix computed
+    on the MXU. Identical loss values and batch-norm statistics to the
+    gather path (visit counts become BN weights); with dropout the
+    regularization moves from per-visit masks to per-frame masks (same
+    expectation, tested equivalent at p_dropout=0).
+
+    Requires a loss that is elementwise in cos (coscos2/cosmargin);
+    multitask (extra_labels) and KL recipes keep the gather path.
+    ``override`` (factory arg) wins, then ABNET3_MATRIX_LOSS=0/1, then
+    auto (on whenever supported).
+    """
+    if override is not None:
+        return bool(override)
+    flag = os.environ.get("ABNET3_MATRIX_LOSS", "").lower()
+    if flag in ("0", "false", "no", "off"):
+        return False
+    return (not extra_labels) and getattr(loss, "supports_cos", False)
+
+
+def _normalize_rows(e: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """Row-normalize embeddings with the same eps clamp as
+    loss.cosine_similarity, so dot products of normalized rows equal the
+    row-wise cosine the gather path computes."""
+    n = jnp.sqrt(jnp.sum(e * e, axis=-1, keepdims=True))
+    return e / jnp.maximum(n, eps)
+
+
+def _diff_path_mask(p1d, p2d, plen_d, wd, T1: int, T2: int) -> jnp.ndarray:
+    """Scatter a diff-pair alignment path (truncate or diagonal-stretch,
+    ops.dtw.align_diff_batch) into a (B, T1, T2) mask weighted by the
+    per-pair weight — the diff-pair twin of the DTW path mask."""
+    B, L = p1d.shape
+    dmask = ((jnp.arange(L)[None, :] < plen_d[:, None])
+             .astype(jnp.float32) * wd[:, None])
+    A = jnp.zeros((B, T1, T2), jnp.float32)
+    return A.at[jnp.arange(B)[:, None], p1d, p2d].add(dmask)
+
+
 def _align_and_flatten(network, loss, f1s, f2s, n1s, n2s,
                        f1d, f2d, n1d, n2d, mesh=None):
     """Shared fused-step body: on-device alignment + flattened frame
@@ -104,6 +154,52 @@ def _align_and_flatten(network, loss, f1s, f2s, n1s, n2s,
                          -jnp.ones(x1d.shape[0] * Ld)])
     w = jnp.concatenate([ws.reshape(-1), wd.reshape(-1)])
     return x1, x2, y, w
+
+
+def _matrix_same_diff_parts(f1s, f2s, n1s, n2s, ws,
+                            f1d, f2d, n1d, n2d, wd,
+                            align_different_words: bool, mesh):
+    """Matrix-mode twin of :func:`_align_and_flatten` /
+    :func:`_split_bank_align`: returns the unique-frame batch (every frame
+    exactly once), per-frame visit-count weights (exact BN-stat parity
+    with the gather path, where a frame contributes once per path visit),
+    and the same/diff alignment masks that weight the cosine matrices in
+    the loss."""
+    dist = pairwise_angular_distance(f1s, f2s)
+    A_s = (dtw_path_from_dist(dist, n1s, n2s, mesh=mesh)
+           * ws[:, None, None])
+    T1d, T2d = f1d.shape[1], f2d.shape[1]
+    p1d, p2d, plen_d = align_diff_batch(
+        n1d, n2d, T1d, T2d, align_different_words=align_different_words)
+    A_d = _diff_path_mask(p1d, p2d, plen_d, wd, T1d, T2d)
+    d = f1s.shape[-1]
+    frames = jnp.concatenate([f1s.reshape(-1, d), f2s.reshape(-1, d),
+                              f1d.reshape(-1, d), f2d.reshape(-1, d)])
+    w_frames = jnp.concatenate([
+        A_s.sum(2).reshape(-1), A_s.sum(1).reshape(-1),
+        A_d.sum(2).reshape(-1), A_d.sum(1).reshape(-1)])
+    return frames, w_frames, A_s, A_d
+
+
+def _matrix_cos_terms(en, A_s, A_d):
+    """Flattened (cos, y, weights) loss terms from normalized embeddings
+    of the unique-frame batch laid out [f1s; f2s; f1d; f2d]. Returns the
+    terms plus any leftover rows (tcl frames appended by the caller)."""
+    Bs, T1s, T2s = A_s.shape
+    Bd, T1d, T2d = A_d.shape
+    i = 0
+    e1s = en[i:i + Bs * T1s].reshape(Bs, T1s, -1); i += Bs * T1s
+    e2s = en[i:i + Bs * T2s].reshape(Bs, T2s, -1); i += Bs * T2s
+    e1d = en[i:i + Bd * T1d].reshape(Bd, T1d, -1); i += Bd * T1d
+    e2d = en[i:i + Bd * T2d].reshape(Bd, T2d, -1); i += Bd * T2d
+    c_s = jnp.einsum("bie,bje->bij", e1s, e2s,
+                     preferred_element_type=jnp.float32)
+    c_d = jnp.einsum("bie,bje->bij", e1d, e2d,
+                     preferred_element_type=jnp.float32)
+    c = jnp.concatenate([c_s.reshape(-1), c_d.reshape(-1)])
+    y = jnp.concatenate([jnp.ones(c_s.size), -jnp.ones(c_d.size)])
+    w = jnp.concatenate([A_s.reshape(-1), A_d.reshape(-1)])
+    return c, y, w, en[i:]
 
 
 def make_indexed_train_step(network, loss, optimizer, bank, mesh: Mesh):
@@ -178,6 +274,49 @@ def _bank_align(bank, ids1, ids2, y_pair, pair_w,
             w.reshape(-1))
 
 
+def _bank_align_matrix(bank, ids1, ids2, y_pair, pair_w,
+                       align_different_words: bool, mesh=None,
+                       max_frames: int = None):
+    """Matrix-mode twin of :func:`_bank_align` for mixed same/diff pair
+    batches: every pair gets a (T, T) alignment mask — the DTW path mask
+    for same pairs, the truncate/diagonal path scattered to a mask for
+    diff pairs — selected per pair by the label. Returns
+    (frames, w_frames, A, y_cells) with frames = [f1; f2] each token
+    exactly once."""
+    T = max_frames if max_frames is not None else bank.max_len
+    f1, n1 = bank.take(ids1, T)
+    f2, n2 = bank.take(ids2, T)
+    dist = pairwise_angular_distance(f1, f2)
+    A_dtw = dtw_path_from_dist(dist, n1, n2, mesh=mesh)
+    p1d, p2d, plen_d = align_diff_batch(
+        n1, n2, T, T, align_different_words=align_different_words)
+    A_diff = _diff_path_mask(p1d, p2d, plen_d, jnp.ones_like(pair_w),
+                             T, T)
+    same = (y_pair > 0)[:, None, None]
+    A = jnp.where(same, A_dtw, A_diff) * pair_w[:, None, None]
+    d = f1.shape[-1]
+    frames = jnp.concatenate([f1.reshape(-1, d), f2.reshape(-1, d)])
+    w_frames = jnp.concatenate([A.sum(2).reshape(-1),
+                                A.sum(1).reshape(-1)])
+    y_cells = jnp.broadcast_to(y_pair[:, None, None], A.shape)
+    return frames, w_frames, A, y_cells
+
+
+def _bank_matrix_value(network, loss, params, state, rng, train, parts):
+    """Embed the unique-frame batch once and reduce the A-weighted
+    cosine matrix (mixed-pair matrix mode)."""
+    frames, w_frames, A, y_cells = parts
+    e, new_state = network.forward_once(params, state, frames, rng=rng,
+                                        train=train, weights=w_frames)
+    en = _normalize_rows(e)
+    B, T1, T2 = A.shape
+    e1 = en[:B * T1].reshape(B, T1, -1)
+    e2 = en[B * T1:].reshape(B, T2, -1)
+    c = jnp.einsum("bie,bje->bij", e1, e2,
+                   preferred_element_type=jnp.float32)
+    return loss.from_cos(c, y_cells, weights=A), new_state
+
+
 def _split_bank_align(bank, ids1s, ids2s, ws, ids1d, ids2d, wd,
                       align_different_words, mesh, max_frames):
     """Static same/diff split: DTW DP only over the same-word group; diff
@@ -218,7 +357,8 @@ def make_split_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
                                extra_labels: bool = False,
                                max_frames: int = None,
                                steps_per_call: int = 1,
-                               frame_bank=None, tcl: float = 0.0):
+                               frame_bank=None, tcl: float = 0.0,
+                               matrix_loss: Optional[bool] = None):
     """Train/eval steps over SplitBankBatch index batches (static
     same/diff groups). Returns (train_step, eval_step).
 
@@ -231,12 +371,20 @@ def make_split_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
     frame pairs join the loss with weights rescaled on device so the tcl
     group carries exactly tcl/(1-tcl) of the token pairs' total weight —
     the reference's mixing fraction (reference dataloader.py:314-322)
-    with static shapes."""
+    with static shapes.
+
+    matrix_loss: force the matrix-loss path on/off (None = auto, see
+    :func:`use_matrix_loss`): the alignment stays a (B, T, T) mask, each
+    frame embeds once, and the loss reduces the A-weighted embedding
+    cosine matrix — no backtrace walk, no frame gathers."""
     dp = NamedSharding(mesh, P("data"))
     rep = NamedSharding(mesh, P())
     assert not (extra_labels and frame_bank is not None), (
         "tcl mixing is a monotask feature (the reference never combines "
         "it with multitask speaker labels)")
+    matrix = use_matrix_loss(loss, extra_labels, matrix_loss)
+    assert not (matrix and extra_labels), (
+        "matrix_loss requires the monotask cosine losses")
     n_batch_args = 8 if extra_labels else 6
     if frame_bank is not None:
         assert 0 < tcl < 1
@@ -270,24 +418,79 @@ def make_split_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
             w = jnp.concatenate([w, wt])
         return x1, x2, y, w, y_spk
 
-    def one_step(params, state, opt_state, rng, args):
-        x1, x2, y, w, y_spk = align(args)
+    def matrix_parts(args):
+        """Matrix-mode batch assembly: unique frames + visit weights +
+        alignment masks (see use_matrix_loss)."""
+        tcl_args = None
+        if frame_bank is not None:
+            args, tcl_args = args[:-4], args[-4:]
+        ids1s, ids2s, ws, ids1d, ids2d, wd = args
+        Tb = max_frames if max_frames is not None else bank.max_len
+        f1s, n1s = bank.take(ids1s, Tb)
+        f2s, n2s = bank.take(ids2s, Tb)
+        f1d, n1d = bank.take(ids1d, Tb)
+        f2d, n2d = bank.take(ids2d, Tb)
+        frames, w_frames, A_s, A_d = _matrix_same_diff_parts(
+            f1s, f2s, n1s, n2s, ws, f1d, f2d, n1d, n2d, wd,
+            align_different_words, mesh)
+        tcl_terms = None
+        if tcl_args is not None:
+            ti1, ti2, ty, tw = tcl_args
+            wt = tw * (tcl / (1.0 - tcl)) * (
+                (A_s.sum() + A_d.sum())
+                / jnp.maximum(jnp.sum(tw), 1e-6))
+            frames = jnp.concatenate(
+                [frames, frame_bank[ti1], frame_bank[ti2]])
+            w_frames = jnp.concatenate([w_frames, wt, wt])
+            tcl_terms = (ty, wt, ti1.shape[0])
+        return frames, w_frames, A_s, A_d, tcl_terms
 
-        def loss_fn(p):
-            if extra_labels:
-                spk1, phn1, spk2, phn2, new_state = network.forward(
-                    p, state, x1, x2, rng=rng, train=True, weights=w)
-                return loss(spk1, phn1, spk2, phn2, y_spk, y,
-                            weights=w), new_state
-            e1, e2, new_state = network.forward(p, state, x1, x2, rng=rng,
-                                                train=True, weights=w)
-            return loss(e1, e2, y, weights=w), new_state
+    def matrix_value(p, state, rng, train, parts):
+        frames, w_frames, A_s, A_d, tcl_terms = parts
+        e, new_state = network.forward_once(p, state, frames, rng=rng,
+                                            train=train, weights=w_frames)
+        en = _normalize_rows(e)
+        c, y, w, rest = _matrix_cos_terms(en, A_s, A_d)
+        if tcl_terms is not None:
+            ty, wt, n_tcl = tcl_terms
+            ct = jnp.sum(rest[:n_tcl] * rest[n_tcl:], axis=1)
+            c = jnp.concatenate([c, ct])
+            y = jnp.concatenate([y, ty])
+            w = jnp.concatenate([w, wt])
+        return loss.from_cos(c, y, weights=w), new_state
 
-        (value, new_state), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params)
-        updates, new_opt = optimizer.update(grads, opt_state, params)
-        return (optax.apply_updates(params, updates), new_state, new_opt,
-                value)
+    if matrix:
+        def one_step(params, state, opt_state, rng, args):
+            parts = matrix_parts(args)
+
+            def loss_fn(p):
+                return matrix_value(p, state, rng, True, parts)
+
+            (value, new_state), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, new_opt = optimizer.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), new_state,
+                    new_opt, value)
+    else:
+        def one_step(params, state, opt_state, rng, args):
+            x1, x2, y, w, y_spk = align(args)
+
+            def loss_fn(p):
+                if extra_labels:
+                    spk1, phn1, spk2, phn2, new_state = network.forward(
+                        p, state, x1, x2, rng=rng, train=True, weights=w)
+                    return loss(spk1, phn1, spk2, phn2, y_spk, y,
+                                weights=w), new_state
+                e1, e2, new_state = network.forward(p, state, x1, x2,
+                                                    rng=rng, train=True,
+                                                    weights=w)
+                return loss(e1, e2, y, weights=w), new_state
+
+            (value, new_state), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, new_opt = optimizer.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), new_state,
+                    new_opt, value)
 
     if K == 1:
         def step(params, state, opt_state, rng, *args):
@@ -306,14 +509,20 @@ def make_split_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
                 (jnp.arange(K),) + stacked)
             return params, state, opt_state, jnp.mean(values)
 
-    def eval_step(params, state, *args):
-        x1, x2, y, w, y_spk = align(args)
-        if extra_labels:
-            spk1, phn1, spk2, phn2, _ = network.forward(
-                params, state, x1, x2, train=False)
-            return loss(spk1, phn1, spk2, phn2, y_spk, y, weights=w)
-        e1, e2, _ = network.forward(params, state, x1, x2, train=False)
-        return loss(e1, e2, y, weights=w)
+    if matrix:
+        def eval_step(params, state, *args):
+            value, _ = matrix_value(params, state, None, False,
+                                    matrix_parts(args))
+            return value
+    else:
+        def eval_step(params, state, *args):
+            x1, x2, y, w, y_spk = align(args)
+            if extra_labels:
+                spk1, phn1, spk2, phn2, _ = network.forward(
+                    params, state, x1, x2, train=False)
+                return loss(spk1, phn1, spk2, phn2, y_spk, y, weights=w)
+            e1, e2, _ = network.forward(params, state, x1, x2, train=False)
+            return loss(e1, e2, y, weights=w)
 
     cache = {}
     n_data = mesh.shape["data"]
@@ -371,7 +580,8 @@ def make_split_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
 def make_sampled_train_step(network, loss, optimizer, bank, sampler,
                             mesh: Mesh,
                             align_different_words: bool = False,
-                            steps_per_call: int = 1):
+                            steps_per_call: int = 1,
+                            matrix_loss: Optional[bool] = None):
     """The fully on-device pipeline: one jitted call that SAMPLES fresh
     pair batches (DevicePairSampler), gathers tokens from the HBM-resident
     bank, DTW-aligns, and trains — per call the host sends a PRNG key and
@@ -388,18 +598,28 @@ def make_sampled_train_step(network, loss, optimizer, bank, sampler,
             "sampler batch_size must divide the mesh 'data' axis so the "
             "sharded Pallas DTW kernel gets equal per-device blocks")
 
+    matrix = use_matrix_loss(loss, override=matrix_loss)
+
     def one_step(params, state, opt_state, rng):
         rng_sample, rng_drop = jax.random.split(rng)
         ids1, ids2, y_pair = sampler.sample(rng_sample)
         pair_w = jnp.ones_like(y_pair)
-        x1, x2, y, w = _bank_align(bank, ids1, ids2, y_pair, pair_w,
-                                   align_different_words, mesh)
+        if matrix:
+            parts = _bank_align_matrix(bank, ids1, ids2, y_pair, pair_w,
+                                       align_different_words, mesh)
 
-        def loss_fn(p):
-            e1, e2, new_state = network.forward(p, state, x1, x2,
-                                                rng=rng_drop, train=True,
-                                                weights=w)
-            return loss(e1, e2, y, weights=w), new_state
+            def loss_fn(p):
+                return _bank_matrix_value(network, loss, p, state,
+                                          rng_drop, True, parts)
+        else:
+            x1, x2, y, w = _bank_align(bank, ids1, ids2, y_pair, pair_w,
+                                       align_different_words, mesh)
+
+            def loss_fn(p):
+                e1, e2, new_state = network.forward(p, state, x1, x2,
+                                                    rng=rng_drop,
+                                                    train=True, weights=w)
+                return loss(e1, e2, y, weights=w), new_state
 
         (value, new_state), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
@@ -434,14 +654,22 @@ def make_sampled_train_step(network, loss, optimizer, bank, sampler,
 
 
 def make_sampled_eval_step(network, loss, bank, sampler, mesh: Mesh,
-                           align_different_words: bool = False):
+                           align_different_words: bool = False,
+                           matrix_loss: Optional[bool] = None):
     """Eval twin of make_sampled_train_step: sample + align + loss, no
     gradient/update."""
     rep = NamedSharding(mesh, P())
+    matrix = use_matrix_loss(loss, override=matrix_loss)
 
     def step(params, state, rng):
         ids1, ids2, y_pair = sampler.sample(rng)
         pair_w = jnp.ones_like(y_pair)
+        if matrix:
+            parts = _bank_align_matrix(bank, ids1, ids2, y_pair, pair_w,
+                                       align_different_words, mesh)
+            value, _ = _bank_matrix_value(network, loss, params, state,
+                                          None, False, parts)
+            return value
         x1, x2, y, w = _bank_align(bank, ids1, ids2, y_pair, pair_w,
                                    align_different_words, mesh)
         e1, e2, _ = network.forward(params, state, x1, x2, train=False)
@@ -462,7 +690,8 @@ def make_sampled_eval_step(network, loss, bank, sampler, mesh: Mesh,
 def make_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
                          align_different_words: bool = False,
                          extra_labels: bool = False,
-                         max_frames: int = None):
+                         max_frames: int = None,
+                         matrix_loss: Optional[bool] = None):
     """Uniform fused train step over a TokenBank: every pair is (id1, id2,
     y, pair_weight) — same-word pairs (y=+1) are DTW-aligned, diff-word
     pairs (y=-1) truncate/diagonal-aligned, selected per pair with a
@@ -501,6 +730,23 @@ def make_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
             return (optax.apply_updates(params, updates), new_state,
                     new_opt, value)
         n_batch_args = 5
+    elif use_matrix_loss(loss, override=matrix_loss):
+        def step(params, state, opt_state, rng, ids1, ids2, y_pair,
+                 pair_w):
+            parts = _bank_align_matrix(bank, ids1, ids2, y_pair, pair_w,
+                                       align_different_words, mesh,
+                                       max_frames=max_frames)
+
+            def loss_fn(p):
+                return _bank_matrix_value(network, loss, p, state, rng,
+                                          True, parts)
+
+            (value, new_state), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, new_opt = optimizer.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), new_state,
+                    new_opt, value)
+        n_batch_args = 4
     else:
         def step(params, state, opt_state, rng, ids1, ids2, y_pair,
                  pair_w):
@@ -528,6 +774,14 @@ def make_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
             spk1, phn1, spk2, phn2, _ = network.forward(
                 params, state, x1, x2, train=False)
             return loss(spk1, phn1, spk2, phn2, y_spk, y, weights=w)
+    elif use_matrix_loss(loss, override=matrix_loss):
+        def eval_step(params, state, ids1, ids2, y_pair, pair_w):
+            parts = _bank_align_matrix(bank, ids1, ids2, y_pair, pair_w,
+                                       align_different_words, mesh,
+                                       max_frames=max_frames)
+            value, _ = _bank_matrix_value(network, loss, params, state,
+                                          None, False, parts)
+            return value
     else:
         def eval_step(params, state, ids1, ids2, y_pair, pair_w):
             x1, x2, y, w = align(ids1, ids2, y_pair, pair_w)
@@ -557,31 +811,51 @@ def make_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
     return compiled, compiled_eval
 
 
-def make_fused_train_step(network, loss, optimizer, mesh: Mesh):
+def make_fused_train_step(network, loss, optimizer, mesh: Mesh,
+                          matrix_loss: Optional[bool] = None):
     """One jitted SPMD training step over raw padded pair batches.
 
     Inputs per step (all sharded over 'data' on their leading pair axis):
     - f1s, f2s (Bs, Ts, d), n1s, n2s (Bs,): same-word pairs -> DTW align
     - f1d, f2d (Bd, Td, d), n1d, n2d (Bd,): diff-word pairs -> truncate
 
-    Everything after the host padding — cost matrices, DP scan, backtrace,
-    frame gathers, both towers, loss, backward, optimizer update — is one
-    XLA computation; GSPMD all-reduces the gradients over ICI.
+    Everything after the host padding — cost matrices, DP, alignment,
+    both towers, loss, backward, optimizer update — is one XLA
+    computation; GSPMD all-reduces the gradients over ICI. With
+    matrix_loss (auto-on for the cosine losses, see use_matrix_loss) the
+    alignment stays a mask over the embedding cosine matrix; otherwise
+    frames are gathered along backtraced paths.
     """
     dp = NamedSharding(mesh, P("data"))
     rep = NamedSharding(mesh, P())
+    matrix = use_matrix_loss(loss, override=matrix_loss)
 
     def step(params, state, opt_state, rng,
              f1s, f2s, n1s, n2s, f1d, f2d, n1d, n2d):
-        x1, x2, y, w = _align_and_flatten(network, loss, f1s, f2s, n1s,
-                                          n2s, f1d, f2d, n1d, n2d,
-                                          mesh=mesh)
+        if matrix:
+            ws = jnp.ones(f1s.shape[0], jnp.float32)
+            wd = jnp.ones(f1d.shape[0], jnp.float32)
+            frames, w_frames, A_s, A_d = _matrix_same_diff_parts(
+                f1s, f2s, n1s, n2s, ws, f1d, f2d, n1d, n2d, wd,
+                False, mesh)
 
-        # --- fused siamese fwd/bwd + update -----------------------------
-        def loss_fn(p):
-            e1, e2, new_state = network.forward(p, state, x1, x2, rng=rng,
-                                                train=True, weights=w)
-            return loss(e1, e2, y, weights=w), new_state
+            def loss_fn(p):
+                e, new_state = network.forward_once(
+                    p, state, frames, rng=rng, train=True,
+                    weights=w_frames)
+                c, y, w, _ = _matrix_cos_terms(_normalize_rows(e),
+                                               A_s, A_d)
+                return loss.from_cos(c, y, weights=w), new_state
+        else:
+            x1, x2, y, w = _align_and_flatten(network, loss, f1s, f2s,
+                                              n1s, n2s, f1d, f2d, n1d,
+                                              n2d, mesh=mesh)
+
+            def loss_fn(p):
+                e1, e2, new_state = network.forward(p, state, x1, x2,
+                                                    rng=rng, train=True,
+                                                    weights=w)
+                return loss(e1, e2, y, weights=w), new_state
 
         (value, new_state), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)

@@ -167,3 +167,44 @@ def test_dtw_align_from_dist_api():
         out = dtw_align_from_dist(dist, n, n, use_pallas=use_pallas)
         for a, b in zip(ref, out):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_onpath_from_moves_matches_walk():
+    """The reverse-DP path mask marks exactly the backtrace-chain cells
+    (same tie-breaking) and sums to the path length."""
+    from abnet3_tpu.ops.dtw import (dtw_costs, moves_from_costs,
+                                    onpath_from_moves,
+                                    pairwise_angular_distance, walk_moves)
+    rng = np.random.RandomState(11)
+    B, T1, T2, d = 16, 23, 31, 7
+    f1 = jnp.asarray(rng.randn(B, T1, d).astype(np.float32))
+    f2 = jnp.asarray(rng.randn(B, T2, d).astype(np.float32))
+    n1 = jnp.asarray(rng.randint(1, T1 + 1, B), jnp.int32)
+    n2 = jnp.asarray(rng.randint(1, T2 + 1, B), jnp.int32)
+    mv = moves_from_costs(dtw_costs(pairwise_angular_distance(f1, f2)))
+    p1, p2, plen = walk_moves(mv, n1, n2)
+    A = np.asarray(onpath_from_moves(mv, n1, n2))
+    A_ref = np.zeros((B, T1, T2), np.float32)
+    p1n, p2n, pl = np.asarray(p1), np.asarray(p2), np.asarray(plen)
+    for b in range(B):
+        for s in range(pl[b]):
+            A_ref[b, p1n[b, s], p2n[b, s]] = 1.0
+    np.testing.assert_array_equal(A, A_ref)
+    np.testing.assert_array_equal(A.sum((1, 2)), pl.astype(np.float32))
+
+
+def test_dtw_path_from_dist_dispatch():
+    """Public mask dispatch equals the XLA reference in both branches."""
+    from abnet3_tpu.ops.dtw import (dtw_costs, dtw_path_from_dist,
+                                    moves_from_costs, onpath_from_moves,
+                                    pairwise_angular_distance)
+    rng = np.random.RandomState(12)
+    f1 = jnp.asarray(rng.randn(4, 12, 5).astype(np.float32))
+    f2 = jnp.asarray(rng.randn(4, 15, 5).astype(np.float32))
+    n1 = jnp.asarray([12, 8, 3, 1], jnp.int32)
+    n2 = jnp.asarray([15, 11, 7, 1], jnp.int32)
+    dist = pairwise_angular_distance(f1, f2)
+    ref = onpath_from_moves(moves_from_costs(dtw_costs(dist)), n1, n2)
+    for use_pallas in (True, False):
+        out = dtw_path_from_dist(dist, n1, n2, use_pallas=use_pallas)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

@@ -126,3 +126,23 @@ def test_cosine_similarity_zero_safe():
     o = jnp.ones((2, 4))
     c = cosine_similarity(z, o)
     assert np.all(np.isfinite(np.asarray(c)))
+
+
+def test_from_cos_matches_forward():
+    """from_cos on precomputed cosines of normalized rows equals the
+    row-pair loss (the matrix-loss contract, parallel/mesh.py)."""
+    import jax.numpy as jnp
+    from abnet3_tpu.loss import coscos2, cosmargin
+    rng = np.random.RandomState(0)
+    x1 = jnp.asarray(rng.randn(32, 10).astype(np.float32))
+    x2 = jnp.asarray(rng.randn(32, 10).astype(np.float32))
+    y = jnp.asarray(rng.choice([1.0, -1.0], 32), jnp.float32)
+    w = jnp.asarray(rng.rand(32).astype(np.float32))
+    n1 = jnp.maximum(jnp.linalg.norm(x1, axis=1, keepdims=True), 1e-6)
+    n2 = jnp.maximum(jnp.linalg.norm(x2, axis=1, keepdims=True), 1e-6)
+    c = jnp.sum((x1 / n1) * (x2 / n2), axis=1)
+    for loss in (coscos2(), cosmargin(margin=0.4)):
+        assert loss.supports_cos
+        a = float(loss(x1, x2, y, weights=w))
+        b = float(loss.from_cos(c, y, weights=w))
+        assert a == pytest.approx(b, abs=1e-6)

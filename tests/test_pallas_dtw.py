@@ -97,3 +97,33 @@ def test_pallas_sharded_inside_jitted_step():
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(q1))
     np.testing.assert_array_equal(np.asarray(p2), np.asarray(q2))
     np.testing.assert_array_equal(np.asarray(plen), np.asarray(qlen))
+
+
+@pytest.mark.parametrize("shape", [(3, 16, 24), (8, 32, 32), (9, 8, 128)])
+def test_pallas_path_matches_xla(shape):
+    """Fused forward+reverse kernel emits exactly the XLA path mask."""
+    from abnet3_tpu.ops.dtw import onpath_from_moves, moves_from_costs
+    from abnet3_tpu.ops.pallas_dtw import dtw_path_pallas
+    rng = np.random.RandomState(4)
+    B, T1, T2 = shape
+    dist = jnp.asarray(rng.rand(*shape).astype(np.float32))
+    n1 = jnp.asarray(rng.randint(1, T1 + 1, B), jnp.int32)
+    n2 = jnp.asarray(rng.randint(1, T2 + 1, B), jnp.int32)
+    ref = onpath_from_moves(moves_from_costs(dtw_costs(dist)), n1, n2)
+    out = dtw_path_pallas(dist, n1, n2, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_pallas_path_sharded_matches_single_device():
+    from abnet3_tpu.ops.dtw import onpath_from_moves, moves_from_costs
+    from abnet3_tpu.ops.pallas_dtw import dtw_path_pallas_sharded
+    from abnet3_tpu.parallel import make_mesh
+    rng = np.random.RandomState(6)
+    dist = jnp.asarray(rng.rand(16, 12, 20).astype(np.float32))
+    n1 = jnp.asarray(rng.randint(1, 13, 16), jnp.int32)
+    n2 = jnp.asarray(rng.randint(1, 21, 16), jnp.int32)
+    ref = onpath_from_moves(moves_from_costs(dtw_costs(dist)), n1, n2)
+    for mesh in (make_mesh(n_data=8, n_model=1),
+                 make_mesh(n_data=4, n_model=2)):
+        out = dtw_path_pallas_sharded(dist, n1, n2, mesh, interpret=True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
