@@ -115,7 +115,7 @@ def _normalize_rows(e: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
 
 
 def _diff_path_mask(p1d, p2d, plen_d, wd, T1: int, T2: int) -> jnp.ndarray:
-    """Scatter a diff-pair alignment path (truncate or diagonal-stretch,
+    """Scatter a diff-pair alignment path (diagonal-stretch mode,
     ops.dtw.align_diff_batch) into a (B, T1, T2) mask weighted by the
     per-pair weight — the diff-pair twin of the DTW path mask."""
     B, L = p1d.shape
@@ -123,6 +123,25 @@ def _diff_path_mask(p1d, p2d, plen_d, wd, T1: int, T2: int) -> jnp.ndarray:
              .astype(jnp.float32) * wd[:, None])
     A = jnp.zeros((B, T1, T2), jnp.float32)
     return A.at[jnp.arange(B)[:, None], p1d, p2d].add(dmask)
+
+
+def _diff_mask(n1, n2, wd, T1: int, T2: int,
+               align_different_words: bool) -> jnp.ndarray:
+    """(B, T1, T2) alignment mask for different-word pairs.
+
+    Truncate mode (the default) is a pure iota comparison — the diagonal
+    prefix up to min(n1, n2) — with no scatter (XLA scatters cost ~0.1ms
+    at these shapes on TPU); diagonal-stretch mode scatters the rounded
+    linspace path."""
+    if not align_different_words:
+        ii = jnp.arange(T1)[None, :, None]
+        jj = jnp.arange(T2)[None, None, :]
+        minlen = jnp.minimum(n1, n2)[:, None, None]
+        return ((ii == jj) & (ii < minlen)).astype(jnp.float32) \
+            * wd[:, None, None]
+    p1d, p2d, plen_d = align_diff_batch(
+        n1, n2, T1, T2, align_different_words=True)
+    return _diff_path_mask(p1d, p2d, plen_d, wd, T1, T2)
 
 
 def _align_and_flatten(network, loss, f1s, f2s, n1s, n2s,
@@ -169,24 +188,39 @@ def _matrix_same_diff_parts(f1s, f2s, n1s, n2s, ws,
     A_s = (dtw_path_from_dist(dist, n1s, n2s, mesh=mesh)
            * ws[:, None, None])
     T1d, T2d = f1d.shape[1], f2d.shape[1]
-    p1d, p2d, plen_d = align_diff_batch(
-        n1d, n2d, T1d, T2d, align_different_words=align_different_words)
-    A_d = _diff_path_mask(p1d, p2d, plen_d, wd, T1d, T2d)
     d = f1s.shape[-1]
+    if align_different_words:
+        A_d = _diff_mask(n1d, n2d, wd, T1d, T2d, True)
+        w1d, w2d = A_d.sum(2), A_d.sum(1)
+    else:
+        # truncate mode: the diff alignment is the diagonal prefix up to
+        # min(n1, n2) — keep it as a (B, Tmin) weight row and compute
+        # the diff cosines ROW-WISE in _matrix_cos_terms instead of
+        # paying a full (B, T, T) einsum for a diagonal
+        Tm = min(T1d, T2d)
+        minlen = jnp.minimum(n1d, n2d)
+        A_d = ((jnp.arange(Tm)[None, :] < minlen[:, None])
+               .astype(jnp.float32) * wd[:, None])
+        w1d = jnp.pad(A_d, ((0, 0), (0, T1d - Tm)))
+        w2d = jnp.pad(A_d, ((0, 0), (0, T2d - Tm)))
     frames = jnp.concatenate([f1s.reshape(-1, d), f2s.reshape(-1, d),
                               f1d.reshape(-1, d), f2d.reshape(-1, d)])
     w_frames = jnp.concatenate([
         A_s.sum(2).reshape(-1), A_s.sum(1).reshape(-1),
-        A_d.sum(2).reshape(-1), A_d.sum(1).reshape(-1)])
-    return frames, w_frames, A_s, A_d
+        w1d.reshape(-1), w2d.reshape(-1)])
+    return frames, w_frames, A_s, (A_d, T1d, T2d)
 
 
-def _matrix_cos_terms(en, A_s, A_d):
+def _matrix_cos_terms(en, A_s, A_d_parts):
     """Flattened (cos, y, weights) loss terms from normalized embeddings
-    of the unique-frame batch laid out [f1s; f2s; f1d; f2d]. Returns the
-    terms plus any leftover rows (tcl frames appended by the caller)."""
+    of the unique-frame batch laid out [f1s; f2s; f1d; f2d]. The diff
+    term is a full mask over a (B, T, T) einsum (stretch mode) or a
+    diagonal weight row over row-wise cosines (truncate mode). Returns
+    the terms plus any leftover rows (tcl frames appended by the
+    caller)."""
+    A_d, T1d, T2d = A_d_parts
     Bs, T1s, T2s = A_s.shape
-    Bd, T1d, T2d = A_d.shape
+    Bd = A_d.shape[0]
     i = 0
     e1s = en[i:i + Bs * T1s].reshape(Bs, T1s, -1); i += Bs * T1s
     e2s = en[i:i + Bs * T2s].reshape(Bs, T2s, -1); i += Bs * T2s
@@ -194,8 +228,12 @@ def _matrix_cos_terms(en, A_s, A_d):
     e2d = en[i:i + Bd * T2d].reshape(Bd, T2d, -1); i += Bd * T2d
     c_s = jnp.einsum("bie,bje->bij", e1s, e2s,
                      preferred_element_type=jnp.float32)
-    c_d = jnp.einsum("bie,bje->bij", e1d, e2d,
-                     preferred_element_type=jnp.float32)
+    if A_d.ndim == 3:  # stretch mode: full mask
+        c_d = jnp.einsum("bie,bje->bij", e1d, e2d,
+                         preferred_element_type=jnp.float32)
+    else:              # truncate mode: diagonal only
+        Tm = A_d.shape[1]
+        c_d = jnp.sum(e1d[:, :Tm] * e2d[:, :Tm], axis=-1)
     c = jnp.concatenate([c_s.reshape(-1), c_d.reshape(-1)])
     y = jnp.concatenate([jnp.ones(c_s.size), -jnp.ones(c_d.size)])
     w = jnp.concatenate([A_s.reshape(-1), A_d.reshape(-1)])
@@ -288,10 +326,8 @@ def _bank_align_matrix(bank, ids1, ids2, y_pair, pair_w,
     f2, n2 = bank.take(ids2, T)
     dist = pairwise_angular_distance(f1, f2)
     A_dtw = dtw_path_from_dist(dist, n1, n2, mesh=mesh)
-    p1d, p2d, plen_d = align_diff_batch(
-        n1, n2, T, T, align_different_words=align_different_words)
-    A_diff = _diff_path_mask(p1d, p2d, plen_d, jnp.ones_like(pair_w),
-                             T, T)
+    A_diff = _diff_mask(n1, n2, jnp.ones_like(pair_w), T, T,
+                        align_different_words)
     same = (y_pair > 0)[:, None, None]
     A = jnp.where(same, A_dtw, A_diff) * pair_w[:, None, None]
     d = f1.shape[-1]
@@ -430,27 +466,27 @@ def make_split_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
         f2s, n2s = bank.take(ids2s, Tb)
         f1d, n1d = bank.take(ids1d, Tb)
         f2d, n2d = bank.take(ids2d, Tb)
-        frames, w_frames, A_s, A_d = _matrix_same_diff_parts(
+        frames, w_frames, A_s, A_d_parts = _matrix_same_diff_parts(
             f1s, f2s, n1s, n2s, ws, f1d, f2d, n1d, n2d, wd,
             align_different_words, mesh)
         tcl_terms = None
         if tcl_args is not None:
             ti1, ti2, ty, tw = tcl_args
             wt = tw * (tcl / (1.0 - tcl)) * (
-                (A_s.sum() + A_d.sum())
+                (A_s.sum() + A_d_parts[0].sum())
                 / jnp.maximum(jnp.sum(tw), 1e-6))
             frames = jnp.concatenate(
                 [frames, frame_bank[ti1], frame_bank[ti2]])
             w_frames = jnp.concatenate([w_frames, wt, wt])
             tcl_terms = (ty, wt, ti1.shape[0])
-        return frames, w_frames, A_s, A_d, tcl_terms
+        return frames, w_frames, A_s, A_d_parts, tcl_terms
 
     def matrix_value(p, state, rng, train, parts):
-        frames, w_frames, A_s, A_d, tcl_terms = parts
+        frames, w_frames, A_s, A_d_parts, tcl_terms = parts
         e, new_state = network.forward_once(p, state, frames, rng=rng,
                                             train=train, weights=w_frames)
         en = _normalize_rows(e)
-        c, y, w, rest = _matrix_cos_terms(en, A_s, A_d)
+        c, y, w, rest = _matrix_cos_terms(en, A_s, A_d_parts)
         if tcl_terms is not None:
             ty, wt, n_tcl = tcl_terms
             ct = jnp.sum(rest[:n_tcl] * rest[n_tcl:], axis=1)

@@ -58,6 +58,65 @@ def _frames_in_batch(batch):
     return total
 
 
+def bench_trainer_loop(batch, n_calls=20, steps_per_call=8):
+    """Trainer-loop throughput: the same chained step as bench_ours but
+    with the HOST side of the production loop inside the timing — fresh
+    id-batch assembly (numpy permutation + stacking, what SplitBankBatch
+    does per epoch) and the per-dispatch h2d of the id arrays. This is
+    what TrainerSiamese actually sustains per dispatch, minus file IO."""
+    import jax
+    import optax
+    from abnet3_tpu.loss import coscos2
+    from abnet3_tpu.models import SiameseNetwork
+    from abnet3_tpu.ops.bank import TokenBank
+    from abnet3_tpu.parallel import make_mesh, make_split_pair_train_step
+
+    f1s, f2s, n1s, n2s, f1d, f2d, n1d, n2d = batch
+    token_feats = {}
+    for g, (f, n) in enumerate(((f1s, n1s), (f2s, n2s), (f1d, n1d),
+                                (f2d, n2d))):
+        for b in range(f.shape[0]):
+            token_feats[(g, b)] = f[b, :n[b]]
+    bank = TokenBank(token_feats)
+    K = steps_per_call
+    mesh = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+    net = SiameseNetwork(input_dim=DIM_IN, num_hidden_layers=2,
+                         hidden_dim=HID, output_dim=OUT, p_dropout=0.0,
+                         activation_layer="sigmoid")
+    params, state = net.init_params(jax.random.PRNGKey(0))
+    loss = coscos2()
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+    step, _ = make_split_pair_train_step(net, loss, optimizer, bank, mesh,
+                                         steps_per_call=K)
+    rng = jax.random.PRNGKey(0)
+    rng_ids = np.random.RandomState(11)
+    ws = np.ones((K, B_SAME), np.float32)
+    wd = np.ones((K, B_DIFF), np.float32)
+
+    group_ids = [np.asarray(bank.ids(
+        [(g, b) for b in range(B_SAME if g < 2 else B_DIFF)]))
+        for g in range(4)]
+
+    def fresh_args():
+        ids = [np.stack([flat[rng_ids.permutation(len(flat))]
+                         for _ in range(K)]) for flat in group_ids]
+        return (ids[0], ids[1], ws, ids[2], ids[3], wd)
+
+    for i in range(max(30 // K, 4)):
+        params, state, opt_state, value = step(
+            params, state, opt_state, rng, *fresh_args())
+    jax.block_until_ready(value)
+    t0 = time.perf_counter()
+    for i in range(n_calls):
+        params, state, opt_state, value = step(
+            params, state, opt_state, rng, *fresh_args())
+    jax.block_until_ready(value)
+    dt = time.perf_counter() - t0
+    assert np.isfinite(float(value))
+    return n_calls * K / dt
+
+
 def bench_ours(batch, n_calls=25, steps_per_call=8):
     """The TPU-native training recipe exactly as TrainerSiamese runs it:
     the token corpus is uploaded to HBM once (TokenBank); each dispatch
@@ -279,6 +338,15 @@ def main():
         "value": round(embed_fps, 1),
         "unit": "frames/s",
         "vs_baseline": round(embed_fps / embed_base, 2),
+    }), flush=True)
+    loop_sps = bench_trainer_loop(batch)
+    print(json.dumps({
+        "metric": ("trainer-loop throughput/chip: as metric 1 plus the "
+                   "host side of every dispatch (fresh id-batch assembly "
+                   "+ id h2d), i.e. what TrainerSiamese sustains"),
+        "value": round(loop_sps * frames, 1),
+        "unit": "frame-pairs/s",
+        "vs_baseline": round(loop_sps / base_sps, 2),
     }), flush=True)
 
 
