@@ -188,6 +188,21 @@ class weighted_loss_multi(LossBuilder):
         out_phn = self.loss_phn(emb_phn1, emb_phn2, y_phn, weights=weights)
         return self.weight * out_spk + (1.0 - self.weight) * out_phn
 
+    @property
+    def supports_multi_cos(self):
+        """True when both sub-losses are elementwise in cos, so the
+        multitask matrix-loss path can reduce per-head cosine matrices
+        (parallel/mesh.py)."""
+        return (getattr(self.loss_spk, "supports_cos", False)
+                and getattr(self.loss_phn, "supports_cos", False))
+
+    def from_cos_multi(self, c_spk, c_phn, y_spk, y_phn, weights=None):
+        """Multitask loss on precomputed per-head cosine values (same
+        weighting as __call__)."""
+        out_spk = self.loss_spk.from_cos(c_spk, y_spk, weights=weights)
+        out_phn = self.loss_phn.from_cos(c_phn, y_phn, weights=weights)
+        return self.weight * out_spk + (1.0 - self.weight) * out_phn
+
     def whoami(self):
         return {"params": {"weight": self.weight, "avg": self.avg,
                            "loss_phn": self.loss_phn.whoami(),

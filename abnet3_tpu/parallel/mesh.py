@@ -93,8 +93,10 @@ def use_matrix_loss(loss, extra_labels: bool = False,
     regularization moves from per-visit masks to per-frame masks (same
     expectation, tested equivalent at p_dropout=0).
 
-    Requires a loss that is elementwise in cos (coscos2/cosmargin);
-    multitask (extra_labels) and KL recipes keep the gather path.
+    Requires losses that are elementwise in cos (coscos2/cosmargin) —
+    for multitask (extra_labels), a weighted_loss_multi whose BOTH
+    sub-losses are (the per-head cosine matrices then reduce under the
+    same alignment mask). KL recipes keep the gather path.
     ``override`` (factory arg) wins, then ABNET3_MATRIX_LOSS=0/1, then
     auto (on whenever supported).
     """
@@ -103,7 +105,9 @@ def use_matrix_loss(loss, extra_labels: bool = False,
     flag = os.environ.get("ABNET3_MATRIX_LOSS", "").lower()
     if flag in ("0", "false", "no", "off"):
         return False
-    return (not extra_labels) and getattr(loss, "supports_cos", False)
+    if extra_labels:
+        return getattr(loss, "supports_multi_cos", False)
+    return getattr(loss, "supports_cos", False)
 
 
 def _normalize_rows(e: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
@@ -211,13 +215,16 @@ def _matrix_same_diff_parts(f1s, f2s, n1s, n2s, ws,
     return frames, w_frames, A_s, (A_d, T1d, T2d)
 
 
-def _matrix_cos_terms(en, A_s, A_d_parts):
+def _matrix_cos_terms(en, A_s, A_d_parts, y_s=None, y_d=None):
     """Flattened (cos, y, weights) loss terms from normalized embeddings
     of the unique-frame batch laid out [f1s; f2s; f1d; f2d]. The diff
     term is a full mask over a (B, T, T) einsum (stretch mode) or a
-    diagonal weight row over row-wise cosines (truncate mode). Returns
-    the terms plus any leftover rows (tcl frames appended by the
-    caller)."""
+    diagonal weight row over row-wise cosines (truncate mode).
+
+    y_s / y_d: per-pair labels broadcast over each pair's cells (the
+    multitask speaker stream); default +1 for same pairs, -1 for diff
+    (the phoneme/monotask stream). Returns the terms plus any leftover
+    rows (tcl frames appended by the caller)."""
     A_d, T1d, T2d = A_d_parts
     Bs, T1s, T2s = A_s.shape
     Bd = A_d.shape[0]
@@ -234,8 +241,20 @@ def _matrix_cos_terms(en, A_s, A_d_parts):
     else:              # truncate mode: diagonal only
         Tm = A_d.shape[1]
         c_d = jnp.sum(e1d[:, :Tm] * e2d[:, :Tm], axis=-1)
+    if y_s is None:
+        ys_cells = jnp.ones(c_s.size)
+    else:
+        ys_cells = jnp.broadcast_to(
+            y_s.reshape((Bs,) + (1,) * (c_s.ndim - 1)),
+            c_s.shape).reshape(-1)
+    if y_d is None:
+        yd_cells = -jnp.ones(c_d.size)
+    else:
+        yd_cells = jnp.broadcast_to(
+            y_d.reshape((Bd,) + (1,) * (c_d.ndim - 1)),
+            c_d.shape).reshape(-1)
     c = jnp.concatenate([c_s.reshape(-1), c_d.reshape(-1)])
-    y = jnp.concatenate([jnp.ones(c_s.size), -jnp.ones(c_d.size)])
+    y = jnp.concatenate([ys_cells, yd_cells])
     w = jnp.concatenate([A_s.reshape(-1), A_d.reshape(-1)])
     return c, y, w, en[i:]
 
@@ -338,19 +357,40 @@ def _bank_align_matrix(bank, ids1, ids2, y_pair, pair_w,
     return frames, w_frames, A, y_cells
 
 
+def _head_cos_matrix(e, B, T1, T2):
+    """Normalized-embedding cosine matrix of one head's [e1; e2] rows."""
+    en = _normalize_rows(e)
+    e1 = en[:B * T1].reshape(B, T1, -1)
+    e2 = en[B * T1:].reshape(B, T2, -1)
+    return jnp.einsum("bie,bje->bij", e1, e2,
+                      preferred_element_type=jnp.float32)
+
+
 def _bank_matrix_value(network, loss, params, state, rng, train, parts):
     """Embed the unique-frame batch once and reduce the A-weighted
     cosine matrix (mixed-pair matrix mode)."""
     frames, w_frames, A, y_cells = parts
     e, new_state = network.forward_once(params, state, frames, rng=rng,
                                         train=train, weights=w_frames)
-    en = _normalize_rows(e)
     B, T1, T2 = A.shape
-    e1 = en[:B * T1].reshape(B, T1, -1)
-    e2 = en[B * T1:].reshape(B, T2, -1)
-    c = jnp.einsum("bie,bje->bij", e1, e2,
-                   preferred_element_type=jnp.float32)
+    c = _head_cos_matrix(e, B, T1, T2)
     return loss.from_cos(c, y_cells, weights=A), new_state
+
+
+def _bank_matrix_value_multi(network, loss, params, state, rng, train,
+                             parts, y_spk_pair):
+    """Multitask twin of :func:`_bank_matrix_value`: one trunk pass over
+    the unique frames, one cosine matrix per head, both reduced under
+    the same alignment mask."""
+    frames, w_frames, A, y_cells = parts
+    spk, phn, new_state = network.forward_once(
+        params, state, frames, rng=rng, train=train, weights=w_frames)
+    B, T1, T2 = A.shape
+    c_spk = _head_cos_matrix(spk, B, T1, T2)
+    c_phn = _head_cos_matrix(phn, B, T1, T2)
+    y_spk_cells = jnp.broadcast_to(y_spk_pair[:, None, None], A.shape)
+    return loss.from_cos_multi(c_spk, c_phn, y_spk_cells, y_cells,
+                               weights=A), new_state
 
 
 def _split_bank_align(bank, ids1s, ids2s, ws, ids1d, ids2d, wd,
@@ -419,8 +459,6 @@ def make_split_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
         "tcl mixing is a monotask feature (the reference never combines "
         "it with multitask speaker labels)")
     matrix = use_matrix_loss(loss, extra_labels, matrix_loss)
-    assert not (matrix and extra_labels), (
-        "matrix_loss requires the monotask cosine losses")
     n_batch_args = 8 if extra_labels else 6
     if frame_bank is not None:
         assert 0 < tcl < 1
@@ -460,7 +498,12 @@ def make_split_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
         tcl_args = None
         if frame_bank is not None:
             args, tcl_args = args[:-4], args[-4:]
-        ids1s, ids2s, ws, ids1d, ids2d, wd = args
+        if extra_labels:
+            (ids1s, ids2s, ws, ids1d, ids2d, wd,
+             yspk_s, yspk_d) = args
+        else:
+            ids1s, ids2s, ws, ids1d, ids2d, wd = args
+            yspk_s = yspk_d = None
         Tb = max_frames if max_frames is not None else bank.max_len
         f1s, n1s = bank.take(ids1s, Tb)
         f2s, n2s = bank.take(ids2s, Tb)
@@ -479,10 +522,21 @@ def make_split_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
                 [frames, frame_bank[ti1], frame_bank[ti2]])
             w_frames = jnp.concatenate([w_frames, wt, wt])
             tcl_terms = (ty, wt, ti1.shape[0])
-        return frames, w_frames, A_s, A_d_parts, tcl_terms
+        return frames, w_frames, A_s, A_d_parts, tcl_terms, yspk_s, yspk_d
 
     def matrix_value(p, state, rng, train, parts):
-        frames, w_frames, A_s, A_d_parts, tcl_terms = parts
+        frames, w_frames, A_s, A_d_parts, tcl_terms, yspk_s, yspk_d = \
+            parts
+        if extra_labels:
+            spk, phn, new_state = network.forward_once(
+                p, state, frames, rng=rng, train=train, weights=w_frames)
+            c_spk, y_spk, w, _ = _matrix_cos_terms(
+                _normalize_rows(spk), A_s, A_d_parts,
+                y_s=yspk_s, y_d=yspk_d)
+            c_phn, y_phn, _, _ = _matrix_cos_terms(
+                _normalize_rows(phn), A_s, A_d_parts)
+            return loss.from_cos_multi(c_spk, c_phn, y_spk, y_phn,
+                                       weights=w), new_state
         e, new_state = network.forward_once(p, state, frames, rng=rng,
                                             train=train, weights=w_frames)
         en = _normalize_rows(e)
@@ -747,7 +801,25 @@ def make_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
                            align_different_words, mesh,
                            max_frames=max_frames)
 
-    if extra_labels:
+    if extra_labels and use_matrix_loss(loss, True, matrix_loss):
+        def step(params, state, opt_state, rng, ids1, ids2, y_pair,
+                 y_spk_pair, pair_w):
+            parts = _bank_align_matrix(bank, ids1, ids2, y_pair, pair_w,
+                                       align_different_words, mesh,
+                                       max_frames=max_frames)
+
+            def loss_fn(p):
+                return _bank_matrix_value_multi(network, loss, p, state,
+                                                rng, True, parts,
+                                                y_spk_pair)
+
+            (value, new_state), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, new_opt = optimizer.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), new_state,
+                    new_opt, value)
+        n_batch_args = 5
+    elif extra_labels:
         def step(params, state, opt_state, rng, ids1, ids2, y_pair,
                  y_spk_pair, pair_w):
             x1, x2, y, w = align(ids1, ids2, y_pair, pair_w)
@@ -801,7 +873,17 @@ def make_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
                     new_opt, value)
         n_batch_args = 4
 
-    if extra_labels:
+    if extra_labels and use_matrix_loss(loss, True, matrix_loss):
+        def eval_step(params, state, ids1, ids2, y_pair, y_spk_pair,
+                      pair_w):
+            parts = _bank_align_matrix(bank, ids1, ids2, y_pair, pair_w,
+                                       align_different_words, mesh,
+                                       max_frames=max_frames)
+            value, _ = _bank_matrix_value_multi(network, loss, params,
+                                                state, None, False,
+                                                parts, y_spk_pair)
+            return value
+    elif extra_labels:
         def eval_step(params, state, ids1, ids2, y_pair, y_spk_pair,
                       pair_w):
             x1, x2, y, w = align(ids1, ids2, y_pair, pair_w)

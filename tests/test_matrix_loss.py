@@ -204,3 +204,72 @@ def test_matrix_chained_steps_match_unchained():
                     jax.tree_util.tree_leaves(pK)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+def _multi_net(d=20):
+    from abnet3_tpu.models import SiameseMultitaskNetwork
+    return SiameseMultitaskNetwork(
+        input_dim=d, num_hidden_layers_shared=1, num_hidden_layers_spk=0,
+        num_hidden_layers_phn=0, hidden_dim=24, output_dim=8,
+        p_dropout=0.0, activation_layer="sigmoid")
+
+
+def _multi_loss():
+    from abnet3_tpu.loss import weighted_loss_multi
+    return weighted_loss_multi(weight=0.4, loss_spk=coscos2(),
+                               loss_phn=cosmargin(margin=0.3))
+
+
+def test_multitask_split_step_matrix_matches_gather():
+    """Multitask matrix mode: per-head cosine matrices under the same
+    alignment mask give the gather path's loss exactly."""
+    rng = np.random.RandomState(13)
+    bank = _bank(seed=13)
+    mesh = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+    net = _multi_net()
+    params, state = net.init_params(jax.random.PRNGKey(0))
+    loss = _multi_loss()
+    assert use_matrix_loss(loss, extra_labels=True)
+    opt = optax.sgd(1e-2)
+    yspk_s = jnp.asarray(rng.choice([1.0, -1.0], 8), jnp.float32)
+    yspk_d = jnp.asarray(rng.choice([1.0, -1.0], 8), jnp.float32)
+    args = _split_args(bank) + (yspk_s, yspk_d)
+    vals = {}
+    for mode in (False, True):
+        step, evalf = make_split_pair_train_step(
+            net, loss, opt, bank, mesh, extra_labels=True,
+            matrix_loss=mode)
+        o = opt.init(params)
+        _, _, _, v = step(params, state, o, jax.random.PRNGKey(1), *args)
+        vals[mode] = (float(v), float(evalf(params, state, *args)))
+    assert vals[False][0] == pytest.approx(vals[True][0], abs=1e-6)
+    assert vals[False][1] == pytest.approx(vals[True][1], abs=1e-6)
+
+
+def test_multitask_pair_step_matrix_matches_gather():
+    rng = np.random.RandomState(14)
+    bank = _bank(seed=14)
+    mesh = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+    net = _multi_net()
+    params, state = net.init_params(jax.random.PRNGKey(0))
+    loss = _multi_loss()
+    opt = optax.sgd(1e-2)
+    B = 12
+    ids1 = bank.ids(list(range(0, B)))
+    ids2 = bank.ids(list(range(B, 2 * B)))
+    y_pair = jnp.asarray([1, -1] * (B // 2), jnp.float32)
+    y_spk = jnp.asarray(rng.choice([1.0, -1.0], B), jnp.float32)
+    pair_w = jnp.ones(B).at[0].set(0.0)
+    vals = {}
+    for mode in (False, True):
+        step, evalf = make_pair_train_step(
+            net, loss, opt, bank, mesh, extra_labels=True,
+            matrix_loss=mode)
+        o = opt.init(params)
+        _, _, _, v = step(params, state, o, jax.random.PRNGKey(1),
+                          ids1, ids2, y_pair, y_spk, pair_w)
+        vals[mode] = (float(v),
+                      float(evalf(params, state, ids1, ids2, y_pair,
+                                  y_spk, pair_w)))
+    assert vals[False][0] == pytest.approx(vals[True][0], abs=1e-6)
+    assert vals[False][1] == pytest.approx(vals[True][1], abs=1e-6)
