@@ -51,7 +51,7 @@ def make_pair_distance_fn(bank, distance: str = "dtw_cos",
     TokenBank. One compiled computation per bank/bucket."""
     import jax
     import jax.numpy as jnp
-    from abnet3_tpu.ops.dtw import (dtw_align_from_dist,
+    from abnet3_tpu.ops.dtw import (dtw_path_from_dist,
                                     pairwise_angular_distance)
 
     assert distance in ("dtw_cos", "mean_cos")
@@ -68,15 +68,13 @@ def make_pair_distance_fn(bank, distance: str = "dtw_cos",
             return pairwise_angular_distance(
                 v1[:, None, :], v2[:, None, :])[:, 0, 0]
         dist = pairwise_angular_distance(f1, f2)
-        p1, p2, plen = dtw_align_from_dist(dist, n1, n2, mesh=mesh)
-        L = p1.shape[1]
-        d_rows = jnp.take_along_axis(dist, p1[:, :, None], axis=1)
-        d_path = jnp.take_along_axis(d_rows, p2[:, :, None],
-                                     axis=2)[..., 0]
-        mask = (jnp.arange(L)[None, :] < plen[:, None]).astype(
-            jnp.float32)
-        return jnp.sum(d_path * mask, axis=1) / jnp.maximum(
-            plen.astype(jnp.float32), 1.0)
+        # mean distance along the optimal path = sum(dist * A) / sum(A)
+        # with A the on-path mask — no backtrace walk, no gathers (the
+        # same matrix-alignment contract the train steps use)
+        A = dtw_path_from_dist(dist, n1, n2, mesh=mesh)
+        plen = jnp.sum(A, axis=(1, 2))
+        return (jnp.sum(dist * A, axis=(1, 2))
+                / jnp.maximum(plen, 1.0))
 
     return jax.jit(impl)
 

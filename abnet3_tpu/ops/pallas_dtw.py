@@ -103,9 +103,8 @@ def _dtw_kernel(dist_ref, out_ref):
         c = dist_ref[:, i, :]
         m = jnp.minimum(prev, _shift_right(prev, 1, _BIG))
         x0 = prev[:, :1] + c[:, :1]
-        # S[j] = sum_{t=1..j} c[t]; S[0] = 0
-        S = _prefix_sum(jnp.concatenate(
-            [jnp.zeros((B, 1), jnp.float32), c[:, 1:]], axis=1))
+        # S[j] = sum_{t=1..j} c[t] = inclusive prefix sum - c[0]
+        S = _prefix_sum(c) - c[:, :1]
         b = m - _shift_right(S, 1, -_BIG)
         x = S + jnp.minimum(_prefix_min(b), x0)
         out_ref[:, i, :] = x
@@ -133,8 +132,8 @@ def _dtw_move_kernel(dist_ref, move_ref):
         diag = _shift_right(prev, 1, _BIG)
         m = jnp.minimum(prev, diag)
         x0 = prev[:, :1] + c[:, :1]
-        S = _prefix_sum(jnp.concatenate(
-            [jnp.zeros((B, 1), jnp.float32), c[:, 1:]], axis=1))
+        # S[j] = sum_{t=1..j} c[t] = inclusive prefix sum - c[0]
+        S = _prefix_sum(c) - c[:, :1]
         b = m - _shift_right(S, 1, -_BIG)
         x = S + jnp.minimum(_prefix_min(b), x0)
         left = _shift_right(x, 1, _BIG)
@@ -185,8 +184,8 @@ def _dtw_path_kernel(dist_ref, n1_ref, n2_ref, out_ref, mv_ref):
         diag = _shift_right(prev, 1, _BIG)
         m = jnp.minimum(prev, diag)
         x0 = prev[:, :1] + c[:, :1]
-        S = _prefix_sum(jnp.concatenate(
-            [jnp.zeros((B, 1), jnp.float32), c[:, 1:]], axis=1))
+        # S[j] = sum_{t=1..j} c[t] = inclusive prefix sum - c[0]
+        S = _prefix_sum(c) - c[:, :1]
         b = m - _shift_right(S, 1, -_BIG)
         x = S + jnp.minimum(_prefix_min(b), x0)
         left = _shift_right(x, 1, _BIG)
