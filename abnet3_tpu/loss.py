@@ -30,6 +30,21 @@ def cosine_similarity(x1: jnp.ndarray, x2: jnp.ndarray,
     return jnp.sum(x1 * x2, axis=1) / denom
 
 
+def normalize_rows(e: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """Normalize the last axis with the same eps clamp as
+    :func:`cosine_similarity`, so dot products of normalized rows equal
+    the row-wise cosine."""
+    n = jnp.sqrt(jnp.sum(e * e, axis=-1, keepdims=True))
+    return e / jnp.maximum(n, eps)
+
+
+def _pair_cos_matrix(e1: jnp.ndarray, e2: jnp.ndarray) -> jnp.ndarray:
+    """(B, T1, E) x (B, T2, E) -> (B, T1, T2) cosine matrix on the MXU."""
+    return jnp.einsum("bie,bje->bij", normalize_rows(e1),
+                      normalize_rows(e2),
+                      preferred_element_type=jnp.float32)
+
+
 def _reduce(values: jnp.ndarray, weights: Optional[jnp.ndarray],
             avg: bool) -> jnp.ndarray:
     if weights is not None:
@@ -97,13 +112,36 @@ def kl_loss_fn(input1, input2, y, margin=1.0, weights=None, avg=True,
 class LossBuilder:
     """Generic loss wrapper (reference loss.py:15-34)."""
 
-    #: True when the loss is elementwise in the cosine similarity, so the
-    #: matrix-loss train path can evaluate it on a cosine matrix weighted
-    #: by the DTW alignment mask (parallel/mesh.py).
+    #: True when the loss is elementwise in the cosine similarity
+    #: (coscos2 / cosmargin).
     supports_cos = False
+
+    #: True when the loss decomposes into per-cell statistics computable
+    #: for all (i, j) frame pairs at once via batched matmuls, so the
+    #: matrix-loss train path can weight them by the DTW alignment mask
+    #: (parallel/mesh.py use_matrix_loss). The three hooks below define
+    #: the contract.
+    supports_cells = False
 
     def __init__(self, *args, **kwargs):
         pass
+
+    def pair_cells(self, e1, e2):
+        """(B, T1, E) x (B, T2, E) -> per-cell statistics shaped
+        (*stat, B, T1, T2) (MXU matmuls)."""
+        raise NotImplementedError(
+            "Loss has no cell decomposition:", self.__class__.__name__)
+
+    def rowwise_cells(self, x1, x2):
+        """(N, E) x (N, E) aligned rows -> statistics (*stat, N)."""
+        raise NotImplementedError(
+            "Loss has no cell decomposition:", self.__class__.__name__)
+
+    def from_cells(self, cells, y, weights=None):
+        """Reduce per-cell statistics under labels y and weights (same
+        reduction semantics as __call__ on gathered rows)."""
+        raise NotImplementedError(
+            "Loss has no cell decomposition:", self.__class__.__name__)
 
     def from_cos(self, c, y, weights=None):
         raise NotImplementedError(
@@ -123,9 +161,24 @@ class LossBuilder:
                 "class_name": self.__class__.__name__}
 
 
-class coscos2(LossBuilder):
-    supports_cos = True
+class _CosCellsMixin:
+    """Cell hooks shared by the cos-elementwise losses: the per-cell
+    statistic is the cosine itself."""
 
+    supports_cos = True
+    supports_cells = True
+
+    def pair_cells(self, e1, e2):
+        return _pair_cos_matrix(e1, e2)
+
+    def rowwise_cells(self, x1, x2):
+        return cosine_similarity(x1, x2)
+
+    def from_cells(self, cells, y, weights=None):
+        return self.from_cos(cells, y, weights=weights)
+
+
+class coscos2(_CosCellsMixin, LossBuilder):
     def __init__(self, avg=True, *args, **kwargs):
         super().__init__(*args, **kwargs)
         self.avg = avg
@@ -138,9 +191,7 @@ class coscos2(LossBuilder):
         return coscos2_from_cos(c, y, weights=weights, avg=self.avg)
 
 
-class cosmargin(LossBuilder):
-    supports_cos = True
-
+class cosmargin(_CosCellsMixin, LossBuilder):
     def __init__(self, avg=True, margin=0.5, *args, **kwargs):
         super().__init__(*args, **kwargs)
         assert 0 <= margin <= 1
@@ -158,14 +209,52 @@ class cosmargin(LossBuilder):
 
 
 class KLLoss(LossBuilder):
-    def __init__(self, margin=1, avg=True, *args, **kwargs):
+    """Symmetric contrastive KL. Cell decomposition: with distributions
+    P (B, T1, E), Q (B, T2, E) and H(p) = sum_d p_d log(p_d + eps),
+
+        kld1[i, j] = H(p_i) - P_i . log(Q_j + eps)   (one matmul)
+        kld2[i, j] = H(q_j) - log(P_i + eps) . Q_j   (one matmul)
+
+    so the KL-on-softmax recipe trains matrix-mode like the cosine
+    losses — the alignment never materializes as indices."""
+
+    supports_cells = True
+
+    def __init__(self, margin=1, avg=True, eps=1e-8, *args, **kwargs):
         super().__init__(*args, **kwargs)
         self.margin = margin
         self.avg = avg
+        self.eps = eps
 
     def __call__(self, input1, input2, y, weights=None):
         return kl_loss_fn(input1, input2, y, margin=self.margin,
-                          weights=weights, avg=self.avg)
+                          weights=weights, avg=self.avg, eps=self.eps)
+
+    def pair_cells(self, e1, e2):
+        l1 = jnp.log(e1 + self.eps)
+        l2 = jnp.log(e2 + self.eps)
+        h1 = jnp.sum(e1 * l1, axis=-1)                       # (B, T1)
+        h2 = jnp.sum(e2 * l2, axis=-1)                       # (B, T2)
+        x12 = jnp.einsum("bie,bje->bij", e1, l2,
+                         preferred_element_type=jnp.float32)
+        x21 = jnp.einsum("bie,bje->bij", l1, e2,
+                         preferred_element_type=jnp.float32)
+        return jnp.stack([h1[:, :, None] - x12,
+                          h2[:, None, :] - x21])
+
+    def rowwise_cells(self, x1, x2):
+        l1 = jnp.log(x1 + self.eps)
+        l2 = jnp.log(x2 + self.eps)
+        kld1 = jnp.sum(x1 * (l1 - l2), axis=-1)
+        kld2 = -jnp.sum(x2 * (l1 - l2), axis=-1)
+        return jnp.stack([kld1, kld2])
+
+    def from_cells(self, cells, y, weights=None):
+        kld1, kld2 = cells[0], cells[1]
+        h1 = jnp.where(y > 0, kld1, jnp.maximum(self.margin - kld1, 0.0))
+        h2 = jnp.where(y > 0, kld2, jnp.maximum(self.margin - kld2, 0.0))
+        return (_reduce(h1, weights, self.avg)
+                + _reduce(h2, weights, self.avg))
 
 
 class weighted_loss_multi(LossBuilder):
@@ -189,19 +278,27 @@ class weighted_loss_multi(LossBuilder):
         return self.weight * out_spk + (1.0 - self.weight) * out_phn
 
     @property
-    def supports_multi_cos(self):
-        """True when both sub-losses are elementwise in cos, so the
-        multitask matrix-loss path can reduce per-head cosine matrices
-        (parallel/mesh.py)."""
-        return (getattr(self.loss_spk, "supports_cos", False)
-                and getattr(self.loss_phn, "supports_cos", False))
+    def supports_multi_cells(self):
+        """True when both sub-losses have a cell decomposition, so the
+        multitask matrix-loss path can reduce per-head cell matrices
+        under one alignment mask (parallel/mesh.py)."""
+        return (getattr(self.loss_spk, "supports_cells", False)
+                and getattr(self.loss_phn, "supports_cells", False))
 
-    def from_cos_multi(self, c_spk, c_phn, y_spk, y_phn, weights=None):
-        """Multitask loss on precomputed per-head cosine values (same
+    # legacy alias (round-2 early name)
+    supports_multi_cos = supports_multi_cells
+
+    def from_cells_multi(self, cells_spk, cells_phn, y_spk, y_phn,
+                         weights=None):
+        """Multitask loss on precomputed per-head cell statistics (same
         weighting as __call__)."""
-        out_spk = self.loss_spk.from_cos(c_spk, y_spk, weights=weights)
-        out_phn = self.loss_phn.from_cos(c_phn, y_phn, weights=weights)
+        out_spk = self.loss_spk.from_cells(cells_spk, y_spk,
+                                           weights=weights)
+        out_phn = self.loss_phn.from_cells(cells_phn, y_phn,
+                                           weights=weights)
         return self.weight * out_spk + (1.0 - self.weight) * out_phn
+
+    from_cos_multi = from_cells_multi
 
     def whoami(self):
         return {"params": {"weight": self.weight, "avg": self.avg,

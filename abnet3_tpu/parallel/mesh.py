@@ -93,10 +93,11 @@ def use_matrix_loss(loss, extra_labels: bool = False,
     regularization moves from per-visit masks to per-frame masks (same
     expectation, tested equivalent at p_dropout=0).
 
-    Requires losses that are elementwise in cos (coscos2/cosmargin) —
-    for multitask (extra_labels), a weighted_loss_multi whose BOTH
-    sub-losses are (the per-head cosine matrices then reduce under the
-    same alignment mask). KL recipes keep the gather path.
+    Requires a loss with a per-cell decomposition (``supports_cells``:
+    coscos2/cosmargin via the cosine matrix, KLLoss via two
+    entropy-minus-matmul matrices) — for multitask (extra_labels), a
+    weighted_loss_multi whose BOTH sub-losses have one (the per-head
+    cell matrices then reduce under the same alignment mask).
     ``override`` (factory arg) wins, then ABNET3_MATRIX_LOSS=0/1, then
     auto (on whenever supported).
     """
@@ -106,16 +107,8 @@ def use_matrix_loss(loss, extra_labels: bool = False,
     if flag in ("0", "false", "no", "off"):
         return False
     if extra_labels:
-        return getattr(loss, "supports_multi_cos", False)
-    return getattr(loss, "supports_cos", False)
-
-
-def _normalize_rows(e: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
-    """Row-normalize embeddings with the same eps clamp as
-    loss.cosine_similarity, so dot products of normalized rows equal the
-    row-wise cosine the gather path computes."""
-    n = jnp.sqrt(jnp.sum(e * e, axis=-1, keepdims=True))
-    return e / jnp.maximum(n, eps)
+        return getattr(loss, "supports_multi_cells", False)
+    return getattr(loss, "supports_cells", False)
 
 
 def _diff_path_mask(p1d, p2d, plen_d, wd, T1: int, T2: int) -> jnp.ndarray:
@@ -199,7 +192,7 @@ def _matrix_same_diff_parts(f1s, f2s, n1s, n2s, ws,
     else:
         # truncate mode: the diff alignment is the diagonal prefix up to
         # min(n1, n2) — keep it as a (B, Tmin) weight row and compute
-        # the diff cosines ROW-WISE in _matrix_cos_terms instead of
+        # the diff cells ROW-WISE in _matrix_cell_terms instead of
         # paying a full (B, T, T) einsum for a diagonal
         Tm = min(T1d, T2d)
         minlen = jnp.minimum(n1d, n2d)
@@ -215,11 +208,13 @@ def _matrix_same_diff_parts(f1s, f2s, n1s, n2s, ws,
     return frames, w_frames, A_s, (A_d, T1d, T2d)
 
 
-def _matrix_cos_terms(en, A_s, A_d_parts, y_s=None, y_d=None):
-    """Flattened (cos, y, weights) loss terms from normalized embeddings
-    of the unique-frame batch laid out [f1s; f2s; f1d; f2d]. The diff
-    term is a full mask over a (B, T, T) einsum (stretch mode) or a
-    diagonal weight row over row-wise cosines (truncate mode).
+def _matrix_cell_terms(cell_loss, e, A_s, A_d_parts, y_s=None, y_d=None):
+    """Flattened (cells, y, weights) loss terms from embeddings of the
+    unique-frame batch laid out [f1s; f2s; f1d; f2d], using the loss's
+    per-cell decomposition (loss.pair_cells/rowwise_cells: the cosine
+    matrix for coscos2/cosmargin, the two KL matrices for KLLoss). The
+    diff term is a full mask over (B, T, T) cells (stretch mode) or a
+    diagonal weight row over row-wise cells (truncate mode).
 
     y_s / y_d: per-pair labels broadcast over each pair's cells (the
     multitask speaker stream); default +1 for same pairs, -1 for diff
@@ -229,34 +224,37 @@ def _matrix_cos_terms(en, A_s, A_d_parts, y_s=None, y_d=None):
     Bs, T1s, T2s = A_s.shape
     Bd = A_d.shape[0]
     i = 0
-    e1s = en[i:i + Bs * T1s].reshape(Bs, T1s, -1); i += Bs * T1s
-    e2s = en[i:i + Bs * T2s].reshape(Bs, T2s, -1); i += Bs * T2s
-    e1d = en[i:i + Bd * T1d].reshape(Bd, T1d, -1); i += Bd * T1d
-    e2d = en[i:i + Bd * T2d].reshape(Bd, T2d, -1); i += Bd * T2d
-    c_s = jnp.einsum("bie,bje->bij", e1s, e2s,
-                     preferred_element_type=jnp.float32)
+    e1s = e[i:i + Bs * T1s].reshape(Bs, T1s, -1); i += Bs * T1s
+    e2s = e[i:i + Bs * T2s].reshape(Bs, T2s, -1); i += Bs * T2s
+    e1d = e[i:i + Bd * T1d].reshape(Bd, T1d, -1); i += Bd * T1d
+    e2d = e[i:i + Bd * T2d].reshape(Bd, T2d, -1); i += Bd * T2d
+    c_s = cell_loss.pair_cells(e1s, e2s)        # (*stat, Bs, T1s, T2s)
+    stat = c_s.shape[:-3]
     if A_d.ndim == 3:  # stretch mode: full mask
-        c_d = jnp.einsum("bie,bje->bij", e1d, e2d,
-                         preferred_element_type=jnp.float32)
+        c_d = cell_loss.pair_cells(e1d, e2d)
+        c_d_flat = c_d.reshape(stat + (-1,))
     else:              # truncate mode: diagonal only
         Tm = A_d.shape[1]
-        c_d = jnp.sum(e1d[:, :Tm] * e2d[:, :Tm], axis=-1)
+        d = e1d.shape[-1]
+        c_d = cell_loss.rowwise_cells(e1d[:, :Tm].reshape(-1, d),
+                                      e2d[:, :Tm].reshape(-1, d))
+        c_d_flat = c_d.reshape(stat + (-1,))
+    n_s = Bs * T1s * T2s
+    n_d = c_d_flat.shape[-1]
     if y_s is None:
-        ys_cells = jnp.ones(c_s.size)
+        ys_cells = jnp.ones(n_s)
     else:
         ys_cells = jnp.broadcast_to(
-            y_s.reshape((Bs,) + (1,) * (c_s.ndim - 1)),
-            c_s.shape).reshape(-1)
+            y_s[:, None, None], (Bs, T1s, T2s)).reshape(-1)
     if y_d is None:
-        yd_cells = -jnp.ones(c_d.size)
+        yd_cells = -jnp.ones(n_d)
     else:
         yd_cells = jnp.broadcast_to(
-            y_d.reshape((Bd,) + (1,) * (c_d.ndim - 1)),
-            c_d.shape).reshape(-1)
-    c = jnp.concatenate([c_s.reshape(-1), c_d.reshape(-1)])
+            y_d[:, None], (Bd, n_d // Bd)).reshape(-1)
+    c = jnp.concatenate([c_s.reshape(stat + (n_s,)), c_d_flat], axis=-1)
     y = jnp.concatenate([ys_cells, yd_cells])
     w = jnp.concatenate([A_s.reshape(-1), A_d.reshape(-1)])
-    return c, y, w, en[i:]
+    return c, y, w, e[i:]
 
 
 def make_indexed_train_step(network, loss, optimizer, bank, mesh: Mesh):
@@ -357,13 +355,12 @@ def _bank_align_matrix(bank, ids1, ids2, y_pair, pair_w,
     return frames, w_frames, A, y_cells
 
 
-def _head_cos_matrix(e, B, T1, T2):
-    """Normalized-embedding cosine matrix of one head's [e1; e2] rows."""
-    en = _normalize_rows(e)
-    e1 = en[:B * T1].reshape(B, T1, -1)
-    e2 = en[B * T1:].reshape(B, T2, -1)
-    return jnp.einsum("bie,bje->bij", e1, e2,
-                      preferred_element_type=jnp.float32)
+def _head_cells(cell_loss, e, B, T1, T2):
+    """Per-cell statistics of one head's [e1; e2] rows via the loss's
+    decomposition (loss.pair_cells)."""
+    e1 = e[:B * T1].reshape(B, T1, -1)
+    e2 = e[B * T1:].reshape(B, T2, -1)
+    return cell_loss.pair_cells(e1, e2)
 
 
 def _bank_matrix_value(network, loss, params, state, rng, train, parts):
@@ -373,8 +370,8 @@ def _bank_matrix_value(network, loss, params, state, rng, train, parts):
     e, new_state = network.forward_once(params, state, frames, rng=rng,
                                         train=train, weights=w_frames)
     B, T1, T2 = A.shape
-    c = _head_cos_matrix(e, B, T1, T2)
-    return loss.from_cos(c, y_cells, weights=A), new_state
+    cells = _head_cells(loss, e, B, T1, T2)
+    return loss.from_cells(cells, y_cells, weights=A), new_state
 
 
 def _bank_matrix_value_multi(network, loss, params, state, rng, train,
@@ -386,11 +383,11 @@ def _bank_matrix_value_multi(network, loss, params, state, rng, train,
     spk, phn, new_state = network.forward_once(
         params, state, frames, rng=rng, train=train, weights=w_frames)
     B, T1, T2 = A.shape
-    c_spk = _head_cos_matrix(spk, B, T1, T2)
-    c_phn = _head_cos_matrix(phn, B, T1, T2)
+    c_spk = _head_cells(loss.loss_spk, spk, B, T1, T2)
+    c_phn = _head_cells(loss.loss_phn, phn, B, T1, T2)
     y_spk_cells = jnp.broadcast_to(y_spk_pair[:, None, None], A.shape)
-    return loss.from_cos_multi(c_spk, c_phn, y_spk_cells, y_cells,
-                               weights=A), new_state
+    return loss.from_cells_multi(c_spk, c_phn, y_spk_cells, y_cells,
+                                 weights=A), new_state
 
 
 def _split_bank_align(bank, ids1s, ids2s, ws, ids1d, ids2d, wd,
@@ -530,24 +527,23 @@ def make_split_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
         if extra_labels:
             spk, phn, new_state = network.forward_once(
                 p, state, frames, rng=rng, train=train, weights=w_frames)
-            c_spk, y_spk, w, _ = _matrix_cos_terms(
-                _normalize_rows(spk), A_s, A_d_parts,
+            c_spk, y_spk, w, _ = _matrix_cell_terms(
+                loss.loss_spk, spk, A_s, A_d_parts,
                 y_s=yspk_s, y_d=yspk_d)
-            c_phn, y_phn, _, _ = _matrix_cos_terms(
-                _normalize_rows(phn), A_s, A_d_parts)
-            return loss.from_cos_multi(c_spk, c_phn, y_spk, y_phn,
-                                       weights=w), new_state
+            c_phn, y_phn, _, _ = _matrix_cell_terms(
+                loss.loss_phn, phn, A_s, A_d_parts)
+            return loss.from_cells_multi(c_spk, c_phn, y_spk, y_phn,
+                                         weights=w), new_state
         e, new_state = network.forward_once(p, state, frames, rng=rng,
                                             train=train, weights=w_frames)
-        en = _normalize_rows(e)
-        c, y, w, rest = _matrix_cos_terms(en, A_s, A_d_parts)
+        c, y, w, rest = _matrix_cell_terms(loss, e, A_s, A_d_parts)
         if tcl_terms is not None:
             ty, wt, n_tcl = tcl_terms
-            ct = jnp.sum(rest[:n_tcl] * rest[n_tcl:], axis=1)
-            c = jnp.concatenate([c, ct])
+            ct = loss.rowwise_cells(rest[:n_tcl], rest[n_tcl:])
+            c = jnp.concatenate([c, ct], axis=-1)
             y = jnp.concatenate([y, ty])
             w = jnp.concatenate([w, wt])
-        return loss.from_cos(c, y, weights=w), new_state
+        return loss.from_cells(c, y, weights=w), new_state
 
     if matrix:
         def one_step(params, state, opt_state, rng, args):
@@ -961,9 +957,8 @@ def make_fused_train_step(network, loss, optimizer, mesh: Mesh,
                 e, new_state = network.forward_once(
                     p, state, frames, rng=rng, train=True,
                     weights=w_frames)
-                c, y, w, _ = _matrix_cos_terms(_normalize_rows(e),
-                                               A_s, A_d)
-                return loss.from_cos(c, y, weights=w), new_state
+                c, y, w, _ = _matrix_cell_terms(loss, e, A_s, A_d)
+                return loss.from_cells(c, y, weights=w), new_state
         else:
             x1, x2, y, w = _align_and_flatten(network, loss, f1s, f2s,
                                               n1s, n2s, f1d, f2d, n1d,

@@ -47,10 +47,10 @@ def _split_args(bank, Bs=8, Bd=8):
 def test_use_matrix_loss_dispatch(monkeypatch):
     assert use_matrix_loss(coscos2())
     assert use_matrix_loss(cosmargin())
-    assert not use_matrix_loss(KLLoss())
+    assert use_matrix_loss(KLLoss())  # KL has a cell decomposition too
     assert not use_matrix_loss(coscos2(), extra_labels=True)
     assert not use_matrix_loss(coscos2(), override=False)
-    assert use_matrix_loss(KLLoss(), override=True)  # override wins
+    assert not use_matrix_loss(KLLoss(), override=False)  # override wins
     monkeypatch.setenv("ABNET3_MATRIX_LOSS", "0")
     assert not use_matrix_loss(coscos2())
 
@@ -273,3 +273,29 @@ def test_multitask_pair_step_matrix_matches_gather():
                                   y_spk, pair_w)))
     assert vals[False][0] == pytest.approx(vals[True][0], abs=1e-6)
     assert vals[False][1] == pytest.approx(vals[True][1], abs=1e-6)
+
+
+def test_kl_split_step_matrix_matches_gather():
+    """KLLoss trains matrix-mode: two entropy-minus-matmul cell matrices
+    under the alignment mask equal the gathered-row KL (softmax-output
+    net, the reference's KL recipe)."""
+    bank = _bank(seed=21)
+    mesh = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+    net = SiameseNetwork(input_dim=20, num_hidden_layers=1, hidden_dim=24,
+                         output_dim=8, p_dropout=0.0,
+                         activation_layer="softmax")
+    params, state = net.init_params(jax.random.PRNGKey(0))
+    loss = KLLoss(margin=1.0)
+    assert use_matrix_loss(loss)
+    opt = optax.sgd(1e-2)
+    args = _split_args(bank)
+    vals = {}
+    for mode in (False, True):
+        step, evalf = make_split_pair_train_step(
+            net, loss, opt, bank, mesh, matrix_loss=mode)
+        o = opt.init(params)
+        _, _, _, v = step(params, state, o, jax.random.PRNGKey(1), *args)
+        vals[mode] = (float(v), float(evalf(params, state, *args)))
+    # pair_cells computes log p - log q instead of log(p/q): ~1e-6 fp
+    assert vals[False][0] == pytest.approx(vals[True][0], abs=2e-5)
+    assert vals[False][1] == pytest.approx(vals[True][1], abs=2e-5)
