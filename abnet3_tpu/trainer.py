@@ -92,7 +92,7 @@ class TrainerBuilder:
                  optimizer_type="sgd", lr=0.001, momentum=0.9, cuda=True,
                  seed=0, dataloader=None, log_dir=None,
                  feature_generator=None, checkpoints=False,
-                 prefetch=2, mesh=None):
+                 prefetch=2, mesh=None, matrix_loss=None):
         self.network = network
         self.loss = loss
         self.num_epochs = num_epochs
@@ -108,6 +108,9 @@ class TrainerBuilder:
         self.checkpoints = checkpoints
         self.prefetch = prefetch
         self.optimizer_type = optimizer_type
+        # matrix_loss: force the matrix-loss alignment path on/off for
+        # the bank step factories (None = auto, parallel.use_matrix_loss)
+        self.matrix_loss = matrix_loss
         # mesh: a jax.sharding.Mesh, or a YAML-friendly dict
         # {"data": N, "model": M} built over the available devices
         if isinstance(mesh, dict):
@@ -390,7 +393,7 @@ class TrainerSiamese(TrainerBuilder):
                 align_different_words=getattr(
                     self.dataloader, "align_different_words", False),
                 extra_labels=self._BANK_EXTRA_LABELS,
-                max_frames=bucket)
+                max_frames=bucket, matrix_loss=self.matrix_loss)
             self._step_fns[key] = (train, evalf)
         return self._step_fns[key]
 
@@ -406,7 +409,8 @@ class TrainerSiamese(TrainerBuilder):
                 extra_labels=self._BANK_EXTRA_LABELS,
                 max_frames=bucket, steps_per_call=steps_per_call,
                 frame_bank=getattr(self.dataloader, "frame_bank", None),
-                tcl=getattr(self.dataloader, "tcl", 0.0))
+                tcl=getattr(self.dataloader, "tcl", 0.0),
+                matrix_loss=self.matrix_loss)
         return self._step_fns[key]
 
     @property
@@ -551,9 +555,11 @@ class TrainerSiamese(TrainerBuilder):
             self._step_fns[key] = (
                 make_sampled_train_step(self.network, self.loss,
                                         self.optimizer, bank, sampler,
-                                        mesh, steps_per_call=k),
+                                        mesh, steps_per_call=k,
+                                        matrix_loss=self.matrix_loss),
                 make_sampled_eval_step(self.network, self.loss, bank,
-                                       sampler, mesh))
+                                       sampler, mesh,
+                                       matrix_loss=self.matrix_loss))
         return self._step_fns[key]
 
     def _optimize_model_sampled(self, do_training):

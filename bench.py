@@ -121,8 +121,12 @@ def bench_ours(batch, n_calls=25, steps_per_call=8):
     """The TPU-native training recipe exactly as TrainerSiamese runs it:
     the token corpus is uploaded to HBM once (TokenBank); each dispatch
     streams only int32 token ids for steps_per_call batches and lax.scans
-    that many optimizer steps (gather + DTW align + fwd/bwd + update) in
-    one XLA computation, amortizing the per-dispatch latency."""
+    that many optimizer steps in one XLA computation, amortizing the
+    per-dispatch latency. Alignment runs matrix-mode (the default): the
+    fused fwd+reverse Pallas kernel emits the DTW path MASK, each frame
+    embeds once, and the loss reduces the mask-weighted embedding cosine
+    matrix — no backtrace walk, no frame gathers (parallel/mesh.py
+    use_matrix_loss)."""
     import jax
     import jax.numpy as jnp
     import optax
