@@ -127,3 +127,24 @@ def test_pallas_path_sharded_matches_single_device():
                  make_mesh(n_data=4, n_model=2)):
         out = dtw_path_pallas_sharded(dist, n1, n2, mesh, interpret=True)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_pallas_path_tie_breaking_matches_xla():
+    """Quantized distances force frequent DP ties; the kernels must make
+    exactly the XLA path's argmin choices (diag > up > left preference)
+    so masks stay bit-identical."""
+    from abnet3_tpu.ops.dtw import (moves_from_costs, onpath_from_moves)
+    from abnet3_tpu.ops.pallas_dtw import dtw_path_pallas, dtw_moves_pallas
+    rng = np.random.RandomState(9)
+    B, T1, T2 = 16, 24, 24
+    dist = jnp.asarray(
+        rng.choice([0.0, 0.5, 1.0], (B, T1, T2)).astype(np.float32))
+    n1 = jnp.asarray(rng.randint(1, T1 + 1, B), jnp.int32)
+    n2 = jnp.asarray(rng.randint(1, T2 + 1, B), jnp.int32)
+    mv_ref = moves_from_costs(dtw_costs(dist))
+    np.testing.assert_array_equal(
+        np.asarray(dtw_moves_pallas(dist, interpret=True)),
+        np.asarray(mv_ref))
+    np.testing.assert_array_equal(
+        np.asarray(dtw_path_pallas(dist, n1, n2, interpret=True)),
+        np.asarray(onpath_from_moves(mv_ref, n1, n2)))
