@@ -250,7 +250,7 @@ def _matrix_cell_terms(cell_loss, e, A_s, A_d_parts, y_s=None, y_d=None):
         yd_cells = -jnp.ones(n_d)
     else:
         yd_cells = jnp.broadcast_to(
-            y_d[:, None], (Bd, n_d // Bd)).reshape(-1)
+            y_d[:, None], (Bd, n_d // max(Bd, 1))).reshape(-1)
     c = jnp.concatenate([c_s.reshape(stat + (n_s,)), c_d_flat], axis=-1)
     y = jnp.concatenate([ys_cells, yd_cells])
     w = jnp.concatenate([A_s.reshape(-1), A_d.reshape(-1)])

@@ -37,29 +37,36 @@ TOKENS_PER_CLASS = 12
 PROTO_LEN = 30
 
 
-def make_corpus(workdir, seed=0):
+def make_corpus(workdir, seed=0, d=None, n_classes=None, n_spk=None,
+                tokens_per_class=None, proto_len=None):
+    d = D if d is None else d
+    n_classes = N_CLASSES if n_classes is None else n_classes
+    n_spk = N_SPK if n_spk is None else n_spk
+    tokens_per_class = (TOKENS_PER_CLASS if tokens_per_class is None
+                        else tokens_per_class)
+    proto_len = PROTO_LEN if proto_len is None else proto_len
     rng = np.random.RandomState(seed)
-    protos = [np.cumsum(rng.randn(PROTO_LEN, D), axis=0)
-              for _ in range(N_CLASSES)]
-    spk_offsets = [rng.randn(D) * 6.0 for _ in range(N_SPK)]
-    files = {f"spk{s}_f": [] for s in range(N_SPK)}
+    protos = [np.cumsum(rng.randn(proto_len, d), axis=0)
+              for _ in range(n_classes)]
+    spk_offsets = [rng.randn(d) * 6.0 for _ in range(n_spk)]
+    files = {f"spk{s}_f": [] for s in range(n_spk)}
     cursor = {f: 0 for f in files}
     classes_lines, tok_meta = [], []
-    for c in range(N_CLASSES):
+    for c in range(n_classes):
         classes_lines.append(f"{c} word{c}")
-        for _ in range(TOKENS_PER_CLASS):
-            s = rng.randint(N_SPK)
+        for _ in range(tokens_per_class):
+            s = rng.randint(n_spk)
             fname = f"spk{s}_f"
-            L = rng.randint(PROTO_LEN - 8, PROTO_LEN + 9)
-            idx = np.linspace(0, PROTO_LEN - 1, L)
-            warped = np.stack([np.interp(idx, np.arange(PROTO_LEN),
-                                         protos[c][:, d])
-                               for d in range(D)], axis=1)
-            token = warped + spk_offsets[s] + rng.randn(L, D) * 0.3
+            L = rng.randint(proto_len - 8, proto_len + 9)
+            idx = np.linspace(0, proto_len - 1, L)
+            warped = np.stack([np.interp(idx, np.arange(proto_len),
+                                         protos[c][:, dd])
+                               for dd in range(d)], axis=1)
+            token = warped + spk_offsets[s] + rng.randn(L, d) * 0.3
             t0 = cursor[fname] * 0.01 + 0.0025
             t1 = (cursor[fname] + L - 1) * 0.01 + 0.0025
             files[fname].append(token.astype(np.float32))
-            files[fname].append(np.zeros((5, D), np.float32))
+            files[fname].append(np.zeros((5, d), np.float32))
             cursor[fname] += L + 5
             classes_lines.append(f"{fname} {t0:.4f} {t1:.4f}")
             tok_meta.append((c, fname, t0, t1))
@@ -78,7 +85,7 @@ def make_corpus(workdir, seed=0):
         fh.write("\n".join(classes_lines) + "\n")
     spk_path = os.path.join(workdir, "spk.txt")
     with open(spk_path, "w") as fh:
-        for s in range(N_SPK):
+        for s in range(n_spk):
             fh.write(f"spk{s}_f spk{s}\n")
     return feats_path, classes_path, spk_path, tok_meta
 
