@@ -648,17 +648,33 @@ def make_split_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
         return cache["jit"](params, state, opt_state, rng,
                             *_pad_groups(args))
 
-    def compiled_eval(params, state, *args):
-        if K != 1:
-            raise ValueError(
-                "eval batches are unstacked; build a steps_per_call=1 "
-                "factory for evaluation (the trainer does this)")
-        if "ejit" not in cache:
-            p_shard = param_shardings(params, mesh)
-            cache["ejit"] = jax.jit(
-                eval_step,
-                in_shardings=(p_shard, None) + (dp,) * n_batch_args)
-        return cache["ejit"](params, state, *_pad_groups(args))
+    if K == 1:
+        def compiled_eval(params, state, *args):
+            if "ejit" not in cache:
+                p_shard = param_shardings(params, mesh)
+                cache["ejit"] = jax.jit(
+                    eval_step,
+                    in_shardings=(p_shard, None) + (dp,) * n_batch_args)
+            return cache["ejit"](params, state, *_pad_groups(args))
+    else:
+        # chained evaluation: K stacked batches per dispatch (leading
+        # axis K on every batch array), one lax.scan'd call returning
+        # the (K,) per-batch losses — the dev pass amortizes dispatch
+        # latency exactly like the train pass
+        def eval_many(params, state, *stacked):
+            def body(_, args):
+                return None, eval_step(params, state, *args)
+            _, values = jax.lax.scan(body, None, stacked)
+            return values
+
+        def compiled_eval(params, state, *args):
+            if "ejit" not in cache:
+                p_shard = param_shardings(params, mesh)
+                cache["ejit"] = jax.jit(
+                    eval_many,
+                    in_shardings=(p_shard, None)
+                    + (dp_step,) * n_batch_args)
+            return cache["ejit"](params, state, *_pad_groups(args))
 
     return compiled, compiled_eval
 

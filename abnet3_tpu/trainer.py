@@ -470,22 +470,53 @@ class TrainerSiamese(TrainerBuilder):
                          *self._split_bank_args(b))
 
     def _give_split_bank_batch(self, b, do_training, rng):
-        """Train batches accumulate into per-bucket buffers of K and get
-        dispatched as one scanned call (returns None while buffering);
-        eval batches run single-step."""
+        """Batches accumulate into per-bucket buffers of K and get
+        dispatched as one scanned call (returns None while buffering) —
+        train AND eval passes both amortize the per-dispatch latency;
+        partial buffers flush single-step at pass end."""
         K = self._bank_steps_per_call
-        if not do_training or K == 1:
+        if K == 1:
             return self._give_split_single(b, do_training, rng)
-        if not hasattr(self, "_split_buf"):
-            self._split_buf = {}
-        buf = self._split_buf.setdefault(b.bucket, [])
+        attr = "_split_buf" if do_training else "_split_eval_buf"
+        bufs = getattr(self, attr, None)
+        if bufs is None:
+            bufs = {}
+            setattr(self, attr, bufs)
+        buf = bufs.setdefault(b.bucket, [])
         buf.append(b)
         if len(buf) >= K:
-            self._split_buf[b.bucket] = []
+            bufs[b.bucket] = []
             # (mean-of-K, K): the epoch average weights the chunk by K
-            return (self._dispatch_split_chunk(b.bucket, buf, rng),
+            if do_training:
+                return (self._dispatch_split_chunk(b.bucket, buf, rng),
+                        len(buf))
+            return (self._dispatch_split_eval_chunk(b.bucket, buf),
                     len(buf))
         return None
+
+    def _dispatch_split_eval_chunk(self, bucket, chunk):
+        """Dispatch K buffered same-bucket dev batches as one scanned
+        eval call; returns the mean of the K per-batch losses."""
+        K = len(chunk)
+        _, eval_step = self._ensure_split_bank_steps(bucket, K)
+        n_args = len(self._split_bank_args(chunk[0]))
+        stacked = tuple(
+            np.stack([np.asarray(self._split_bank_args(b)[i])
+                      for b in chunk])
+            for i in range(n_args))
+        values = eval_step(self.network.params, self.network.state,
+                           *stacked)
+        return jnp.mean(values)
+
+    def _flush_split_eval_buffers(self):
+        """Flush partial eval buffers single-step at pass end."""
+        vals = []
+        for bucket, chunk in list(
+                getattr(self, "_split_eval_buf", {}).items()):
+            for b in chunk:
+                vals.append(self._give_split_single(b, False, None))
+        self._split_eval_buf = {}
+        return vals
 
     def _bank_args(self, b):
         if self._BANK_EXTRA_LABELS:
@@ -646,10 +677,15 @@ class TrainerSiamese(TrainerBuilder):
                 count = 1
             losses.append((value, count))
             num_batches_train += count
-        # flush partial chained buffers
+        # flush partial chained buffers (epoch-0 eval passes route the
+        # train iterator through the eval buffers)
         if do_training and getattr(self, "_split_buf", None):
             flush_rng = jax.random.fold_in(base_rng, 1 << 20)
             for value in self._flush_split_buffers(flush_rng):
+                losses.append((value, 1))
+                num_batches_train += 1
+        if getattr(self, "_split_eval_buf", None):
+            for value in self._flush_split_eval_buffers():
                 losses.append((value, 1))
                 num_batches_train += 1
         train_loss = float(np.sum(
@@ -660,9 +696,20 @@ class TrainerSiamese(TrainerBuilder):
         for batch in prefetch_iterator(
                 self.dataloader.batch_iterator(train_mode=False),
                 self.prefetch):
-            losses.append(self.give_batch_to_network(batch, False, None))
-            num_batches_dev += 1
-        dev_loss = float(np.sum([np.asarray(l) for l in losses])) \
+            value = self.give_batch_to_network(batch, False, None)
+            if value is None:  # buffered into a chained eval dispatch
+                continue
+            if isinstance(value, tuple):  # (mean over k batches, k)
+                value, count = value
+            else:
+                count = 1
+            losses.append((value, count))
+            num_batches_dev += count
+        if getattr(self, "_split_eval_buf", None):
+            for value in self._flush_split_eval_buffers():
+                losses.append((value, 1))
+                num_batches_dev += 1
+        dev_loss = float(np.sum([np.asarray(v) * c for v, c in losses])) \
             if losses else 0.0
 
         self.train_losses.append(train_loss / max(num_batches_train, 1))

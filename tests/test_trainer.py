@@ -250,6 +250,59 @@ def test_chained_steps_match_single(tmp_path):
     assert losses1[-1] == pytest.approx(losses3[-1], rel=1e-4)
 
 
+def test_chained_dev_evals_match_single(tmp_path):
+    """K-chained dev-eval dispatches produce the same per-epoch dev
+    losses as single-step evaluation (same batches, same params)."""
+    from abnet3_tpu.io import write_h5features
+    rng = np.random.RandomState(3)
+    feats_path = str(tmp_path / "feats.h5f")
+    items = [f"f{i}" for i in range(4)]
+    feats = [rng.randn(80, 4).astype(np.float32) for _ in items]
+    times = [np.arange(80) * 0.01 + 0.0025 for _ in items]
+    write_h5features(feats_path, "features", items, times, feats)
+
+    def tok(i, a):
+        return f"f{i} {a:.2f} {a + 0.10:.2f}"
+
+    lines = []
+    for j in range(8):
+        a, b = rng.randint(0, 4, 2)
+        lines.append(f"{tok(a, 0.05 + 0.1 * j)} {tok(b, 0.1 * j)} "
+                     f"{'same' if j % 2 else 'diff'}")
+    pairs_path = str(tmp_path / "pairs")
+    import os
+    os.makedirs(os.path.join(pairs_path, "train_pairs"))
+    os.makedirs(os.path.join(pairs_path, "dev_pairs"))
+    open(os.path.join(pairs_path, "train_pairs/dataset"),
+         "w").write("\n".join(lines[:4]) + "\n")
+    # 7 dev pairs -> at batch_size 2: 3-4 dev batches; K=3 chains one
+    # full chunk + flushes the partial remainder single-step
+    open(os.path.join(pairs_path, "dev_pairs/dataset"),
+         "w").write("\n".join(lines[1:]) + "\n")
+
+    def run(k, outdir):
+        net = _network(outdir)
+        dl = OriginalDataLoader(pairs_path, feats_path, batch_size=2,
+                                num_max_minibatches=4, seed=0,
+                                align_backend="bank", steps_per_call=k)
+        tr = TrainerSiamese(network=net, loss=coscos2(), dataloader=dl,
+                            optimizer_type="adam", lr=0.01, num_epochs=2,
+                            patience=5, log_dir=str(outdir / "logs"),
+                            seed=0)
+        tr.train()
+        return tr.dev_losses
+
+    d1 = tmp_path / "k1"
+    d1.mkdir()
+    dev1 = run(1, d1)
+    d3 = tmp_path / "k3"
+    d3.mkdir()
+    dev3 = run(3, d3)
+    assert len(dev1) == len(dev3)
+    for a, b in zip(dev1, dev3):
+        assert a == pytest.approx(b, rel=1e-4)
+
+
 def test_checkpoint_resume(corpus, tmp_path):  # noqa: F811
     """Training must resume from a checkpoint with full state (params,
     optimizer, early-stopping counters, loss history)."""
