@@ -303,9 +303,17 @@ class OriginalDataLoader(DataLoader):
             lens = self.token_bank.lengths_host
             pair_len = np.maximum(lens[ids1], lens[ids2])
             order = np.argsort(pair_len, kind="stable")
+            # per-pair length buckets are epoch-invariant: precompute
+            # once (vectorized over the coarse power-of-two ladder)
+            ladder = np.asarray(sorted({self.token_bank.bucket_for(b)
+                                        for b in (1, 16, 32, 64, 128,
+                                                  256, 512, 1024, 2048,
+                                                  4096)}))
+            buckets = ladder[np.searchsorted(ladder,
+                                             pair_len[order])]
             self._bank_pairs[m] = (
                 ids1[order], ids2[order], ys[order],
-                yspk[order] if yspk is not None else None)
+                yspk[order] if yspk is not None else None, buckets)
 
     def _epoch_bank_pairs(self, mode):
         """Pairs for one epoch: length-sorted, and (with
@@ -313,13 +321,9 @@ class OriginalDataLoader(DataLoader):
         batch composition varies across epochs while batches still hold
         similar-length pairs — same compile variants, fresh mixes (the
         device/host backends honor the flag via _select_batches)."""
-        ids1, ids2, ys, yspk = self._bank_pairs[mode]
+        ids1, ids2, ys, yspk, buckets = self._bank_pairs[mode]
         if not self.shuffle_between_epochs or len(ids1) == 0:
             return ids1, ids2, ys, yspk
-        lens = self.token_bank.lengths_host
-        pair_len = np.maximum(lens[ids1], lens[ids2])
-        buckets = np.asarray([self.token_bank.bucket_for(int(l))
-                              for l in pair_len])
         order = np.arange(len(ids1))
         for b in np.unique(buckets):
             grp = np.flatnonzero(buckets == b)

@@ -140,13 +140,14 @@ def abx_error(D: np.ndarray, labels: Sequence, speakers: Sequence,
     cell_scores: List[float] = []
     n_triplets = 0
 
-    def cell(a_idx, b_idx, x_idx):
-        """Mean error over {(a, b, x)}: b, x vectorized per a."""
+    def cell(a_idx, sel_fn):
+        """One cell: mean error over {(a, b, x)} with b, x vectorized
+        per a; sel_fn(a) -> (b_indices, x_indices), a excluded. Ties
+        count 0.5 (ABXpy semantics)."""
         nonlocal n_triplets
         err, cnt = 0.0, 0
         for a in a_idx:
-            b_sel = b_idx[b_idx != a]
-            x_sel = x_idx[x_idx != a]
+            b_sel, x_sel = sel_fn(a)
             if len(b_sel) == 0 or len(x_sel) == 0:
                 continue
             dab = D[a, b_sel][:, None]   # (B, 1)
@@ -163,30 +164,19 @@ def abx_error(D: np.ndarray, labels: Sequence, speakers: Sequence,
                 continue
             if task == "across":
                 # one cell per (ca, cx): A any token of ca; B same class
-                # different speaker; X class cx with A's speaker
-                a_all = np.flatnonzero(labels == ca)
-                err, cnt = 0.0, 0
-                for a in a_all:
-                    b_sel = np.flatnonzero(
-                        (labels == ca) & (speakers != speakers[a]))
-                    x_sel = np.flatnonzero(
-                        (labels == cx) & (speakers == speakers[a]))
-                    if len(b_sel) == 0 or len(x_sel) == 0:
-                        continue
-                    dab = D[a, b_sel][:, None]
-                    dax = D[a, x_sel][None, :]
-                    err += float(np.sum(dab > dax)
-                                 + 0.5 * np.sum(dab == dax))
-                    cnt += len(b_sel) * len(x_sel)
-                if cnt:
-                    n_triplets += cnt
-                    cell_scores.append(err / cnt)
+                # but NOT A's speaker; X class cx with A's speaker
+                cell(np.flatnonzero(labels == ca),
+                     lambda a: (
+                         np.flatnonzero((labels == ca)
+                                        & (speakers != speakers[a])),
+                         np.flatnonzero((labels == cx)
+                                        & (speakers == speakers[a]))))
             else:
                 for spk in sorted(set(speakers.tolist())):
                     sel = speakers == spk
-                    cell(np.flatnonzero((labels == ca) & sel),
-                         np.flatnonzero((labels == ca) & sel),
-                         np.flatnonzero((labels == cx) & sel))
+                    ab = np.flatnonzero((labels == ca) & sel)
+                    x = np.flatnonzero((labels == cx) & sel)
+                    cell(ab, lambda a: (ab[ab != a], x[x != a]))
 
     return {"error": (float(np.mean(cell_scores))
                       if cell_scores else float("nan")),

@@ -292,16 +292,57 @@ class BiWeightedPreTrained(BiWeightedDeepLearnt):
         self._trim2 = (trim_net2_start, trim_net2_end)
 
     def _run_pretrained(self, net, x, trim=(None, None)):
+        """Run the (frozen) pre-trained tower, optionally trimmed.
+
+        trim indices count *unrolled torch children* exactly like the
+        reference (reference integration.py:539-566 flattens the
+        Sequential — Linear, Dropout, [BatchNorm1d], activation per
+        layer — and keeps child[start:end+1]; falsy start/end mean
+        untrimmed on that side). Child offsets map onto the functional
+        tower's blocks: an end offset before the block's activation
+        strips that activation (Dropout is identity here — the
+        pre-trained net always runs at eval); a start inside a block
+        (skipping its Linear) has no functional-tower equivalent and
+        raises."""
         start, end = trim
-        if start is None and end is None:
+        if not start and not end:
             out, _ = net.forward_once(net.params, net.state, x,
                                       train=False)
         else:
             assert hasattr(net, "_tower"), (
                 "trim_net* requires a single-tower pre-trained network "
                 "(SiameseNetwork)")
+            spec = net._tower.spec
+            per = 4 if spec.batch_norm else 3  # children per block
+            n_children = spec.num_layers * per
+            if start:
+                assert start > 0  # reference integration.py:544
+                assert start % per == 0, (
+                    f"trim start {start} cuts inside a block (the "
+                    f"block's Linear is child {start - start % per}); "
+                    "starting mid-block would apply Dropout/BatchNorm/"
+                    "activation without the preceding Linear — use a "
+                    f"multiple of {per}")
+                b0 = start // per
+            else:
+                b0 = None
+            if end:
+                assert end < n_children  # reference integration.py:549
+                b1, off = divmod(end, per)
+            else:
+                b1, off = spec.num_layers - 1, per - 1
             tower, p, st = net._tower.sliced(net.params, net.state,
-                                             start, end)
+                                             b0, b1)
+            if off < per - 1:
+                if spec.batch_norm and off < 2:
+                    raise NotImplementedError(
+                        f"trim end {end} keeps a block's Linear but "
+                        "drops its BatchNorm; per-block batch-norm "
+                        "stripping is not representable in the "
+                        "functional tower")
+                # keep the last block's Linear (+BN) but not its
+                # activation, like the reference child slice
+                tower.spec.activations[-1] = None
             out, _ = tower.apply(p, st, x, train=False)
         return jax.lax.stop_gradient(out)
 

@@ -285,9 +285,6 @@ class weighted_loss_multi(LossBuilder):
         return (getattr(self.loss_spk, "supports_cells", False)
                 and getattr(self.loss_phn, "supports_cells", False))
 
-    # legacy alias (round-2 early name)
-    supports_multi_cos = supports_multi_cells
-
     def from_cells_multi(self, cells_spk, cells_phn, y_spk, y_phn,
                          weights=None):
         """Multitask loss on precomputed per-head cell statistics (same
@@ -297,8 +294,6 @@ class weighted_loss_multi(LossBuilder):
         out_phn = self.loss_phn.from_cells(cells_phn, y_phn,
                                            weights=weights)
         return self.weight * out_spk + (1.0 - self.weight) * out_phn
-
-    from_cos_multi = from_cells_multi
 
     def whoami(self):
         return {"params": {"weight": self.weight, "avg": self.avg,

@@ -88,6 +88,32 @@ def _prefix_min(x):
         shift *= 2
     return x
 
+def _dp_row(c, prev):
+    """One forward DP row via the (min,+) closed form:
+    x[j] = S[j] + min(x0, cummin_{k<=j}(m[k] - S[k-1])). Returns
+    (x, diag) — diag is reused by the move computation."""
+    diag = _shift_right(prev, 1, _BIG)
+    m = jnp.minimum(prev, diag)
+    x0 = prev[:, :1] + c[:, :1]
+    # S[j] = sum_{t=1..j} c[t] = inclusive prefix sum - c[0]
+    S = _prefix_sum(c) - c[:, :1]
+    b = m - _shift_right(S, 1, -_BIG)
+    x = S + jnp.minimum(_prefix_min(b), x0)
+    return x, diag
+
+
+def _dp_move_row(c, prev):
+    """Forward DP row + its argmin moves (3=diag, 2=up, 1=left; ties
+    prefer diag then up, matching ops.dtw.moves_from_costs)."""
+    x, diag = _dp_row(c, prev)
+    left = _shift_right(x, 1, _BIG)
+    take_diag = (diag <= prev) & (diag <= left)
+    take_up = (~take_diag) & (prev <= left)
+    di = jnp.where(take_diag | take_up, 1, 0)
+    dj = jnp.where(take_diag | (~take_diag & ~take_up), 1, 0)
+    return x, di * 2 + dj
+
+
 
 def _dtw_kernel(dist_ref, out_ref):
     """dist_ref/out_ref: (BLOCK_B, T1, T2) VMEM blocks; the row loop is a
@@ -100,13 +126,7 @@ def _dtw_kernel(dist_ref, out_ref):
     out_ref[:, 0, :] = row0
 
     def row_step(i, prev):
-        c = dist_ref[:, i, :]
-        m = jnp.minimum(prev, _shift_right(prev, 1, _BIG))
-        x0 = prev[:, :1] + c[:, :1]
-        # S[j] = sum_{t=1..j} c[t] = inclusive prefix sum - c[0]
-        S = _prefix_sum(c) - c[:, :1]
-        b = m - _shift_right(S, 1, -_BIG)
-        x = S + jnp.minimum(_prefix_min(b), x0)
+        x, _ = _dp_row(dist_ref[:, i, :], prev)
         out_ref[:, i, :] = x
         return x
 
@@ -128,20 +148,8 @@ def _dtw_move_kernel(dist_ref, move_ref):
     move_ref[:, 0, :] = jnp.where(col == 0, 3, 1)
 
     def row_step(i, prev):
-        c = dist_ref[:, i, :]
-        diag = _shift_right(prev, 1, _BIG)
-        m = jnp.minimum(prev, diag)
-        x0 = prev[:, :1] + c[:, :1]
-        # S[j] = sum_{t=1..j} c[t] = inclusive prefix sum - c[0]
-        S = _prefix_sum(c) - c[:, :1]
-        b = m - _shift_right(S, 1, -_BIG)
-        x = S + jnp.minimum(_prefix_min(b), x0)
-        left = _shift_right(x, 1, _BIG)
-        take_diag = (diag <= prev) & (diag <= left)
-        take_up = (~take_diag) & (prev <= left)
-        di = jnp.where(take_diag | take_up, 1, 0)
-        dj = jnp.where(take_diag | (~take_diag & ~take_up), 1, 0)
-        move_ref[:, i, :] = di * 2 + dj
+        x, mv = _dp_move_row(dist_ref[:, i, :], prev)
+        move_ref[:, i, :] = mv
         return x
 
     jax.lax.fori_loop(1, T1, row_step, prev0)
@@ -180,20 +188,8 @@ def _dtw_path_kernel(dist_ref, n1_ref, n2_ref, out_ref, mv_ref):
     mv_ref[:, 0, :] = jnp.where(col == 0, 3, 1)
 
     def fwd_step(i, prev):
-        c = dist_ref[:, i, :]
-        diag = _shift_right(prev, 1, _BIG)
-        m = jnp.minimum(prev, diag)
-        x0 = prev[:, :1] + c[:, :1]
-        # S[j] = sum_{t=1..j} c[t] = inclusive prefix sum - c[0]
-        S = _prefix_sum(c) - c[:, :1]
-        b = m - _shift_right(S, 1, -_BIG)
-        x = S + jnp.minimum(_prefix_min(b), x0)
-        left = _shift_right(x, 1, _BIG)
-        take_diag = (diag <= prev) & (diag <= left)
-        take_up = (~take_diag) & (prev <= left)
-        di = jnp.where(take_diag | take_up, 1, 0)
-        dj = jnp.where(take_diag | (~take_diag & ~take_up), 1, 0)
-        mv_ref[:, i, :] = di * 2 + dj
+        x, mv = _dp_move_row(dist_ref[:, i, :], prev)
+        mv_ref[:, i, :] = mv
         return x
 
     jax.lax.fori_loop(1, T1, fwd_step, prev0)

@@ -106,6 +106,10 @@ def use_matrix_loss(loss, extra_labels: bool = False,
     flag = os.environ.get("ABNET3_MATRIX_LOSS", "").lower()
     if flag in ("0", "false", "no", "off"):
         return False
+    if flag in ("1", "true", "yes", "on"):
+        # force on: an unsupported loss then fails loudly in
+        # pair_cells/from_cells instead of silently taking gather
+        return True
     if extra_labels:
         return getattr(loss, "supports_multi_cells", False)
     return getattr(loss, "supports_cells", False)
@@ -762,6 +766,11 @@ def make_sampled_eval_step(network, loss, bank, sampler, mesh: Mesh,
     gradient/update."""
     rep = NamedSharding(mesh, P())
     matrix = use_matrix_loss(loss, override=matrix_loss)
+
+    if mesh.size > 1:
+        assert sampler.batch_size % mesh.shape["data"] == 0, (
+            "sampler batch_size must divide the mesh 'data' axis so the "
+            "sharded Pallas DTW kernel gets equal per-device blocks")
 
     def step(params, state, rng):
         ids1, ids2, y_pair = sampler.sample(rng)

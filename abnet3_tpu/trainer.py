@@ -417,14 +417,17 @@ class TrainerSiamese(TrainerBuilder):
     def _bank_steps_per_call(self):
         return max(getattr(self.dataloader, "steps_per_call", 1), 1)
 
+    def _stack_split_args(self, chunk):
+        """Host-stack a chunk of K same-bucket batches into the
+        (K, ...) arrays the chained step/eval factories expect."""
+        per_batch = [self._split_bank_args(b) for b in chunk]
+        return tuple(np.stack([np.asarray(args[i]) for args in per_batch])
+                     for i in range(len(per_batch[0])))
+
     def _dispatch_split_chunk(self, bucket, chunk, rng):
         """Dispatch K buffered same-bucket batches as one scanned call."""
-        K = len(chunk)
-        train_step, _ = self._ensure_split_bank_steps(bucket, K)
-        n_args = len(self._split_bank_args(chunk[0]))
-        stacked = tuple(np.stack([np.asarray(self._split_bank_args(b)[i])
-                                  for b in chunk])
-                        for i in range(n_args))
+        train_step, _ = self._ensure_split_bank_steps(bucket, len(chunk))
+        stacked = self._stack_split_args(chunk)
         params, state, opt, value = train_step(
             self.network.params, self.network.state, self._opt_state,
             rng, *stacked)
@@ -497,15 +500,9 @@ class TrainerSiamese(TrainerBuilder):
     def _dispatch_split_eval_chunk(self, bucket, chunk):
         """Dispatch K buffered same-bucket dev batches as one scanned
         eval call; returns the mean of the K per-batch losses."""
-        K = len(chunk)
-        _, eval_step = self._ensure_split_bank_steps(bucket, K)
-        n_args = len(self._split_bank_args(chunk[0]))
-        stacked = tuple(
-            np.stack([np.asarray(self._split_bank_args(b)[i])
-                      for b in chunk])
-            for i in range(n_args))
+        _, eval_step = self._ensure_split_bank_steps(bucket, len(chunk))
         values = eval_step(self.network.params, self.network.state,
-                           *stacked)
+                           *self._stack_split_args(chunk))
         return jnp.mean(values)
 
     def _flush_split_eval_buffers(self):

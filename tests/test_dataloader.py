@@ -275,7 +275,7 @@ def test_split_bank_batches(corpus):
     lens = dl.token_bank.lengths_host
     types = None
     # every valid same-group entry really is a same pair from the file
-    ids1, ids2, ys, _ = dl._bank_pairs["train"]
+    ids1, ids2, ys, _, _buckets = dl._bank_pairs["train"]
     same_set = {(a, b) for a, b, y in zip(ids1, ids2, ys) if y > 0}
     diff_set = {(a, b) for a, b, y in zip(ids1, ids2, ys) if y < 0}
     seen_same, seen_diff = set(), set()

@@ -91,9 +91,10 @@ def test_biweighted_deep_learnt():
 
 
 def test_biweighted_pretrained_trimming(tmp_path):
-    """trim_net* really trims the pre-trained towers to a block window
-    (reference integration.py:492-543): trimmed and untrimmed give
-    different attention inputs with the expected dimensions."""
+    """trim_net* counts unrolled torch children like the reference
+    (Linear, Dropout, activation per block, reference
+    integration.py:539-566): trimmed and untrimmed give different
+    attention inputs with the expected dimensions."""
     from abnet3_tpu.integration import BiWeightedPreTrained
     from abnet3_tpu.models import SiameseNetwork
 
@@ -133,7 +134,9 @@ def test_biweighted_pretrained_trimming(tmp_path):
         SiameseNetwork(input_dim=4, num_hidden_layers=1, hidden_dim=6,
                        output_dim=3, p_dropout=0.0,
                        activation_layer="sigmoid"),
-        p1, p2, trim_net1_end=1, trim_net2_end=1,
+        # child index 5 = the full first two blocks (2 blocks x
+        # [Linear, Dropout, activation]) -> 6-dim hidden activations
+        p1, p2, trim_net1_end=5, trim_net2_end=5,
         net_params=[[6, 8, 1], [6, 8, 1]],
         activation_type="sigmoid", integration_mode="sum")
     params_t = trimmed.init_params(jax.random.PRNGKey(2))
@@ -144,6 +147,41 @@ def test_biweighted_pretrained_trimming(tmp_path):
     # different weights (trimming actually changed the computation)
     assert w_full.shape == w_trim.shape == (6, 1)
     assert not np.allclose(w_full, w_trim)
+
+    # a mid-block end (child 3: second block's Linear only) strips the
+    # second activation: output = W2 @ sigmoid(W1 x + b1) + b2
+    import jax as _jax
+    half = BiWeightedPreTrained(
+        SiameseNetwork(input_dim=4, num_hidden_layers=1, hidden_dim=6,
+                       output_dim=3, p_dropout=0.0,
+                       activation_layer="sigmoid"),
+        SiameseNetwork(input_dim=4, num_hidden_layers=1, hidden_dim=6,
+                       output_dim=3, p_dropout=0.0,
+                       activation_layer="sigmoid"),
+        p1, p2, trim_net1_end=3, trim_net2_end=3,
+        net_params=[[6, 8, 1], [6, 8, 1]],
+        activation_type="sigmoid", integration_mode="sum")
+    got = np.asarray(half._run_pretrained(half._pre1, x[0],
+                                          half._trim1))
+    pr = n1.params
+    h = _jax.nn.sigmoid(x[0] @ pr["layer_0"]["w"] + pr["layer_0"]["b"])
+    want = np.asarray(h @ pr["layer_1"]["w"] + pr["layer_1"]["b"])
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    # a mid-block START (skipping a Linear) has no functional
+    # equivalent and must refuse loudly
+    bad = BiWeightedPreTrained(
+        SiameseNetwork(input_dim=4, num_hidden_layers=1, hidden_dim=6,
+                       output_dim=3, p_dropout=0.0,
+                       activation_layer="sigmoid"),
+        SiameseNetwork(input_dim=4, num_hidden_layers=1, hidden_dim=6,
+                       output_dim=3, p_dropout=0.0,
+                       activation_layer="sigmoid"),
+        p1, p2, trim_net1_start=1,
+        net_params=[[3, 8, 1], [3, 8, 1]],
+        activation_type="sigmoid", integration_mode="sum")
+    with pytest.raises(AssertionError, match="inside a block"):
+        bad._run_pretrained(bad._pre1, x[0], bad._trim1)
 
     # the trimmed sub-tower is numerically the prefix of the full tower:
     # block window [0,1] output feeds block [2,2] to reproduce the full net
