@@ -142,7 +142,16 @@ class GridSearch:
 
         loss_prop = single_experiment["loss"]
         loss_class = getattr(abnet3_tpu.loss, loss_prop["class"])
-        loss = loss_class(**dict(loss_prop["arguments"] or {}))
+        loss_args = dict(loss_prop["arguments"] or {})
+        # nested {class, arguments} dicts resolve recursively so the
+        # multitask weighted_loss_multi(loss_spk=..., loss_phn=...) is
+        # YAML-configurable (the reference's reflection couldn't build
+        # nested losses at all, reference gridsearch.py:168-171)
+        for k, v in list(loss_args.items()):
+            if isinstance(v, dict) and "class" in v:
+                sub_class = getattr(abnet3_tpu.loss, v["class"])
+                loss_args[k] = sub_class(**dict(v.get("arguments") or {}))
+        loss = loss_class(**loss_args)
 
         dataloader_prop = single_experiment["dataloader"]
         dataloader_class = getattr(abnet3_tpu.dataloader,

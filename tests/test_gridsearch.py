@@ -277,3 +277,97 @@ def test_run_with_yaml_mesh(experiment, tmp_path):
     from abnet3_tpu.io import read_h5features
     emb = read_h5features(os.path.join(exp_path, "embeddings.h5f"))
     assert emb.features()[0].shape[1] == 5
+
+
+MULTI_YAML = """\
+default_params:
+  pathname_experience: {exp_path}
+  features:
+    class: FeaturesGenerator
+    arguments:
+      run: never
+      output_path: {feats_path}
+      method: fbanks
+      normalization: false
+      norm_per_file: false
+      stack: false
+  sampler:
+    class: DummySampler
+    arguments: {{}}
+  dataloader:
+    class: MultiTaskDataLoader
+    arguments:
+      pairs_path: {pairs_path}
+      fid2spk_file: {spk_path}
+      batch_size: 3
+      num_max_minibatches: 2
+      seed: 0
+  model:
+    class: SiameseMultitaskNetwork
+    arguments:
+      input_dim: 4
+      num_hidden_layers_shared: 1
+      num_hidden_layers_spk: 0
+      num_hidden_layers_phn: 0
+      hidden_dim: 8
+      output_dim: 5
+      p_dropout: 0.0
+      activation_layer: sigmoid
+      type_init: xavier_uni
+  loss:
+    class: weighted_loss_multi
+    arguments:
+      weight: 0.4
+      loss_spk:
+        class: coscos2
+        arguments:
+          avg: true
+      loss_phn:
+        class: cosmargin
+        arguments:
+          margin: 0.4
+  trainer:
+    class: TrainerSiameseMultitask
+    arguments:
+      optimizer_type: adam
+      lr: 0.01
+      num_epochs: 2
+      patience: 5
+      seed: 0
+  embedder:
+    class: EmbedderSiameseMultitask
+    arguments:
+      batch_size: 64
+"""
+
+
+def test_multitask_yaml_end_to_end(experiment, tmp_path):
+    """The multitask family configures end-to-end from YAML, including
+    the nested weighted_loss_multi sub-losses (the reference's
+    reflection could not build nested losses at all) — trains via the
+    multitask matrix-loss path and writes .spk/.phn embeddings."""
+    yaml_path, exp_path, _ = experiment
+    import yaml as _yaml
+    with open(yaml_path) as f:
+        base = _yaml.safe_load(f)
+    feats_path = base["default_params"]["features"]["arguments"][
+        "output_path"]
+    pairs_path = base["default_params"]["dataloader"]["arguments"][
+        "pairs_path"]
+    spk_path = str(tmp_path / "spk.txt")
+    with open(spk_path, "w") as f:
+        for i in range(4):
+            f.write(f"f{i} spk{i % 2}\n")
+    mexp = str(tmp_path / "mexp")
+    myaml = str(tmp_path / "mexp.yaml")
+    with open(myaml, "w") as f:
+        f.write(MULTI_YAML.format(exp_path=mexp, feats_path=feats_path,
+                                  pairs_path=pairs_path,
+                                  spk_path=spk_path))
+    grid = GridSearch(input_file=myaml, date="2026-01-01")
+    grid.run()
+    found = []
+    for root, _, files in os.walk(mexp):
+        found += [f for f in files if f.endswith((".spk", ".phn"))]
+    assert any(f.endswith(".spk") for f in found), found
+    assert any(f.endswith(".phn") for f in found), found
