@@ -299,3 +299,41 @@ def test_kl_split_step_matrix_matches_gather():
     # pair_cells computes log p - log q instead of log(p/q): ~1e-6 fp
     assert vals[False][0] == pytest.approx(vals[True][0], abs=2e-5)
     assert vals[False][1] == pytest.approx(vals[True][1], abs=2e-5)
+
+
+def test_matrix_matches_gather_fuzz():
+    """Randomized configs (dims, group sizes, loss, bn, alignment mode)
+    all give identical matrix/gather losses — guards the parity contract
+    beyond the hand-picked cases above."""
+    rng = np.random.RandomState(42)
+    from abnet3_tpu.loss import KLLoss as _KL
+    for trial in range(5):
+        d = int(rng.choice([6, 20, 33]))
+        Bs = int(rng.randint(2, 9))
+        Bd = int(rng.randint(2, 9))
+        bn = bool(rng.randint(2))
+        adw = bool(rng.randint(2))
+        loss_cls = [coscos2, cosmargin, _KL][trial % 3]
+        act = "softmax" if loss_cls is _KL else "sigmoid"
+        bank = TokenBank({i: rng.randn(rng.randint(3, 14), d)
+                          .astype(np.float32)
+                          for i in range(2 * (Bs + Bd))})
+        net = SiameseNetwork(input_dim=d, num_hidden_layers=1,
+                             hidden_dim=16, output_dim=7, p_dropout=0.0,
+                             batch_norm=bn, activation_layer=act)
+        params, state = net.init_params(jax.random.PRNGKey(trial))
+        loss = loss_cls()
+        mesh = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+        ids = rng.permutation(2 * (Bs + Bd)).astype(np.int32)
+        args = (ids[:Bs], ids[Bs:2 * Bs],
+                jnp.asarray(rng.rand(Bs), jnp.float32),
+                ids[2 * Bs:2 * Bs + Bd], ids[2 * Bs + Bd:],
+                jnp.asarray(rng.rand(Bd), jnp.float32))
+        vals = {}
+        for mode in (False, True):
+            _, evalf = make_split_pair_train_step(
+                net, loss, optax.sgd(1e-2), bank, mesh,
+                align_different_words=adw, matrix_loss=mode)
+            vals[mode] = float(evalf(params, state, *args))
+        assert vals[False] == pytest.approx(vals[True], abs=3e-5), (
+            trial, d, Bs, Bd, bn, adw, loss_cls.__name__)
