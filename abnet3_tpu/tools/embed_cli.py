@@ -94,7 +94,7 @@ class EmbedCLI:
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("experiments_file", type=str,
+    parser.add_argument("exp_yml", type=str,
                         help="gridsearch yaml describing the experiment")
     parser.add_argument("-w", "--weights", type=str,
                         help="path to trained network weights (.pth)")
@@ -103,7 +103,7 @@ def main():
     parser.add_argument("-o", "--output-embeddings", type=str,
                         help="output embeddings path")
     args = parser.parse_args()
-    cli = EmbedCLI(yaml_file=args.experiments_file, weights=args.weights,
+    cli = EmbedCLI(yaml_file=args.exp_yml, weights=args.weights,
                    input_features=args.input_features,
                    output_embeddings=args.output_embeddings)
     cli.run()
