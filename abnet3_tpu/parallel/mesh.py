@@ -212,6 +212,20 @@ def _matrix_same_diff_parts(f1s, f2s, n1s, n2s, ws,
     return frames, w_frames, A_s, (A_d, T1d, T2d)
 
 
+def _split_group_rows(e, A_s, A_d_parts):
+    """Split the unique-frame embedding rows [e1s; e2s; e1d; e2d; rest]
+    back into per-group (B, T, E) tensors."""
+    A_d, T1d, T2d = A_d_parts
+    Bs, T1s, T2s = A_s.shape
+    Bd = A_d.shape[0]
+    i = 0
+    e1s = e[i:i + Bs * T1s].reshape(Bs, T1s, -1); i += Bs * T1s
+    e2s = e[i:i + Bs * T2s].reshape(Bs, T2s, -1); i += Bs * T2s
+    e1d = e[i:i + Bd * T1d].reshape(Bd, T1d, -1); i += Bd * T1d
+    e2d = e[i:i + Bd * T2d].reshape(Bd, T2d, -1); i += Bd * T2d
+    return e1s, e2s, e1d, e2d, e[i:]
+
+
 def _matrix_cell_terms(cell_loss, e, A_s, A_d_parts, y_s=None, y_d=None):
     """Flattened (cells, y, weights) loss terms from embeddings of the
     unique-frame batch laid out [f1s; f2s; f1d; f2d], using the loss's
@@ -225,13 +239,9 @@ def _matrix_cell_terms(cell_loss, e, A_s, A_d_parts, y_s=None, y_d=None):
     (the phoneme/monotask stream). Returns the terms plus any leftover
     rows (tcl frames appended by the caller)."""
     A_d, T1d, T2d = A_d_parts
+    e1s, e2s, e1d, e2d, _ = _split_group_rows(e, A_s, A_d_parts)
     Bs, T1s, T2s = A_s.shape
     Bd = A_d.shape[0]
-    i = 0
-    e1s = e[i:i + Bs * T1s].reshape(Bs, T1s, -1); i += Bs * T1s
-    e2s = e[i:i + Bs * T2s].reshape(Bs, T2s, -1); i += Bs * T2s
-    e1d = e[i:i + Bd * T1d].reshape(Bd, T1d, -1); i += Bd * T1d
-    e2d = e[i:i + Bd * T2d].reshape(Bd, T2d, -1); i += Bd * T2d
     c_s = cell_loss.pair_cells(e1s, e2s)        # (*stat, Bs, T1s, T2s)
     stat = c_s.shape[:-3]
     if A_d.ndim == 3:  # stretch mode: full mask
@@ -258,7 +268,7 @@ def _matrix_cell_terms(cell_loss, e, A_s, A_d_parts, y_s=None, y_d=None):
     c = jnp.concatenate([c_s.reshape(stat + (n_s,)), c_d_flat], axis=-1)
     y = jnp.concatenate([ys_cells, yd_cells])
     w = jnp.concatenate([A_s.reshape(-1), A_d.reshape(-1)])
-    return c, y, w, e[i:]
+    return c, y, w, _split_group_rows(e, A_s, A_d_parts)[-1]
 
 
 def make_indexed_train_step(network, loss, optimizer, bank, mesh: Mesh):
@@ -540,6 +550,32 @@ def make_split_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
                                          weights=w), new_state
         e, new_state = network.forward_once(p, state, frames, rng=rng,
                                             train=train, weights=w_frames)
+        A_d = A_d_parts[0]
+        if A_d.ndim == 2:
+            # truncate mode: the same-group loss is affine in the cell
+            # statistics, so it folds into masked matmuls
+            # (loss.masked_same_sum) — the (B, T, T) cell matrix and
+            # its elementwise/backward traffic never materialize
+            # (0.37 ms/step at the bench shapes); only the diagonal
+            # diff terms (and tcl) stay elementwise
+            e1s, e2s, e1d, e2d, rest = _split_group_rows(
+                e, A_s, A_d_parts)
+            same_sum = loss.masked_same_sum(e1s, e2s, A_s)
+            same_w = jnp.sum(A_s)
+            Tm = A_d.shape[1]
+            d_e = e1d.shape[-1]
+            c_rest = loss.rowwise_cells(e1d[:, :Tm].reshape(-1, d_e),
+                                        e2d[:, :Tm].reshape(-1, d_e))
+            y_rest = -jnp.ones(A_d.size)
+            w_rest = A_d.reshape(-1)
+            if tcl_terms is not None:
+                ty, wt, n_tcl = tcl_terms
+                ct = loss.rowwise_cells(rest[:n_tcl], rest[n_tcl:])
+                c_rest = jnp.concatenate([c_rest, ct], axis=-1)
+                y_rest = jnp.concatenate([y_rest, ty])
+                w_rest = jnp.concatenate([w_rest, wt])
+            return loss.from_parts(same_sum, same_w, c_rest, y_rest,
+                                   w_rest), new_state
         c, y, w, rest = _matrix_cell_terms(loss, e, A_s, A_d_parts)
         if tcl_terms is not None:
             ty, wt, n_tcl = tcl_terms
