@@ -240,3 +240,50 @@ class TestGenerate:
         t = data.labels()[0]
         assert t[0] == pytest.approx(0.0025)
         assert t[1] - t[0] == pytest.approx(0.01)
+
+
+class TestDSPOracles:
+    """Independent cross-validation of the jitted front end against
+    scipy/numpy oracles (the reference's `spectral` dep is not
+    installable here; these pin the standard definitions instead)."""
+
+    def test_power_spectrum_matches_scipy_stft(self):
+        """Framing + hamming + rfft power equals scipy.signal.stft on
+        the same windows (boundary=None, no padding/averaging)."""
+        from scipy.signal import stft as scipy_stft
+        from abnet3_tpu.ops.dsp import logmel_frames, num_frames
+        import jax.numpy as jnp
+        from abnet3_tpu.ops import dsp
+        rng = np.random.RandomState(0)
+        fs, nfft = 16000, 1024
+        w = rng.randn(fs // 2).astype(np.float32)
+        wl = int(round(0.025 * fs))
+        hop = fs // 100
+        # our pipeline without pre-emphasis (alpha=0): isolate the STFT
+        nf = num_frames(len(w), fs)
+        idx = np.arange(nf)[:, None] * hop + np.arange(wl)[None, :]
+        ours = np.abs(np.fft.rfft(
+            w[idx] * np.hamming(wl), n=nfft, axis=1)) ** 2
+        _, _, Z = scipy_stft(w, fs=fs, window=np.hamming(wl),
+                             nperseg=wl, noverlap=wl - hop, nfft=nfft,
+                             boundary=None, padded=False,
+                             detrend=False, return_onesided=True,
+                             scaling="spectrum")
+        # scipy normalizes by window.sum(); undo to compare raw power
+        scale = np.hamming(wl).sum()
+        theirs = (np.abs(Z.T[:nf]) * scale) ** 2
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-3)
+
+    def test_mfcc_dct_matches_scipy(self):
+        """Our DCT-II (ortho) matmul equals scipy.fft.dct."""
+        from scipy.fft import dct as scipy_dct
+        from abnet3_tpu.ops.dsp import mfcc_frames, logmel_frames
+        rng = np.random.RandomState(1)
+        fs = 16000
+        w = np.asarray(rng.randn(fs // 4), np.float32)
+        import jax.numpy as jnp
+        lm = np.asarray(logmel_frames(jnp.asarray(w), fs, nfft=512,
+                                      lowerf=100.0, upperf=6855.4976))
+        ours = np.asarray(mfcc_frames(jnp.asarray(w), fs))
+        theirs = scipy_dct(lm, type=2, norm="ortho", axis=1)[:, :13]
+        np.testing.assert_allclose(ours, theirs, rtol=2e-3, atol=2e-3)
