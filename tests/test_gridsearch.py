@@ -371,3 +371,103 @@ def test_multitask_yaml_end_to_end(experiment, tmp_path):
         found += [f for f in files if f.endswith((".spk", ".phn"))]
     assert any(f.endswith(".spk") for f in found), found
     assert any(f.endswith(".phn") for f in found), found
+
+
+ONDEVICE_YAML = """\
+default_params:
+  pathname_experience: {exp_path}
+  features:
+    class: FeaturesGenerator
+    arguments:
+      run: never
+      output_path: {feats_path}
+      method: fbanks
+      normalization: false
+      norm_per_file: false
+      stack: false
+  sampler:
+    class: DummySampler
+    arguments: {{}}
+  dataloader:
+    class: OnDeviceSamplerDataLoader
+    arguments:
+      std_file: {classes_path}
+      spkid_file: {spk_path}
+      batch_size: 4
+      num_max_minibatches: 2
+      max_size_cluster: 10
+      seed: 0
+      steps_per_call: 2
+  model:
+    class: SiameseNetwork
+    arguments:
+      input_dim: 4
+      num_hidden_layers: 1
+      hidden_dim: 8
+      output_dim: 5
+      p_dropout: 0.0
+      activation_layer: sigmoid
+      type_init: xavier_uni
+  loss:
+    class: coscos2
+    arguments:
+      avg: true
+  trainer:
+    class: TrainerSiamese
+    arguments:
+      optimizer_type: adam
+      lr: 0.01
+      num_epochs: 2
+      patience: 5
+      seed: 0
+  embedder:
+    class: EmbedderSiamese
+    arguments:
+      batch_size: 64
+"""
+
+
+def test_ondevice_sampler_yaml_end_to_end(experiment, tmp_path):
+    """The fully on-device pipeline (no pair files; the jitted step
+    samples fresh pairs from compiled distribution tables) configures
+    end-to-end from YAML with DummySampler."""
+    yaml_path, exp_path, _ = experiment
+    import yaml as _yaml
+    with open(yaml_path) as f:
+        base = _yaml.safe_load(f)
+    feats_path = base["default_params"]["features"]["arguments"][
+        "output_path"]
+    classes_path = str(tmp_path / "words.classes")
+    lines = []
+    # stay inside the 80-frame (0.8 s) fixture files: tokens cycle
+    # through per-file time slots
+    slot = {i: 0.0 for i in range(4)}
+    for c in range(3):
+        lines.append(f"{c} word{c}")
+        for k in range(3):
+            f_i = (c + k) % 4
+            t = slot[f_i]
+            lines.append(f"f{f_i} {t:.2f} {t + 0.12:.2f}")
+            slot[f_i] = t + 0.15
+        lines.append("")
+    with open(classes_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    spk_path = str(tmp_path / "spk2.txt")
+    with open(spk_path, "w") as f:
+        for i in range(4):
+            f.write(f"f{i} spk{i % 2}\n")
+    oexp = str(tmp_path / "oexp")
+    oyaml = str(tmp_path / "oexp.yaml")
+    with open(oyaml, "w") as f:
+        f.write(ONDEVICE_YAML.format(exp_path=oexp,
+                                     feats_path=feats_path,
+                                     classes_path=classes_path,
+                                     spk_path=spk_path))
+    grid = GridSearch(input_file=oyaml, date="2026-01-01")
+    grid.run()
+    found = []
+    for root, _, files in os.walk(oexp):
+        found += [f for f in files if f.endswith(".h5f")
+                  or f.endswith(".pth")]
+    assert any(f.endswith(".pth") for f in found), found
+    assert any(f.endswith(".h5f") for f in found), found
