@@ -3,7 +3,6 @@
 from abnet3_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
     make_fused_train_step,
-    make_indexed_train_step,
     make_pair_train_step,
     make_split_pair_train_step,
     make_sampled_train_step,

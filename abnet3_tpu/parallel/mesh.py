@@ -38,7 +38,7 @@ from abnet3_tpu.ops.dtw import (align_diff_batch, dtw_align_from_dist,
                                 pairwise_angular_distance)
 
 __all__ = ["make_mesh", "param_shardings", "shard_array",
-           "make_fused_train_step", "make_indexed_train_step",
+           "make_fused_train_step",
            "make_pair_train_step", "make_split_pair_train_step",
            "make_sampled_train_step", "make_sampled_eval_step",
            "use_matrix_loss"]
@@ -269,48 +269,6 @@ def _matrix_cell_terms(cell_loss, e, A_s, A_d_parts, y_s=None, y_d=None):
     y = jnp.concatenate([ys_cells, yd_cells])
     w = jnp.concatenate([A_s.reshape(-1), A_d.reshape(-1)])
     return c, y, w, _split_group_rows(e, A_s, A_d_parts)[-1]
-
-
-def make_indexed_train_step(network, loss, optimizer, bank, mesh: Mesh):
-    """Fused train step over a device-resident TokenBank: each call
-    receives only int32 token-id arrays (same/diff pair ids); the feature
-    gather, DTW alignment, both towers, backward and update all run in one
-    XLA computation with zero per-step feature transfer."""
-    dp = NamedSharding(mesh, P("data"))
-    rep = NamedSharding(mesh, P())
-
-    def step(params, state, opt_state, rng, ids1s, ids2s, ids1d, ids2d):
-        f1s, n1s = bank.take(ids1s)
-        f2s, n2s = bank.take(ids2s)
-        f1d, n1d = bank.take(ids1d)
-        f2d, n2d = bank.take(ids2d)
-        x1, x2, y, w = _align_and_flatten(network, loss, f1s, f2s, n1s,
-                                          n2s, f1d, f2d, n1d, n2d,
-                                          mesh=mesh)
-
-        def loss_fn(p):
-            e1, e2, new_state = network.forward(p, state, x1, x2, rng=rng,
-                                                train=True, weights=w)
-            return loss(e1, e2, y, weights=w), new_state
-
-        (value, new_state), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params)
-        updates, new_opt = optimizer.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), new_state, new_opt, \
-            value
-
-    cache = {}
-
-    def compiled(params, state, opt_state, rng, *ids):
-        if "jit" not in cache:
-            p_shard = param_shardings(params, mesh)
-            cache["jit"] = jax.jit(
-                step,
-                in_shardings=(p_shard, None, None, rep) + (dp,) * 4,
-                out_shardings=(p_shard, None, None, None))
-        return cache["jit"](params, state, opt_state, rng, *ids)
-
-    return compiled
 
 
 def _bank_align(bank, ids1, ids2, y_pair, pair_w,
