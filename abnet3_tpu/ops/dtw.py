@@ -250,25 +250,14 @@ def _pallas_available() -> bool:
                 from abnet3_tpu.ops.pallas_dtw import (dtw_costs_pallas,
                                                        dtw_moves_pallas)
                 probe = jnp.zeros((1, 8, 128), jnp.float32)
-                # probe both kernels: the default align path runs the
-                # fused move kernel, dtw_costs_auto the DP kernel
+                # probe both kernels: the align/path dispatchers run
+                # the fused move/path kernels, dtw_costs_pallas the DP
                 jax.block_until_ready(dtw_moves_pallas(probe))
                 jax.block_until_ready(dtw_costs_pallas(probe))
                 _PALLAS_OK = True
             except Exception:
                 _PALLAS_OK = False
     return _PALLAS_OK
-
-
-def dtw_costs_auto(dist: jnp.ndarray) -> jnp.ndarray:
-    """DTW DP dispatch: Pallas kernel on TPU (1.4x the XLA row scan at
-    B=64, T=96, measured with >=30 warmup steps after compile — earlier
-    parity readings were warmup noise), XLA scan elsewhere.
-    ABNET3_PALLAS_DTW=0 forces the XLA scan everywhere."""
-    if _pallas_enabled():
-        from abnet3_tpu.ops.pallas_dtw import dtw_costs_pallas
-        return dtw_costs_pallas(dist)
-    return dtw_costs(dist)
 
 
 def _pallas_enabled() -> bool:
