@@ -337,3 +337,28 @@ def test_matrix_matches_gather_fuzz():
             vals[mode] = float(evalf(params, state, *args))
         assert vals[False] == pytest.approx(vals[True], abs=3e-5), (
             trial, d, Bs, Bd, bn, adw, loss_cls.__name__)
+
+
+def test_multitask_stretch_matrix_matches_gather():
+    """Multitask + diagonal-stretch diff alignment (the full-mask diff
+    branch with per-pair speaker labels broadcast over (B,T,T) cells)."""
+    rng = np.random.RandomState(17)
+    bank = _bank(seed=17)
+    mesh = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+    net = _multi_net()
+    params, state = net.init_params(jax.random.PRNGKey(0))
+    loss = _multi_loss()
+    opt = optax.sgd(1e-2)
+    yspk_s = jnp.asarray(rng.choice([1.0, -1.0], 8), jnp.float32)
+    yspk_d = jnp.asarray(rng.choice([1.0, -1.0], 8), jnp.float32)
+    args = _split_args(bank) + (yspk_s, yspk_d)
+    vals = {}
+    for mode in (False, True):
+        step, evalf = make_split_pair_train_step(
+            net, loss, opt, bank, mesh, extra_labels=True,
+            align_different_words=True, matrix_loss=mode)
+        o = opt.init(params)
+        _, _, _, v = step(params, state, o, jax.random.PRNGKey(1), *args)
+        vals[mode] = (float(v), float(evalf(params, state, *args)))
+    assert vals[False][0] == pytest.approx(vals[True][0], abs=1e-6)
+    assert vals[False][1] == pytest.approx(vals[True][1], abs=1e-6)
