@@ -1,0 +1,53 @@
+"""Pytree checkpoint IO: flattened npz payloads under .pth names."""
+
+import numpy as np
+import pytest
+
+from abnet3_tpu.serialize import load_pytree, save_pytree
+
+
+def test_roundtrip_nested_mixed(tmp_path):
+    tree = {
+        "params": {
+            "layer_0": {"w": np.random.RandomState(0).randn(4, 3)
+                        .astype(np.float32),
+                        "b": np.zeros(3, np.float32)},
+            "scalars": np.int32(7),
+        },
+        "stack": [np.arange(5), {"inner": np.float64(2.5)}],
+        "empty_d": {},
+        "empty_l": [],
+    }
+    path = str(tmp_path / "net.pth")
+    save_pytree(path, tree, meta={"epoch": 3, "tag": "best"})
+    loaded, meta = load_pytree(path)
+    assert meta == {"epoch": 3, "tag": "best"}
+    np.testing.assert_array_equal(loaded["params"]["layer_0"]["w"],
+                                  tree["params"]["layer_0"]["w"])
+    assert loaded["params"]["layer_0"]["w"].dtype == np.float32
+    assert int(loaded["params"]["scalars"]) == 7
+    np.testing.assert_array_equal(loaded["stack"][0], np.arange(5))
+    assert float(loaded["stack"][1]["inner"]) == 2.5
+    assert loaded["empty_d"] == {}
+    assert loaded["empty_l"] == []
+
+
+def test_no_pickle_execution(tmp_path):
+    """.pth payloads are plain npz: loading never unpickles (a malicious
+    torch-style pickle raises instead of executing)."""
+    import pickle
+    path = str(tmp_path / "evil.pth")
+    with open(path, "wb") as fh:
+        pickle.dump({"boom": 1}, fh)
+    with pytest.raises(Exception):
+        load_pytree(path)
+
+
+def test_key_separator_collision_raises_or_roundtrips(tmp_path):
+    """Keys containing the separator cannot silently corrupt the tree."""
+    tree = {"a::b": np.ones(2, np.float32)}
+    path = str(tmp_path / "sep.pth")
+    save_pytree(path, tree)
+    loaded, _ = load_pytree(path)
+    # documented behavior: the flat key re-nests at the separator
+    assert np.array_equal(loaded["a"]["b"], np.ones(2, np.float32))
