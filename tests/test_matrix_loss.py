@@ -362,3 +362,33 @@ def test_multitask_stretch_matrix_matches_gather():
         vals[mode] = (float(v), float(evalf(params, state, *args)))
     assert vals[False][0] == pytest.approx(vals[True][0], abs=1e-6)
     assert vals[False][1] == pytest.approx(vals[True][1], abs=1e-6)
+
+
+def test_chained_eval_multi_device_matches_single_steps():
+    """K-stacked eval dispatch on a data=4 x model=2 mesh returns the
+    same per-batch losses as K single-device single evals."""
+    bank = _bank(seed=23)
+    net = _net()
+    params, state = net.init_params(jax.random.PRNGKey(0))
+    loss = coscos2()
+    opt = optax.sgd(1e-2)
+    rng_ids = np.random.RandomState(2)
+    batches = []
+    for _ in range(3):
+        perm = rng_ids.permutation(48)
+        batches.append((bank.ids(list(perm[:8])),
+                        bank.ids(list(perm[8:16])), jnp.ones(8),
+                        bank.ids(list(perm[16:24])),
+                        bank.ids(list(perm[24:32])), jnp.ones(8)))
+    mesh1 = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+    _, eval1 = make_split_pair_train_step(net, loss, opt, bank, mesh1)
+    singles = [float(eval1(params, state, *b)) for b in batches]
+
+    mesh8 = make_mesh(n_data=4, n_model=2)
+    _, evalK = make_split_pair_train_step(net, loss, opt, bank, mesh8,
+                                          steps_per_call=3)
+    stacked = tuple(jnp.stack([b[i] for b in batches]) for i in range(6))
+    chained = np.asarray(evalK(params, state, *stacked))
+    assert chained.shape == (3,)
+    for a, b in zip(singles, chained):
+        assert a == pytest.approx(float(b), abs=1e-5)
