@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import io
 import json
+import os
 from typing import Any, Dict
 
 import numpy as np
@@ -56,8 +57,12 @@ def save_pytree(path: str, tree: Any, meta: Dict = None) -> None:
         arrays["__meta__"] = np.frombuffer(
             json.dumps(meta).encode("utf-8"), dtype=np.uint8)
     np.savez(buf, **arrays)
-    with open(path, "wb") as fh:
+    # atomic replace: a crash mid-write must never corrupt the previous
+    # best-network / resume checkpoint (the reference overwrote in place)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
         fh.write(buf.getvalue())
+    os.replace(tmp, path)
 
 
 def load_pytree(path: str):

@@ -51,3 +51,27 @@ def test_key_separator_collision_raises_or_roundtrips(tmp_path):
     loaded, _ = load_pytree(path)
     # documented behavior: the flat key re-nests at the separator
     assert np.array_equal(loaded["a"]["b"], np.ones(2, np.float32))
+
+
+def test_save_is_atomic(tmp_path, monkeypatch):
+    """A crash during the write leaves the previous checkpoint intact
+    (temp-file + os.replace)."""
+    path = str(tmp_path / "ckpt.pth")
+    save_pytree(path, {"v": np.arange(3)})
+    import builtins
+    real_open = builtins.open
+
+    class Boom(RuntimeError):
+        pass
+
+    def failing_open(f, mode="r", *a, **kw):
+        if str(f).endswith(".tmp") and "w" in mode:
+            raise Boom("disk full")
+        return real_open(f, mode, *a, **kw)
+
+    monkeypatch.setattr(builtins, "open", failing_open)
+    with pytest.raises(Boom):
+        save_pytree(path, {"v": np.arange(99)})
+    monkeypatch.undo()
+    loaded, _ = load_pytree(path)
+    np.testing.assert_array_equal(loaded["v"], np.arange(3))
