@@ -512,10 +512,11 @@ def make_split_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
         if A_d.ndim == 2:
             # truncate mode: the same-group loss is affine in the cell
             # statistics, so it folds into masked matmuls
-            # (loss.masked_same_sum) — the (B, T, T) cell matrix and
-            # its elementwise/backward traffic never materialize
-            # (0.37 ms/step at the bench shapes); only the diagonal
-            # diff terms (and tcl) stay elementwise
+            # (loss.masked_same_sum) — the O(B*T^2) cell matrix never
+            # materializes (perf-neutral at T=96 where the A-weighted
+            # backward matmuls dominate either way; memory win grows
+            # with T); only the diagonal diff terms (and tcl) stay
+            # elementwise
             e1s, e2s, e1d, e2d, rest = _split_group_rows(
                 e, A_s, A_d_parts)
             same_sum = loss.masked_same_sum(e1s, e2s, A_s)
