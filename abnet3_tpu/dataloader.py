@@ -856,7 +856,7 @@ class PairsDataLoader(OriginalDataLoader):
         num_test = int(len(self.files) * (1 - self.ratio_split_train_test))
         dev_files = set(random.sample(sorted(self.files, key=str),
                                       num_test))
-        print("File selected for validation set : %s" % dev_files)
+        print("Dev-split files: %s" % dev_files)
         train_pairs, dev_pairs = [], []
         for pair in pairs:
             f1, _, _, f2, _, _ = pair

@@ -177,7 +177,7 @@ class SamplerCluster(SamplerBuilder):
         files = list(self.spkid_from_file)
         num_files_test = int(len(files) * (1 - self.ratio_train_dev))
         dev_files = set(random.sample(files, num_files_test))
-        print("File selected for validation set : %s" % sorted(dev_files))
+        print("Dev-split files: %s" % sorted(dev_files))
         train_clusters, dev_clusters = [], []
         for c in clusters:
             train_c = [[f, s, e] for f, s, e in c if f not in dev_files]
