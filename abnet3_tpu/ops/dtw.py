@@ -271,12 +271,22 @@ def _pallas_enabled() -> bool:
     return _pallas_available()
 
 
+def _pallas_fits(dist_shape, n_buffers: int) -> bool:
+    """Trace-time VMEM guard: False for length buckets whose per-pair
+    planes overflow the kernel budget even at batch block 1 (e.g. a
+    T=2048 bucket is ~50 MB of f32 planes per pair) — the dispatchers
+    then take the XLA scan instead of compile-crashing Mosaic."""
+    from abnet3_tpu.ops.pallas_dtw import fits_vmem
+    B, T1, T2 = dist_shape
+    return fits_vmem(B, T1, T2, n_buffers=n_buffers)
+
+
 def dtw_moves_auto(dist: jnp.ndarray) -> jnp.ndarray:
     """Move matrix for backtrace: the fused Pallas kernel (DP + argmin in
     one kernel; the cost tensor never round-trips through HBM) where
     available — 1.9x the XLA scan + vectorized move pass at B=64, T=96
     (1.08ms vs 2.04ms incl. the distance matmul) — else the XLA path."""
-    if _pallas_enabled():
+    if _pallas_enabled() and _pallas_fits(dist.shape, 2):
         from abnet3_tpu.ops.pallas_dtw import dtw_moves_pallas
         return dtw_moves_pallas(dist)
     return moves_from_costs(dtw_costs(dist))
@@ -293,7 +303,7 @@ def dtw_align_from_dist(dist: jnp.ndarray, n1: jnp.ndarray,
     batch shard — GSPMD cannot auto-partition a pallas_call, but the DP is
     embarrassingly parallel over pairs (pallas_dtw.py
     dtw_moves_pallas_sharded)."""
-    if use_pallas and _pallas_enabled():
+    if use_pallas and _pallas_enabled() and _pallas_fits(dist.shape, 2):
         if mesh is not None and mesh.size > 1:
             from abnet3_tpu.ops.pallas_dtw import dtw_moves_pallas_sharded
             move = dtw_moves_pallas_sharded(dist, mesh)
@@ -313,8 +323,9 @@ def dtw_path_from_dist(dist: jnp.ndarray, n1: jnp.ndarray,
     A[b, i, j] = 1 exactly on the backtrace-path cells, A.sum((1,2)) is
     the path length. Dispatches to the fused forward+reverse Pallas
     kernel on TPU (through shard_map over 'data' when ``mesh`` has >1
-    devices), else the XLA scans."""
-    if use_pallas and _pallas_enabled():
+    devices), else the XLA scans; oversized length buckets (no VMEM-
+    fitting block, see pallas_dtw.fits_vmem) also take the scans."""
+    if use_pallas and _pallas_enabled() and _pallas_fits(dist.shape, 3):
         if mesh is not None and mesh.size > 1:
             from abnet3_tpu.ops.pallas_dtw import dtw_path_pallas_sharded
             return dtw_path_pallas_sharded(dist, n1, n2, mesh)

@@ -43,24 +43,44 @@ except Exception:  # pragma: no cover
 
 __all__ = ["dtw_costs_pallas", "dtw_moves_pallas",
            "dtw_moves_pallas_sharded", "dtw_path_pallas",
-           "dtw_path_pallas_sharded"]
+           "dtw_path_pallas_sharded", "fits_vmem"]
 
 _BIG = 1e30  # plain float: jnp constants cannot be captured by a kernel
-BLOCK_B = 8  # minimum block; the call picks the largest VMEM-fitting block
+BLOCK_B = 8  # preferred block; the call picks the largest VMEM-fitting one
+# VMEM the kernel's per-pair buffers may claim: ~half of a v5e core's
+# 16 MiB, leaving headroom for Mosaic's own staging. Tests monkeypatch
+# this to force shrunk blocks through the interpret-mode parity check.
+VMEM_BUDGET = 8 * 1024 * 1024
 
 
 def _pick_block(B: int, T1: int, T2: int,
-                vmem_budget: int = 8 * 1024 * 1024,
-                n_buffers: int = 2) -> int:
+                vmem_budget: int = None,
+                n_buffers: int = 2):
     """TPU grid iterations run sequentially, so bigger batch blocks mean
     fewer sequential kernel bodies; cap by VMEM (n_buffers 4-byte
-    (T1, T2) planes per pair: in + out, plus any scratch)."""
+    (T1, T2) planes per pair: in + out, plus any scratch). Shrinks below
+    BLOCK_B for long-token buckets where 8 pairs of planes overflow
+    VMEM; returns None when even a single pair does not fit — callers
+    (ops.dtw dispatchers) then fall back to the XLA scan instead of
+    handing Mosaic an uncompilable block (a T=2048 bucket is ~50 MB of
+    planes per pair: no block fits)."""
+    if vmem_budget is None:
+        vmem_budget = VMEM_BUDGET
     per_pair = T1 * T2 * 4 * n_buffers
-    block = BLOCK_B
+    if per_pair > vmem_budget:
+        return None
+    block = 1
     while block * 2 <= max(B, BLOCK_B) and (block * 2) * per_pair \
             <= vmem_budget:
         block *= 2
     return block
+
+
+def fits_vmem(B: int, T1: int, T2: int, n_buffers: int = 3) -> bool:
+    """True when some batch block of a (B, T1, T2) problem fits the
+    kernel VMEM budget (n_buffers=3 covers the fused path kernel, the
+    largest consumer: dist in + mask out + move scratch)."""
+    return _pick_block(B, T1, T2, n_buffers=n_buffers) is not None
 
 
 def _shift_right(x, k, fill):
@@ -195,8 +215,12 @@ def _dtw_path_kernel(dist_ref, n1_ref, n2_ref, out_ref, mv_ref):
     jax.lax.fori_loop(1, T1, fwd_step, prev0)
 
     # ---- phase 2: reverse DP -> on-path mask
-    n1m1 = n1_ref[:, :1] - 1                          # (B, 1)
-    seed_col = (col == (n2_ref[:, :1] - 1)).astype(jnp.float32)
+    # n refs are (B, 1, 1): their constrained last-two dims are (1, 1)
+    # == the full array dims, so ANY batch block is Mosaic-legal (a 2-D
+    # (block, 1) ref needs block % 8 == 0, which shrunk VMEM blocks for
+    # long buckets violate)
+    n1m1 = n1_ref[:, 0, :] - 1                        # (B, 1)
+    seed_col = (col == (n2_ref[:, 0, :] - 1)).astype(jnp.float32)
 
     def rev_step(t, carry):
         r_below, mv_below = carry
@@ -228,6 +252,11 @@ def dtw_path_pallas(dist: jnp.ndarray, n1: jnp.ndarray, n2: jnp.ndarray,
     Same cells as ops.dtw.onpath_from_moves (tested equal)."""
     B, T1, T2 = dist.shape
     block = _pick_block(B, T1, T2, n_buffers=3)  # in + out + move scratch
+    if block is None:
+        raise ValueError(
+            f"DTW shape (T1={T1}, T2={T2}) exceeds the Pallas VMEM "
+            "budget even at block=1; use ops.dtw.dtw_path_from_dist, "
+            "which falls back to the XLA scan for such buckets")
     pad = (-B) % block
     if pad:
         dist = jnp.concatenate(
@@ -241,9 +270,9 @@ def dtw_path_pallas(dist: jnp.ndarray, n1: jnp.ndarray, n2: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((block, T1, T2), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, 1), lambda i: (i, 0),
+            pl.BlockSpec((block, 1, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, 1), lambda i: (i, 0),
+            pl.BlockSpec((block, 1, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block, T1, T2), lambda i: (i, 0, 0),
@@ -252,7 +281,8 @@ def dtw_path_pallas(dist: jnp.ndarray, n1: jnp.ndarray, n2: jnp.ndarray,
         scratch_shapes=[pltpu.VMEM((block, T1, T2), jnp.int32)],
         interpret=interpret,
     )(dist.astype(jnp.float32),
-      n1.astype(jnp.int32)[:, None], n2.astype(jnp.int32)[:, None])
+      n1.astype(jnp.int32)[:, None, None],
+      n2.astype(jnp.int32)[:, None, None])
     return out[:B]
 
 
@@ -277,6 +307,11 @@ def dtw_moves_pallas(dist: jnp.ndarray, interpret: bool = False
     """Batched DTW move matrix (int8) via the fused Pallas kernel."""
     B, T1, T2 = dist.shape
     block = _pick_block(B, T1, T2)
+    if block is None:
+        raise ValueError(
+            f"DTW shape (T1={T1}, T2={T2}) exceeds the Pallas VMEM "
+            "budget even at block=1; use ops.dtw.dtw_align_from_dist, "
+            "which falls back to the XLA scan for such buckets")
     pad = (-B) % block
     if pad:
         dist = jnp.concatenate(
@@ -328,6 +363,11 @@ def dtw_costs_pallas(dist: jnp.ndarray, interpret: bool = False
     """
     B, T1, T2 = dist.shape
     block = _pick_block(B, T1, T2)
+    if block is None:
+        raise ValueError(
+            f"DTW shape (T1={T1}, T2={T2}) exceeds the Pallas VMEM "
+            "budget even at block=1; use ops.dtw.dtw_costs (XLA scan) "
+            "for such buckets")
     pad = (-B) % block
     if pad:
         dist = jnp.concatenate(
