@@ -22,7 +22,41 @@ from abnet3_tpu.io.h5f import read_h5features, write_h5features
 from abnet3_tpu.utils import EmbeddingObserver
 
 __all__ = ["EmbedderBuilder", "EmbedderSiamese", "EmbedderSiameseMultitask",
-           "MultimodalEmbedder"]
+           "MultimodalEmbedder", "encode_transfer", "decode_transfer"]
+
+
+def encode_transfer(out, transfer_dtype: str):
+    """Device-side transfer codec: shrink the bytes a chunk of embeddings
+    ships over the device->host link (the export bottleneck on slow
+    links; the files always store float32 — the codec only lives on the
+    wire). Returns a tuple of leaves:
+
+    - ``float32``: identity, 4 B/value.
+    - ``bfloat16``: cast, 2 B/value, ~3 decimal digits.
+    - ``int8``: per-chunk affine quantization ``q = round((x-lo)/scale)``
+      with scalar lo/scale riding along, 1 B/value; roundtrip error is
+      <= scale/2 = (hi-lo)/510 — for sigmoid/tanh-bounded embeddings
+      that is ~2e-3 absolute, the same ballpark as bfloat16.
+    """
+    import jax.numpy as jnp
+    if transfer_dtype == "bfloat16":
+        return (out.astype(jnp.bfloat16),)
+    if transfer_dtype == "int8":
+        lo = jnp.min(out)
+        scale = jnp.maximum(jnp.max(out) - lo, 1e-12) / 255.0
+        q = jnp.round((out - lo) / scale).astype(jnp.uint8)
+        return (q, lo.astype(jnp.float32), scale.astype(jnp.float32))
+    return (out,)
+
+
+def decode_transfer(leaves) -> np.ndarray:
+    """Host-side inverse of :func:`encode_transfer` -> float32 array."""
+    if len(leaves) == 1:
+        host = np.asarray(leaves[0])
+        return host if host.dtype == np.float32 \
+            else host.astype(np.float32)
+    q, lo, scale = (np.asarray(p) for p in leaves)
+    return q.astype(np.float32) * float(scale) + float(lo)
 
 
 class EmbedderBuilder:
@@ -33,7 +67,7 @@ class EmbedderBuilder:
                  transfer_dtype="float32"):
         if network is None:
             raise ValueError("network is None.")
-        assert transfer_dtype in ("float32", "bfloat16")
+        assert transfer_dtype in ("float32", "bfloat16", "int8")
         self.network = network
         self.network_path = network_path
         self.feature_path = feature_path
@@ -46,9 +80,10 @@ class EmbedderBuilder:
             mesh = make_mesh(n_data=mesh.get("data"),
                              n_model=mesh.get("model", 1))
         self.mesh = mesh  # shard chunks over 'data'
-        # 'bfloat16' casts embeddings on device before the d2h copy —
-        # halves export transfer bytes (the bottleneck on slow links) at
-        # ~3 decimal digits of precision; files still store float32
+        # transfer codec for the d2h embedding copies (the bottleneck on
+        # slow links): 'bfloat16' halves bytes, 'int8' quarters them
+        # (per-chunk affine quantization, see encode_transfer); files
+        # always store float32
         self.transfer_dtype = transfer_dtype
         if mesh is not None:
             # chunk rows must divide evenly over the data axis
@@ -65,24 +100,28 @@ class EmbedderBuilder:
 
     def _forward_fn(self):
         network = self.network
-
         transfer_dtype = self.transfer_dtype
 
         def forward_impl(params, state, x):
             out, _ = network.forward_once(params, state, x, train=False)
-            if transfer_dtype == "bfloat16":
-                out = out.astype(jnp.bfloat16)
-            return out
+            return (encode_transfer(out, transfer_dtype),)
 
-        if self.mesh is not None:
-            # data-parallel inference: frames sharded over the mesh's
-            # 'data' axis, params replicated; GSPMD handles the rest
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            dp = NamedSharding(self.mesh, P("data"))
-            return jax.jit(forward_impl,
-                           in_shardings=(None, None, dp),
-                           out_shardings=dp)
-        return jax.jit(forward_impl)
+        return self._jit_forward(forward_impl, n_heads=1)
+
+    def _jit_forward(self, forward_impl, n_heads: int, n_modalities=1):
+        """jit a forward that returns ``n_heads`` encoded heads (each a
+        tuple of codec leaves, see encode_transfer). With a mesh, frames
+        shard over 'data' (data-parallel inference, params replicated);
+        codec scalars replicate."""
+        if self.mesh is None:
+            return jax.jit(forward_impl)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        dp = NamedSharding(self.mesh, P("data"))
+        rep = NamedSharding(self.mesh, P())
+        head = (dp, rep, rep) if self.transfer_dtype == "int8" else (dp,)
+        return jax.jit(forward_impl,
+                       in_shardings=(None, None) + (dp,) * n_modalities,
+                       out_shardings=(head,) * n_heads)
 
     def _embed_corpus(self, forward, feats_list, n_outputs: int = 1):
         """Embed every file's frames through fixed-size padded chunks.
@@ -92,9 +131,10 @@ class EmbedderBuilder:
         compute, h2d and d2h transfers overlap across the whole corpus
         (the reference synchronizes per chunk, reference embedder.py:88-96).
 
-        n_outputs > 1: ``forward`` returns that many embedding heads per
-        chunk (multitask spk/phn, multimodal emb+attention); returns one
-        corpus list per head.
+        ``forward`` returns a tuple of ``n_outputs`` heads per chunk
+        (multitask spk/phn, multimodal emb+attention), each head an
+        encoded leaf tuple (encode_transfer); returns one corpus list
+        per head (decoded float32).
 
         A ``feats_list`` entry may be a tuple of per-modality arrays
         (equal frame counts); each modality is chunked/padded in sync and
@@ -108,11 +148,8 @@ class EmbedderBuilder:
 
         def drain_one():
             fi, valid, embs = pending.pop(0)
-            for h, emb in enumerate(embs):
-                host = np.asarray(emb)[:valid]
-                if host.dtype != np.float32:
-                    host = host.astype(np.float32)
-                outputs[h][fi].append(host)
+            for h, head in enumerate(embs):
+                outputs[h][fi].append(decode_transfer(head)[:valid])
 
         for fi, feat in enumerate(feats_list):
             mods = feat if isinstance(feat, tuple) else (feat,)
@@ -131,13 +168,12 @@ class EmbedderBuilder:
                             (pad, m.shape[1]), np.float32)])
                     chunks.append(jnp.asarray(chunk))
                 embs = forward(params, state, *chunks)
-                if n_outputs == 1:
-                    embs = (embs,)
-                for emb in embs:
-                    try:
-                        emb.copy_to_host_async()
-                    except AttributeError:
-                        pass
+                for head in embs:
+                    for leaf in head:
+                        try:
+                            leaf.copy_to_host_async()
+                        except AttributeError:
+                            pass
                 pending.append((fi, min(bs, n_frames - c0), embs))
                 if len(pending) >= window:
                     drain_one()
@@ -184,14 +220,13 @@ class EmbedderSiameseMultitask(EmbedderBuilder):
 
         transfer_dtype = self.transfer_dtype
 
-        @jax.jit
-        def forward(params, state, x):
+        def forward_impl(params, state, x):
             spk, phn, _ = network.forward_once(params, state, x,
                                                train=False)
-            if transfer_dtype == "bfloat16":
-                spk = spk.astype(jnp.bfloat16)
-                phn = phn.astype(jnp.bfloat16)
-            return spk, phn
+            return (encode_transfer(spk, transfer_dtype),
+                    encode_transfer(phn, transfer_dtype))
+
+        forward = self._jit_forward(forward_impl, n_heads=2)
 
         # both heads ride the pipelined corpus path (async dispatch +
         # overlapped d2h), same as the monotask embedder
@@ -247,7 +282,7 @@ class MultimodalEmbedder(EmbedderBuilder):
                 unit._last_weight = None  # trace-time reset (see below)
             emb, _ = network.forward_once(params, state, list(xs),
                                           train=False)
-            outs = [emb]
+            outs = [encode_transfer(emb, transfer_dtype)]
             if want_attention:
                 # apply() stored this trace's attention tensor; None means
                 # the unit is frozen to a scalar (headstart)
@@ -255,20 +290,12 @@ class MultimodalEmbedder(EmbedderBuilder):
                 if w is None:
                     w = jnp.full((xs[0].shape[0], 1),
                                  float(unit.get_weights()))
-                outs.append(w)
-            if transfer_dtype == "bfloat16":
-                outs = [o.astype(jnp.bfloat16) for o in outs]
-            return outs[0] if len(outs) == 1 else tuple(outs)
+                outs.append(encode_transfer(w, transfer_dtype))
+            return tuple(outs)
 
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            dp = NamedSharding(self.mesh, P("data"))
-            forward = jax.jit(
-                forward_impl,
-                in_shardings=(None, None) + (dp,) * len(datasets),
-                out_shardings=dp if not want_attention else (dp, dp))
-        else:
-            forward = jax.jit(forward_impl)
+        forward = self._jit_forward(
+            forward_impl, n_heads=2 if want_attention else 1,
+            n_modalities=len(datasets))
 
         feats_list = [tuple(fs)
                       for fs in zip(*(d.features() for d in datasets))]

@@ -145,3 +145,70 @@ def test_embedder_mesh_dict(feature_file, tmp_path):
     assert emb.batch_size % 8 == 0
     emb.embed()
     assert read_h5features(out).items() == items
+
+
+def test_embedder_int8_transfer(feature_file, tmp_path):
+    """transfer_dtype='int8' quarters d2h bytes (per-chunk affine
+    quantization); output stays float32 with roundtrip error bounded by
+    scale/2 = (hi-lo)/510 of each chunk's value range."""
+    path, items, feats, _ = feature_file
+    net = SiameseNetwork(input_dim=6, num_hidden_layers=1, hidden_dim=16,
+                         output_dim=7, p_dropout=0.0,
+                         activation_layer="sigmoid",
+                         last_non_linearity=None)
+    net.ensure_init(0)
+    out32 = str(tmp_path / "e32.h5f")
+    EmbedderSiamese(network=net, feature_path=path, output_path=out32,
+                    batch_size=64).embed()
+    out8 = str(tmp_path / "e8.h5f")
+    EmbedderSiamese(network=net, feature_path=path, output_path=out8,
+                    batch_size=64, transfer_dtype="int8").embed()
+    a = read_h5features(out32)
+    b = read_h5features(out8)
+    for fa, fb in zip(a.features(), b.features()):
+        assert fb.dtype == np.float32
+        # per-chunk bound; padded zero rows can widen a chunk's range to
+        # include 0, so bound by the widened range
+        rng_bound = (max(fa.max(), 0.0) - min(fa.min(), 0.0)) / 510 + 1e-6
+        assert np.max(np.abs(fa - fb)) <= rng_bound
+
+
+def test_embedder_int8_multitask_and_mesh(feature_file, tmp_path):
+    """The int8 codec rides the multitask two-head export and the
+    sharded-mesh path (codec scalars replicate, q shards over 'data')."""
+    from abnet3_tpu.parallel import make_mesh
+    path, items, feats, _ = feature_file
+    net = SiameseMultitaskNetwork(
+        input_dim=6, num_hidden_layers_shared=1, num_hidden_layers_spk=0,
+        num_hidden_layers_phn=0, hidden_dim=8, output_dim=5, p_dropout=0.0,
+        activation_layer="sigmoid")
+    net.ensure_init(0)
+    out = str(tmp_path / "emb.h5f")
+    EmbedderSiameseMultitask(network=net, feature_path=path,
+                             output_path=out, batch_size=64).embed()
+    out8 = str(tmp_path / "emb8.h5f")
+    EmbedderSiameseMultitask(network=net, feature_path=path,
+                             output_path=out8, batch_size=64,
+                             transfer_dtype="int8").embed()
+    for suffix in (".spk", ".phn"):
+        a = read_h5features(out + suffix)
+        b = read_h5features(out8 + suffix)
+        for fa, fb in zip(a.features(), b.features()):
+            np.testing.assert_allclose(fa, fb, atol=8e-3)
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    snet = SiameseNetwork(input_dim=6, num_hidden_layers=1, hidden_dim=16,
+                          output_dim=7, p_dropout=0.0,
+                          activation_layer="sigmoid")
+    snet.ensure_init(0)
+    outm = str(tmp_path / "embm.h5f")
+    EmbedderSiamese(network=snet, feature_path=path, output_path=outm,
+                    batch_size=48, mesh=mesh,
+                    transfer_dtype="int8").embed()
+    outs = str(tmp_path / "embs.h5f")
+    EmbedderSiamese(network=snet, feature_path=path, output_path=outs,
+                    batch_size=48).embed()
+    a = read_h5features(outs)
+    b = read_h5features(outm)
+    for fa, fb in zip(a.features(), b.features()):
+        np.testing.assert_allclose(fa, fb, atol=8e-3)
