@@ -40,8 +40,8 @@ from abnet3_tpu.utils import (Features_Accessor, get_dtw_alignment,
                               group_pairs, read_dataset, read_feats,
                               read_spkid_file)
 
-__all__ = ["Batch", "BankBatch", "SplitBankBatch", "DataLoader",
-           "OriginalDataLoader",
+__all__ = ["Batch", "BankBatch", "SplitBankBatch", "FrameBankBatch",
+           "DataLoader", "OriginalDataLoader",
            "PairsDataLoader", "TemporalCoherenceDataLoader",
            "FramesDataLoader", "MultiTaskDataLoader",
            "MultimodalDataLoader", "OnDeviceSamplerDataLoader",
@@ -65,13 +65,19 @@ class Batch(NamedTuple):
 class BankBatch(NamedTuple):
     """An index-only batch against a device-resident TokenBank: the step
     streams just token ids + per-pair labels/weights (a few hundred
-    bytes), all feature work happens on device."""
+    bytes), all feature work happens on device. The tcl_* fields carry a
+    static temporal-coherence frame-index group when tcl > 0 (same
+    contract as SplitBankBatch)."""
     ids1: object
     ids2: object
     y: object
     pair_w: object
     y_spk: object = None
     bucket: object = None  # static length bucket (max token frames)
+    tcl_i1: object = None
+    tcl_i2: object = None
+    tcl_y: object = None
+    tcl_w: object = None
 
 
 class SplitBankBatch(NamedTuple):
@@ -97,6 +103,21 @@ class SplitBankBatch(NamedTuple):
     tcl_i2: object = None
     tcl_y: object = None
     tcl_w: object = None
+
+
+class FrameBankBatch(NamedTuple):
+    """Index-only frame batch against device-resident frame table(s)
+    (dataloader.frame_tables): the step gathers X1 = table[i1],
+    X2 = table[i2] inside the jitted computation; the host streams only
+    int32 row indices — no per-batch feature h2d (the round-2 Frames /
+    Multimodal / TemporalCoherence loaders shipped the features
+    themselves with every batch). ``mode`` selects the train/dev table;
+    padded rows carry weight 0."""
+    i1: object
+    i2: object
+    y: object
+    weights: object = None
+    mode: str = "train"
 
 
 def prefetch_iterator(iterator, size: int = 2):
@@ -170,10 +191,6 @@ class OriginalDataLoader(DataLoader):
         # 'bank'  : whole token corpus resident in HBM, index-only batches
         # 'host'  : reference-exact numpy path (parity tests)
         assert align_backend in ("device", "bank", "host")
-        assert not (tcl > 0 and align_backend == "bank"
-                    and not bank_split), (
-            "temporal-coherence mixing on the bank backend needs the "
-            "split path (bank_split=True) for its static tcl group")
         self.pairs_path = pairs_path
         self.features_path = features_path
         self.statistics_training = defaultdict(int)
@@ -219,7 +236,8 @@ class OriginalDataLoader(DataLoader):
     _HEAVY_ATTRS = ("features", "token_bank", "_bank_pairs",
                     "frame_bank",
                     "features_dict", "device_samplers", "_banks")
-    _HEAVY_MODE_DICTS = ("token_features", "frame_pairs", "token_tables")
+    _HEAVY_MODE_DICTS = ("token_features", "frame_pairs", "token_tables",
+                         "_tables_dev")
 
     def __getstate__(self):
         d = dict(self.__dict__)
@@ -375,12 +393,16 @@ class OriginalDataLoader(DataLoader):
                     ((by > 0) & (w > 0)).sum())
                 self.statistics_training["DiffType"] += int(
                     ((by < 0) & (w > 0)).sum())
-            # stage on device from the (prefetch) thread so transfers
-            # overlap with the previous step's compute
-            yield BankBatch(jnp.asarray(bi1), jnp.asarray(bi2),
-                            jnp.asarray(by), jnp.asarray(w),
-                            None if bspk is None else jnp.asarray(bspk),
-                            bucket=bucket)
+            # numpy on purpose: the trainer host-stacks K same-bucket
+            # batches into one chained dispatch (same rationale as
+            # SplitBankBatch; one h2d per stacked field amortizes over K)
+            tcl_fields = {}
+            if getattr(self, "frame_bank", None) is not None:
+                ti1, ti2, ty, tw = self._sample_tcl_group()
+                tcl_fields = dict(tcl_i1=ti1, tcl_i2=ti2,
+                                  tcl_y=ty, tcl_w=tw)
+            yield BankBatch(bi1.astype(np.int32), bi2.astype(np.int32),
+                            by, w, bspk, bucket=bucket, **tcl_fields)
 
     def get_token_feats(self, pairs, frames=False):
         """Slice unique token features (reference dataloader.py:147-164)."""
@@ -674,20 +696,28 @@ class OriginalDataLoader(DataLoader):
         # static tcl group size per batch: per-anchor yield is
         # 1 same + len(TCL_DISTANCES_DIFF) diff pairs; the anchor count
         # approximates tcl/(1-tcl) of the batch's expected frame pairs
-        # (the step rescales weights to the exact fraction)
-        per_iter = len(self.TCL_DISTANCE_SAME) + len(self.TCL_DISTANCES_DIFF)
-        mean_len = float(self.token_bank.lengths_host.mean())
-        approx_frames = self.batch_size * 1.25 * mean_len
-        self._tcl_anchors = max(1, round(
-            self.tcl / (1.0 - self.tcl) * approx_frames / per_iter))
+        # (the step rescales weights to the exact fraction). Pure-tcl
+        # loaders (TemporalCoherenceDataLoader) have no token bank and
+        # size their groups from batch_size directly.
+        if self.token_bank is not None and self.tcl > 0:
+            per_iter = (len(self.TCL_DISTANCE_SAME)
+                        + len(self.TCL_DISTANCES_DIFF))
+            mean_len = float(self.token_bank.lengths_host.mean())
+            approx_frames = self.batch_size * 1.25 * mean_len
+            self._tcl_anchors = max(1, round(
+                self.tcl / (1.0 - self.tcl) * approx_frames / per_iter))
+        else:
+            self._tcl_anchors = None
 
-    def _sample_tcl_group(self):
+    def _sample_tcl_group(self, n_anchors=None):
         """One static-size tcl index group: close positives (dt=1), far
         negatives (dt in {15,20,25,30}), anchors uniform over files then
         over time (reference dataloader.py:333-352)."""
         files = self._tcl_files
+        if n_anchors is None:
+            n_anchors = self._tcl_anchors
         i1, i2, y = [], [], []
-        for fi in self._rng.randint(len(files), size=self._tcl_anchors):
+        for fi in self._rng.randint(len(files), size=n_anchors):
             off, max_t = files[fi]
             a = off + self._rng.randint(max_t)
             for dt in self.TCL_DISTANCE_SAME:
@@ -957,9 +987,8 @@ class PairsDataLoader(OriginalDataLoader):
         i2 = np.asarray(ids2, np.int32)
         bucket = self.token_bank.bucket_for(
             int(np.maximum(lens[i1[:n]], lens[i2[:n]]).max()))
-        return BankBatch(jnp.asarray(i1), jnp.asarray(i2),
-                         jnp.asarray(np.asarray(ys, np.float32)),
-                         jnp.asarray(w), bucket=bucket)
+        return BankBatch(i1, i2, np.asarray(ys, np.float32), w,
+                         bucket=bucket)
 
 
 class TemporalCoherenceDataLoader(OriginalDataLoader):
@@ -968,16 +997,40 @@ class TemporalCoherenceDataLoader(OriginalDataLoader):
 
     def __init__(self, pairs_path, features_path, batch_size=500,
                  test_words_batch_size=8, num_max_minibatches=1000,
-                 align_backend="device"):
+                 align_backend="device", steps_per_call=8):
         super().__init__(pairs_path, features_path,
                          num_max_minibatches=num_max_minibatches,
                          batch_size=test_words_batch_size,
-                         align_backend=align_backend)
+                         align_backend=align_backend,
+                         steps_per_call=steps_per_call)
         self.test_words_batch_size = test_words_batch_size
         self.batch_size = batch_size
 
+    def frame_tables(self, train_mode=True):
+        """The tcl frame bank is the (single) frame table: train batches
+        are index groups into it (dev uses word-pair batches)."""
+        self.load_data()
+        if self.frame_bank is None:
+            self._build_frame_bank()
+        return (self.frame_bank,)
+
     def batch_iterator(self, train_mode=True):
         self.load_data()
+        if train_mode and self.align_backend != "host":
+            # device path: frames live in the HBM bank; each batch is a
+            # static tcl index group (the host path re-ships the frame
+            # features themselves per batch)
+            if self.frame_bank is None:
+                self._build_frame_bank()
+            if self.frame_bank is not None:
+                per_iter = (len(self.TCL_DISTANCE_SAME)
+                            + len(self.TCL_DISTANCES_DIFF))
+                anchors = max(1, round(self.batch_size / per_iter))
+                for _ in range(self.num_max_minibatches):
+                    i1, i2, y, w = self._sample_tcl_group(anchors)
+                    yield FrameBankBatch(i1, i2, y, w, mode="train")
+                return
+            # no train file is long enough for tcl pairs: fall through
         if train_mode:
             for _ in range(self.num_max_minibatches):
                 X1, X2, Y = self.temporal_coherence_loss(
@@ -1006,15 +1059,18 @@ class FramesDataLoader(OriginalDataLoader):
 
     def __init__(self, pairs_path, features_path, batch_size=100,
                  randomize_dataset=True, max_batches_per_epoch=None,
-                 align_backend="device", align_chunk=256):
+                 align_backend="device", align_chunk=256,
+                 steps_per_call=8):
         super().__init__(pairs_path, features_path,
-                         align_backend=align_backend)
+                         align_backend=align_backend,
+                         steps_per_call=steps_per_call)
         self.randomize_dataset = randomize_dataset
         self.batch_size = batch_size
         self.max_batches_per_epoch = max_batches_per_epoch
         self.align_chunk = align_chunk
         self.token_features = {"train": None, "dev": None}
         self.frame_pairs = {"train": None, "dev": None}
+        self._tables_dev = {"train": None, "dev": None}
         if self.max_batches_per_epoch is not None:
             self.batch_position = 0
 
@@ -1117,9 +1173,45 @@ class FramesDataLoader(OriginalDataLoader):
         self.batch_position += self.max_batches_per_epoch
         return ids
 
+    def frame_tables(self, train_mode=True):
+        """Device-resident frame table(s) for this mode, uploaded once
+        (consumed by parallel.make_frame_train_step)."""
+        self.load_data()
+        mode = "train" if train_mode else "dev"
+        if self._tables_dev.get(mode) is None:
+            self._tables_dev[mode] = (
+                jnp.asarray(self.token_features[mode]),)
+        return self._tables_dev[mode]
+
+    def _index_batches(self, mode):
+        """Yield fixed-shape FrameBankBatch index batches (ragged tails
+        pad with weight 0 so every epoch compiles one step variant)."""
+        frames = self.frame_pairs[mode]
+        bs = self.batch_size
+        num_batches = max(len(frames) // bs, 1)
+        for i in self._epoch_batch_ids(mode, num_batches):
+            chunk = frames[i * bs:(i + 1) * bs]
+            n = len(chunk)
+            if n == 0:
+                continue
+            w = np.ones(bs, np.float32)
+            if n < bs:
+                w[n:] = 0.0
+                chunk = np.vstack([chunk, np.zeros((bs - n, 3),
+                                                   chunk.dtype)])
+            yield FrameBankBatch(chunk[:, 0].astype(np.int32),
+                                 chunk[:, 1].astype(np.int32),
+                                 chunk[:, 2].astype(np.float32), w,
+                                 mode=mode)
+
     def batch_iterator(self, train_mode=True):
         self.load_data()
         mode = "train" if train_mode else "dev"
+        if self.align_backend != "host":
+            # device path: the table lives in HBM, batches are indices
+            self.frame_tables(train_mode)
+            yield from self._index_batches(mode)
+            return
         frames = self.frame_pairs[mode]
         table = self.token_features[mode]
         num_batches = max(len(frames) // self.batch_size, 1)
@@ -1296,12 +1388,13 @@ class MultimodalDataLoader(FramesDataLoader):
 
     def __init__(self, pairs_path, features_path, batch_size=500,
                  randomize_dataset=False, max_batches_per_epoch=None,
-                 align_backend="device"):
+                 align_backend="device", steps_per_call=8):
         assert isinstance(features_path, (list, tuple)), \
             "MultimodalDataLoader takes a list of feature paths"
         super().__init__(pairs_path, features_path, batch_size,
                          randomize_dataset, max_batches_per_epoch,
-                         align_backend=align_backend)
+                         align_backend=align_backend,
+                         steps_per_call=steps_per_call)
         self.features_dict = None
         self.token_tables = {"train": None, "dev": None}
 
@@ -1333,9 +1426,25 @@ class MultimodalDataLoader(FramesDataLoader):
                 self.token_tables[mode] = tables
                 self.frame_pairs[mode] = frames
 
+    def frame_tables(self, train_mode=True):
+        """One device-resident table per modality, uploaded once."""
+        self.load_data()
+        mode = "train" if train_mode else "dev"
+        if self._tables_dev.get(mode) is None:
+            self._tables_dev[mode] = tuple(
+                jnp.asarray(t) for t in self.token_tables[mode])
+        return self._tables_dev[mode]
+
     def batch_iterator(self, train_mode=True):
         self.load_data()
         mode = "train" if train_mode else "dev"
+        if self.align_backend != "host":
+            # device path: per-modality tables live in HBM; a 500-frame
+            # two-modality batch streams ~4 KB of indices instead of
+            # ~1.1 MB of features
+            self.frame_tables(train_mode)
+            yield from self._index_batches(mode)
+            return
         frames = self.frame_pairs[mode]
         tables = self.token_tables[mode]
         num_batches = max(len(frames) // self.batch_size, 1)

@@ -2,6 +2,7 @@
 
 from abnet3_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
+    make_frame_train_step,
     make_fused_train_step,
     make_pair_train_step,
     make_split_pair_train_step,

@@ -38,7 +38,7 @@ from abnet3_tpu.ops.dtw import (align_diff_batch, dtw_align_from_dist,
                                 pairwise_angular_distance)
 
 __all__ = ["make_mesh", "param_shardings", "shard_array",
-           "make_fused_train_step",
+           "make_fused_train_step", "make_frame_train_step",
            "make_pair_train_step", "make_split_pair_train_step",
            "make_sampled_train_step", "make_sampled_eval_step",
            "use_matrix_loss"]
@@ -76,6 +76,17 @@ def param_shardings(params, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(
         lambda path, leaf: NamedSharding(mesh, spec_for(path, leaf)),
         params)
+
+
+def opt_update(optimizer, grads, opt_state, params, value, value_fn):
+    """optimizer.update with the closure extra-args every step factory
+    provides: optax's LBFGS zoom linesearch consumes
+    (value, grad, value_fn) — the torch closure-mode contract of the
+    reference's LBFGS (reference trainer.py:68-87) — while every other
+    optax transform is a GradientTransformationExtraArgs that ignores
+    them (and XLA dead-code-eliminates the unused value_fn closure)."""
+    return optimizer.update(grads, opt_state, params, value=value,
+                            grad=grads, value_fn=value_fn)
 
 
 def use_matrix_loss(loss, extra_labels: bool = False,
@@ -553,7 +564,9 @@ def make_split_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
 
             (value, new_state), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)
-            updates, new_opt = optimizer.update(grads, opt_state, params)
+            updates, new_opt = opt_update(optimizer, grads, opt_state,
+                                          params, value,
+                                          lambda q: loss_fn(q)[0])
             return (optax.apply_updates(params, updates), new_state,
                     new_opt, value)
     else:
@@ -573,7 +586,9 @@ def make_split_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
 
             (value, new_state), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)
-            updates, new_opt = optimizer.update(grads, opt_state, params)
+            updates, new_opt = opt_update(optimizer, grads, opt_state,
+                                          params, value,
+                                          lambda q: loss_fn(q)[0])
             return (optax.apply_updates(params, updates), new_state,
                     new_opt, value)
 
@@ -724,7 +739,9 @@ def make_sampled_train_step(network, loss, optimizer, bank, sampler,
 
         (value, new_state), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
-        updates, new_opt = optimizer.update(grads, opt_state, params)
+        updates, new_opt = opt_update(optimizer, grads, opt_state,
+                                      params, value,
+                                      lambda q: loss_fn(q)[0])
         return (optax.apply_updates(params, updates), new_state, new_opt,
                 value)
 
@@ -756,18 +773,26 @@ def make_sampled_train_step(network, loss, optimizer, bank, sampler,
 
 def make_sampled_eval_step(network, loss, bank, sampler, mesh: Mesh,
                            align_different_words: bool = False,
-                           matrix_loss: Optional[bool] = None):
+                           matrix_loss: Optional[bool] = None,
+                           steps_per_call: int = 1):
     """Eval twin of make_sampled_train_step: sample + align + loss, no
-    gradient/update."""
+    gradient/update.
+
+    steps_per_call > 1 scans that many freshly-sampled eval batches in
+    one dispatch and returns the (K,) per-batch losses — the dev pass
+    amortizes the per-dispatch latency exactly like the train pass
+    (round-2 review weak #5: the one-eval-per-dispatch dev pass
+    dominated small-epoch wall-clock through a ~50 ms-dispatch link)."""
     rep = NamedSharding(mesh, P())
     matrix = use_matrix_loss(loss, override=matrix_loss)
+    assert steps_per_call >= 1, "steps_per_call must be >= 1"
 
     if mesh.size > 1:
         assert sampler.batch_size % mesh.shape["data"] == 0, (
             "sampler batch_size must divide the mesh 'data' axis so the "
             "sharded Pallas DTW kernel gets equal per-device blocks")
 
-    def step(params, state, rng):
+    def one(params, state, rng):
         ids1, ids2, y_pair = sampler.sample(rng)
         pair_w = jnp.ones_like(y_pair)
         if matrix:
@@ -780,6 +805,16 @@ def make_sampled_eval_step(network, loss, bank, sampler, mesh: Mesh,
                                    align_different_words, mesh)
         e1, e2, _ = network.forward(params, state, x1, x2, train=False)
         return loss(e1, e2, y, weights=w)
+
+    if steps_per_call == 1:
+        step = one
+    else:
+        def step(params, state, rng):
+            def body(_, k):
+                return None, one(params, state, jax.random.fold_in(rng, k))
+            _, values = jax.lax.scan(body, None,
+                                     jnp.arange(steps_per_call))
+            return values
 
     cache = {}
 
@@ -797,7 +832,9 @@ def make_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
                          align_different_words: bool = False,
                          extra_labels: bool = False,
                          max_frames: int = None,
-                         matrix_loss: Optional[bool] = None):
+                         matrix_loss: Optional[bool] = None,
+                         steps_per_call: int = 1,
+                         frame_bank=None, tcl: float = 0.0):
     """Uniform fused train step over a TokenBank: every pair is (id1, id2,
     y, pair_weight) — same-word pairs (y=+1) are DTW-aligned, diff-word
     pairs (y=-1) truncate/diagonal-aligned, selected per pair with a
@@ -806,123 +843,169 @@ def make_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
 
     extra_labels adds a second per-pair label stream (speaker labels for
     the multitask network); the step then returns the multitask loss.
-    """
+
+    steps_per_call > 1: like make_split_pair_train_step, the train step
+    takes K stacked batches (leading axis K on every batch array) and
+    lax.scans K optimizer steps in one dispatch; the eval twin scans K
+    losses per dispatch (returns the (K,) per-batch values).
+
+    frame_bank + tcl > 0 (monotask only): each batch carries a
+    temporal-coherence group of frame-index pairs (4 extra args: i1, i2,
+    y, w) mixed into the loss at exactly the tcl/(1-tcl) weight fraction
+    — the same contract as the split factory, so the non-split bank
+    path supports tcl too (reference dataloader.py:314-322)."""
     dp = NamedSharding(mesh, P("data"))
     rep = NamedSharding(mesh, P())
     T = max_frames if max_frames is not None else bank.max_len
     L = 2 * T - 1
+    matrix = use_matrix_loss(loss, extra_labels, matrix_loss)
+    assert not (extra_labels and frame_bank is not None), (
+        "tcl mixing is a monotask feature (the reference never combines "
+        "it with multitask speaker labels)")
+    n_batch_args = 5 if extra_labels else 4
+    if frame_bank is not None:
+        assert 0 < tcl < 1
+        n_batch_args += 4
+    assert steps_per_call >= 1, "steps_per_call must be >= 1"
+    K = steps_per_call
 
-    def align(ids1, ids2, y_pair, pair_w):
-        return _bank_align(bank, ids1, ids2, y_pair, pair_w,
-                           align_different_words, mesh,
-                           max_frames=max_frames)
+    def split_args(args):
+        tcl_args = None
+        if frame_bank is not None:
+            args, tcl_args = args[:-4], args[-4:]
+        if extra_labels:
+            ids1, ids2, y_pair, y_spk_pair, pair_w = args
+        else:
+            ids1, ids2, y_pair, pair_w = args
+            y_spk_pair = None
+        return ids1, ids2, y_pair, y_spk_pair, pair_w, tcl_args
 
-    if extra_labels and use_matrix_loss(loss, True, matrix_loss):
-        def step(params, state, opt_state, rng, ids1, ids2, y_pair,
-                 y_spk_pair, pair_w):
-            parts = _bank_align_matrix(bank, ids1, ids2, y_pair, pair_w,
-                                       align_different_words, mesh,
-                                       max_frames=max_frames)
-
-            def loss_fn(p):
-                return _bank_matrix_value_multi(network, loss, p, state,
-                                                rng, True, parts,
-                                                y_spk_pair)
-
-            (value, new_state), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params)
-            updates, new_opt = optimizer.update(grads, opt_state, params)
-            return (optax.apply_updates(params, updates), new_state,
-                    new_opt, value)
-        n_batch_args = 5
-    elif extra_labels:
-        def step(params, state, opt_state, rng, ids1, ids2, y_pair,
-                 y_spk_pair, pair_w):
-            x1, x2, y, w = align(ids1, ids2, y_pair, pair_w)
+    def gather_value(p, state, rng, train, args):
+        ids1, ids2, y_pair, y_spk_pair, pair_w, tcl_args = \
+            split_args(args)
+        x1, x2, y, w = _bank_align(bank, ids1, ids2, y_pair, pair_w,
+                                   align_different_words, mesh,
+                                   max_frames=max_frames)
+        if tcl_args is not None:
+            ti1, ti2, ty, tw = tcl_args
+            wt = tw * (tcl / (1.0 - tcl)) * (
+                jnp.sum(w) / jnp.maximum(jnp.sum(tw), 1e-6))
+            x1 = jnp.concatenate([x1, frame_bank[ti1]])
+            x2 = jnp.concatenate([x2, frame_bank[ti2]])
+            y = jnp.concatenate([y, ty])
+            w = jnp.concatenate([w, wt])
+        if extra_labels:
             y_spk = jnp.broadcast_to(
                 y_spk_pair[:, None], (y_spk_pair.shape[0], L)).reshape(-1)
+            spk1, phn1, spk2, phn2, new_state = network.forward(
+                p, state, x1, x2, rng=rng, train=train, weights=w)
+            return loss(spk1, phn1, spk2, phn2, y_spk, y,
+                        weights=w), new_state
+        e1, e2, new_state = network.forward(p, state, x1, x2, rng=rng,
+                                            train=train, weights=w)
+        return loss(e1, e2, y, weights=w), new_state
 
-            def loss_fn(p):
-                spk1, phn1, spk2, phn2, new_state = network.forward(
-                    p, state, x1, x2, rng=rng, train=True, weights=w)
-                return loss(spk1, phn1, spk2, phn2, y_spk, y,
-                            weights=w), new_state
+    def matrix_value(p, state, rng, train, args):
+        ids1, ids2, y_pair, y_spk_pair, pair_w, tcl_args = \
+            split_args(args)
+        frames, w_frames, A, y_cells = _bank_align_matrix(
+            bank, ids1, ids2, y_pair, pair_w, align_different_words,
+            mesh, max_frames=max_frames)
+        n_tok = frames.shape[0]
+        tcl_terms = None
+        if tcl_args is not None:
+            ti1, ti2, ty, tw = tcl_args
+            wt = tw * (tcl / (1.0 - tcl)) * (
+                A.sum() / jnp.maximum(jnp.sum(tw), 1e-6))
+            frames = jnp.concatenate(
+                [frames, frame_bank[ti1], frame_bank[ti2]])
+            w_frames = jnp.concatenate([w_frames, wt, wt])
+            tcl_terms = (ty, wt, ti1.shape[0])
+        B_, T1, T2 = A.shape
+        if extra_labels:
+            spk, phn, new_state = network.forward_once(
+                p, state, frames, rng=rng, train=train, weights=w_frames)
+            c_spk = _head_cells(loss.loss_spk, spk[:n_tok], B_, T1, T2)
+            c_phn = _head_cells(loss.loss_phn, phn[:n_tok], B_, T1, T2)
+            y_spk_cells = jnp.broadcast_to(
+                y_spk_pair[:, None, None], A.shape)
+            return loss.from_cells_multi(c_spk, c_phn, y_spk_cells,
+                                         y_cells, weights=A), new_state
+        e, new_state = network.forward_once(p, state, frames, rng=rng,
+                                            train=train, weights=w_frames)
+        cells = _head_cells(loss, e[:n_tok], B_, T1, T2)
+        if tcl_terms is None:
+            return loss.from_cells(cells, y_cells, weights=A), new_state
+        ty, wt, n_tcl = tcl_terms
+        stat = cells.shape[:-3]
+        ct = loss.rowwise_cells(e[n_tok:n_tok + n_tcl],
+                                e[n_tok + n_tcl:])
+        c = jnp.concatenate([cells.reshape(stat + (-1,)), ct], axis=-1)
+        y = jnp.concatenate([y_cells.reshape(-1), ty])
+        w = jnp.concatenate([A.reshape(-1), wt])
+        return loss.from_cells(c, y, weights=w), new_state
 
-            (value, new_state), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params)
-            updates, new_opt = optimizer.update(grads, opt_state, params)
-            return (optax.apply_updates(params, updates), new_state,
-                    new_opt, value)
-        n_batch_args = 5
-    elif use_matrix_loss(loss, override=matrix_loss):
-        def step(params, state, opt_state, rng, ids1, ids2, y_pair,
-                 pair_w):
-            parts = _bank_align_matrix(bank, ids1, ids2, y_pair, pair_w,
-                                       align_different_words, mesh,
-                                       max_frames=max_frames)
+    value_fn = matrix_value if matrix else gather_value
 
-            def loss_fn(p):
-                return _bank_matrix_value(network, loss, p, state, rng,
-                                          True, parts)
+    def one_step(params, state, opt_state, rng, args):
+        def loss_fn(p):
+            return value_fn(p, state, rng, True, args)
 
-            (value, new_state), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params)
-            updates, new_opt = optimizer.update(grads, opt_state, params)
-            return (optax.apply_updates(params, updates), new_state,
-                    new_opt, value)
-        n_batch_args = 4
+        (value, new_state), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, new_opt = opt_update(optimizer, grads, opt_state,
+                                      params, value,
+                                      lambda q: loss_fn(q)[0])
+        return (optax.apply_updates(params, updates), new_state,
+                new_opt, value)
+
+    if K == 1:
+        def step(params, state, opt_state, rng, *args):
+            return one_step(params, state, opt_state, rng, args)
     else:
-        def step(params, state, opt_state, rng, ids1, ids2, y_pair,
-                 pair_w):
-            x1, x2, y, w = align(ids1, ids2, y_pair, pair_w)
+        def step(params, state, opt_state, rng, *stacked):
+            def body(carry, inp):
+                p, s, o = carry
+                k, args = inp[0], inp[1:]
+                p, s, o, v = one_step(p, s, o,
+                                      jax.random.fold_in(rng, k), args)
+                return (p, s, o), v
+            (params, state, opt_state), values = jax.lax.scan(
+                body, (params, state, opt_state),
+                (jnp.arange(K),) + stacked)
+            return params, state, opt_state, jnp.mean(values)
 
-            def loss_fn(p):
-                e1, e2, new_state = network.forward(p, state, x1, x2,
-                                                    rng=rng, train=True,
-                                                    weights=w)
-                return loss(e1, e2, y, weights=w), new_state
-
-            (value, new_state), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params)
-            updates, new_opt = optimizer.update(grads, opt_state, params)
-            return (optax.apply_updates(params, updates), new_state,
-                    new_opt, value)
-        n_batch_args = 4
-
-    if extra_labels and use_matrix_loss(loss, True, matrix_loss):
-        def eval_step(params, state, ids1, ids2, y_pair, y_spk_pair,
-                      pair_w):
-            parts = _bank_align_matrix(bank, ids1, ids2, y_pair, pair_w,
-                                       align_different_words, mesh,
-                                       max_frames=max_frames)
-            value, _ = _bank_matrix_value_multi(network, loss, params,
-                                                state, None, False,
-                                                parts, y_spk_pair)
-            return value
-    elif extra_labels:
-        def eval_step(params, state, ids1, ids2, y_pair, y_spk_pair,
-                      pair_w):
-            x1, x2, y, w = align(ids1, ids2, y_pair, pair_w)
-            y_spk = jnp.broadcast_to(
-                y_spk_pair[:, None], (y_spk_pair.shape[0], L)).reshape(-1)
-            spk1, phn1, spk2, phn2, _ = network.forward(
-                params, state, x1, x2, train=False)
-            return loss(spk1, phn1, spk2, phn2, y_spk, y, weights=w)
-    elif use_matrix_loss(loss, override=matrix_loss):
-        def eval_step(params, state, ids1, ids2, y_pair, pair_w):
-            parts = _bank_align_matrix(bank, ids1, ids2, y_pair, pair_w,
-                                       align_different_words, mesh,
-                                       max_frames=max_frames)
-            value, _ = _bank_matrix_value(network, loss, params, state,
-                                          None, False, parts)
-            return value
-    else:
-        def eval_step(params, state, ids1, ids2, y_pair, pair_w):
-            x1, x2, y, w = align(ids1, ids2, y_pair, pair_w)
-            e1, e2, _ = network.forward(params, state, x1, x2, train=False)
-            return loss(e1, e2, y, weights=w)
+    def eval_step(params, state, *args):
+        value, _ = value_fn(params, state, None, False, args)
+        return value
 
     cache = {}
+    n_data = mesh.shape["data"]
+    group_axis = 0 if K == 1 else 1
+    dp_step = dp if K == 1 else NamedSharding(mesh, P(None, "data"))
+
+    def _pad_groups(args):
+        """The pair batch must divide the data axis; pad ids with 0 and
+        weights with 0 (labels with 1) — padded pairs weigh nothing."""
+        if n_data == 1:
+            return args
+        n_tok_args = n_batch_args - (4 if frame_bank is not None else 0)
+        w_idx = n_tok_args - 1  # pair_w is the last token-batch arg
+        out = []
+        for i, a in enumerate(args):
+            pad = (-a.shape[group_axis]) % n_data
+            if pad:
+                if i == w_idx or i >= n_tok_args + 2:  # weights / tcl y,w
+                    fill = 0.0
+                elif i in (2, 3) and i < w_idx:  # y / spk labels
+                    fill = 1.0
+                else:  # token / tcl frame ids
+                    fill = 0
+                widths = [(0, 0)] * a.ndim
+                widths[group_axis] = (0, pad)
+                a = jnp.pad(a, widths, constant_values=fill)
+            out.append(a)
+        return tuple(out)
 
     def compiled(params, state, opt_state, rng, *batch):
         if "jit" not in cache:
@@ -930,17 +1013,159 @@ def make_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
             cache["jit"] = jax.jit(
                 step,
                 in_shardings=(p_shard, None, None, rep)
-                + (dp,) * n_batch_args,
+                + (dp_step,) * n_batch_args,
                 out_shardings=(p_shard, None, None, None))
-        return cache["jit"](params, state, opt_state, rng, *batch)
+        return cache["jit"](params, state, opt_state, rng,
+                            *_pad_groups(batch))
 
-    def compiled_eval(params, state, *batch):
-        if "ejit" not in cache:
+    if K == 1:
+        def compiled_eval(params, state, *batch):
+            if "ejit" not in cache:
+                p_shard = param_shardings(params, mesh)
+                cache["ejit"] = jax.jit(
+                    eval_step,
+                    in_shardings=(p_shard, None) + (dp,) * n_batch_args)
+            return cache["ejit"](params, state, *_pad_groups(batch))
+    else:
+        def eval_many(params, state, *stacked):
+            def body(_, args):
+                return None, eval_step(params, state, *args)
+            _, values = jax.lax.scan(body, None, stacked)
+            return values
+
+        def compiled_eval(params, state, *batch):
+            if "ejit" not in cache:
+                p_shard = param_shardings(params, mesh)
+                cache["ejit"] = jax.jit(
+                    eval_many,
+                    in_shardings=(p_shard, None)
+                    + (dp_step,) * n_batch_args)
+            return cache["ejit"](params, state, *_pad_groups(batch))
+
+    return compiled, compiled_eval
+
+
+def make_frame_train_step(network, loss, optimizer, tables, mesh: Mesh,
+                          steps_per_call: int = 1,
+                          multimodal: bool = False):
+    """Index-gather train/eval steps over device-resident frame tables
+    (FrameBankBatch): the corpus lives in HBM once; the host streams
+    only int32 row-index batches and X1/X2 gather inside the jitted
+    step — no per-batch feature h2d (round-2 weak #4: the Frames /
+    Multimodal / TemporalCoherence loaders shipped the frame features
+    themselves with every batch, 30-100 ms of h2d per ~0.5 ms step
+    through a slow link).
+
+    tables: one (N, d) array per modality (device-resident);
+    multimodal=True passes per-modality lists to network.forward
+    (MultimodalSiameseNetwork). steps_per_call > 1 chains K batches per
+    dispatch like the bank factories. Returns (train_step, eval_step);
+    with K > 1 the eval step takes K stacked batches and returns the
+    (K,) losses."""
+    dp = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+    tables = tuple(tables)
+    assert steps_per_call >= 1, "steps_per_call must be >= 1"
+    K = steps_per_call
+
+    def gather(i):
+        xs = [t[i] for t in tables]
+        return list(xs) if multimodal else xs[0]
+
+    def value_fn(p, state, rng, train, args):
+        i1, i2, y, w = args
+        x1, x2 = gather(i1), gather(i2)
+        if multimodal:
+            e1, e2, new_state = network.forward(p, state, x1, x2,
+                                                rng=rng, train=train)
+        else:
+            e1, e2, new_state = network.forward(p, state, x1, x2,
+                                                rng=rng, train=train,
+                                                weights=w)
+        return loss(e1, e2, y, weights=w), new_state
+
+    def one_step(params, state, opt_state, rng, args):
+        def loss_fn(p):
+            return value_fn(p, state, rng, True, args)
+
+        (value, new_state), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, new_opt = opt_update(optimizer, grads, opt_state,
+                                      params, value,
+                                      lambda q: loss_fn(q)[0])
+        return (optax.apply_updates(params, updates), new_state,
+                new_opt, value)
+
+    if K == 1:
+        def step(params, state, opt_state, rng, *args):
+            return one_step(params, state, opt_state, rng, args)
+    else:
+        def step(params, state, opt_state, rng, *stacked):
+            def body(carry, inp):
+                p, s, o = carry
+                k, args = inp[0], inp[1:]
+                p, s, o, v = one_step(p, s, o,
+                                      jax.random.fold_in(rng, k), args)
+                return (p, s, o), v
+            (params, state, opt_state), values = jax.lax.scan(
+                body, (params, state, opt_state),
+                (jnp.arange(K),) + stacked)
+            return params, state, opt_state, jnp.mean(values)
+
+    def eval_step(params, state, *args):
+        value, _ = value_fn(params, state, None, False, args)
+        return value
+
+    cache = {}
+    n_data = mesh.shape["data"]
+    group_axis = 0 if K == 1 else 1
+    dp_step = dp if K == 1 else NamedSharding(mesh, P(None, "data"))
+
+    def _pad_rows(args):
+        if n_data == 1:
+            return args
+        out = []
+        for i, a in enumerate(args):
+            pad = (-a.shape[group_axis]) % n_data
+            if pad:
+                fill = 0.0 if i == 3 else (1.0 if i == 2 else 0)
+                widths = [(0, 0)] * a.ndim
+                widths[group_axis] = (0, pad)
+                a = jnp.pad(a, widths, constant_values=fill)
+            out.append(a)
+        return tuple(out)
+
+    def compiled(params, state, opt_state, rng, *batch):
+        if "jit" not in cache:
             p_shard = param_shardings(params, mesh)
-            cache["ejit"] = jax.jit(
-                eval_step,
-                in_shardings=(p_shard, None) + (dp,) * n_batch_args)
-        return cache["ejit"](params, state, *batch)
+            cache["jit"] = jax.jit(
+                step,
+                in_shardings=(p_shard, None, None, rep) + (dp_step,) * 4,
+                out_shardings=(p_shard, None, None, None))
+        return cache["jit"](params, state, opt_state, rng,
+                            *_pad_rows(batch))
+
+    if K == 1:
+        def compiled_eval(params, state, *batch):
+            if "ejit" not in cache:
+                p_shard = param_shardings(params, mesh)
+                cache["ejit"] = jax.jit(
+                    eval_step, in_shardings=(p_shard, None) + (dp,) * 4)
+            return cache["ejit"](params, state, *_pad_rows(batch))
+    else:
+        def eval_many(params, state, *stacked):
+            def body(_, args):
+                return None, eval_step(params, state, *args)
+            _, values = jax.lax.scan(body, None, stacked)
+            return values
+
+        def compiled_eval(params, state, *batch):
+            if "ejit" not in cache:
+                p_shard = param_shardings(params, mesh)
+                cache["ejit"] = jax.jit(
+                    eval_many,
+                    in_shardings=(p_shard, None) + (dp_step,) * 4)
+            return cache["ejit"](params, state, *_pad_rows(batch))
 
     return compiled, compiled_eval
 
@@ -992,7 +1217,9 @@ def make_fused_train_step(network, loss, optimizer, mesh: Mesh,
 
         (value, new_state), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
-        updates, new_opt = optimizer.update(grads, opt_state, params)
+        updates, new_opt = opt_update(optimizer, grads, opt_state,
+                                      params, value,
+                                      lambda q: loss_fn(q)[0])
         return optax.apply_updates(params, updates), new_state, new_opt, \
             value
 

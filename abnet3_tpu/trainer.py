@@ -27,6 +27,7 @@ import numpy as np
 import optax
 
 from abnet3_tpu.dataloader import Batch, prefetch_iterator
+from abnet3_tpu.parallel.mesh import opt_update
 
 __all__ = ["TrainerBuilder", "TrainerSiamese", "TrainerSiameseMultitask",
            "MultimodalTrainer", "build_optimizer", "MetricsWriter"]
@@ -34,7 +35,16 @@ __all__ = ["TrainerBuilder", "TrainerSiamese", "TrainerSiameseMultitask",
 
 def build_optimizer(optimizer_type: str, lr: float, momentum: float = 0.9):
     """The reference's optimizer zoo via optax
-    (reference trainer.py:68-87)."""
+    (reference trainer.py:68-87).
+
+    LBFGS keeps optax's default zoom linesearch — the closure-mode
+    contract of torch's LBFGS (the reference's optimize_model re-
+    evaluates the loss through the closure): every train step passes
+    (value, grad, value_fn) extra args to optimizer.update
+    (parallel.mesh.opt_update), which the linesearch consumes and every
+    other optax transform ignores. ``linesearch=None`` is NOT a
+    substitute: it diverges on the siamese losses (measured flat at
+    chance loss where zoom-LBFGS beats adam)."""
     assert optimizer_type in ("sgd", "adadelta", "adam", "adagrad",
                               "RMSprop", "LBFGS")
     if optimizer_type == "sgd":
@@ -47,7 +57,7 @@ def build_optimizer(optimizer_type: str, lr: float, momentum: float = 0.9):
         return optax.adagrad(lr)
     if optimizer_type == "RMSprop":
         return optax.rmsprop(lr)
-    return optax.lbfgs(lr, linesearch=None)
+    return optax.lbfgs(lr)
 
 
 class MetricsWriter:
@@ -336,7 +346,9 @@ class TrainerSiamese(TrainerBuilder):
                 return loss(e1, e2, y, weights=w), new_state
             (value, new_state), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)
-            updates, new_opt = optimizer.update(grads, opt_state, params)
+            updates, new_opt = opt_update(optimizer, grads, opt_state,
+                                          params, value,
+                                          lambda q: loss_fn(q)[0])
             new_params = optax.apply_updates(params, updates)
             return new_params, new_state, new_opt, value
         return step
@@ -381,20 +393,22 @@ class TrainerSiamese(TrainerBuilder):
         from abnet3_tpu.parallel import make_mesh
         return make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
 
-    def _ensure_bank_steps(self, bucket=None):
+    def _ensure_bank_steps(self, bucket=None, steps_per_call=1):
         """Step functions per length bucket (one compile per bucket of the
         coarse ladder; short pair batches run small DTW shapes)."""
-        key = ("bank", bucket)
+        key = ("bank", bucket, steps_per_call)
         if key not in self._step_fns:
             from abnet3_tpu.parallel import make_pair_train_step
-            train, evalf = make_pair_train_step(
+            self._step_fns[key] = make_pair_train_step(
                 self.network, self.loss, self.optimizer,
                 self.dataloader.token_bank, self._bank_mesh(),
                 align_different_words=getattr(
                     self.dataloader, "align_different_words", False),
                 extra_labels=self._BANK_EXTRA_LABELS,
-                max_frames=bucket, matrix_loss=self.matrix_loss)
-            self._step_fns[key] = (train, evalf)
+                max_frames=bucket, matrix_loss=self.matrix_loss,
+                steps_per_call=steps_per_call,
+                frame_bank=getattr(self.dataloader, "frame_bank", None),
+                tcl=getattr(self.dataloader, "tcl", 0.0))
         return self._step_fns[key]
 
     def _ensure_split_bank_steps(self, bucket=None, steps_per_call=1):
@@ -417,36 +431,87 @@ class TrainerSiamese(TrainerBuilder):
     def _bank_steps_per_call(self):
         return max(getattr(self.dataloader, "steps_per_call", 1), 1)
 
-    def _stack_split_args(self, chunk):
+    def _ensure_frame_steps(self, mode, steps_per_call=1):
+        """Index-gather steps over the dataloader's device-resident
+        frame tables (FrameBankBatch; Frames/Multimodal/TCL loaders)."""
+        key = ("frame", mode, steps_per_call)
+        if key not in self._step_fns:
+            from abnet3_tpu.parallel import make_frame_train_step
+            tables = self.dataloader.frame_tables(mode == "train")
+            self._step_fns[key] = make_frame_train_step(
+                self.network, self.loss, self._checkpoint_optimizer(),
+                tables, self._bank_mesh(),
+                steps_per_call=steps_per_call,
+                multimodal=len(tables) > 1)
+        return self._step_fns[key]
+
+    def _steps_for(self, b, steps_per_call):
+        """Train/eval step pair for an index batch (mixed/split bank or
+        frame-table)."""
+        from abnet3_tpu.dataloader import FrameBankBatch, SplitBankBatch
+        if isinstance(b, SplitBankBatch):
+            return self._ensure_split_bank_steps(b.bucket, steps_per_call)
+        if isinstance(b, FrameBankBatch):
+            return self._ensure_frame_steps(b.mode, steps_per_call)
+        return self._ensure_bank_steps(b.bucket, steps_per_call)
+
+    def _args_for(self, b):
+        from abnet3_tpu.dataloader import FrameBankBatch, SplitBankBatch
+        if isinstance(b, SplitBankBatch):
+            return self._split_bank_args(b)
+        if isinstance(b, FrameBankBatch):
+            w = b.weights if b.weights is not None else \
+                np.ones(len(np.asarray(b.y)), np.float32)
+            return (b.i1, b.i2, b.y, w)
+        return self._bank_args(b)
+
+    def _stack_args(self, chunk):
         """Host-stack a chunk of K same-bucket batches into the
         (K, ...) arrays the chained step/eval factories expect."""
-        per_batch = [self._split_bank_args(b) for b in chunk]
+        per_batch = [self._args_for(b) for b in chunk]
         return tuple(np.stack([np.asarray(args[i]) for args in per_batch])
                      for i in range(len(per_batch[0])))
 
-    def _dispatch_split_chunk(self, bucket, chunk, rng):
+    def _dispatch_chunk(self, chunk, rng):
         """Dispatch K buffered same-bucket batches as one scanned call."""
-        train_step, _ = self._ensure_split_bank_steps(bucket, len(chunk))
-        stacked = self._stack_split_args(chunk)
+        train_step, _ = self._steps_for(chunk[0], len(chunk))
         params, state, opt, value = train_step(
             self.network.params, self.network.state, self._opt_state,
-            rng, *stacked)
+            rng, *self._stack_args(chunk))
         self.network.params = params
         self.network.state = state
         self._opt_state = opt
         return value
+
+    def _dispatch_eval_chunk(self, chunk):
+        """Dispatch K buffered same-bucket dev batches as one scanned
+        eval call; returns the mean of the K per-batch losses."""
+        _, eval_step = self._steps_for(chunk[0], len(chunk))
+        values = eval_step(self.network.params, self.network.state,
+                           *self._stack_args(chunk))
+        return jnp.mean(values)
 
     def _flush_split_buffers(self, rng):
         # leftovers run single-step: a chained variant per partial chunk
         # size would trigger a fresh compile each epoch
         vals = []
         j = 0  # running index: distinct dropout rng per flushed batch
-        for bucket, chunk in list(self._split_buf.items()):
+        for key, chunk in list(self._split_buf.items()):
             for b in chunk:
-                vals.append(self._give_split_single(
+                vals.append(self._give_single(
                     b, True, jax.random.fold_in(rng, j)))
                 j += 1
         self._split_buf = {}
+        return vals
+
+    def _flush_split_eval_buffers(self):
+        """Flush partial eval buffers single-step at pass end."""
+        vals = []
+        for key, chunk in list(
+                getattr(self, "_split_eval_buf", {}).items()):
+            for b in chunk:
+                vals.append(self._give_single(b, False, None))
+        self._split_eval_buf = {}
         return vals
 
     def _split_bank_args(self, b):
@@ -459,94 +524,65 @@ class TrainerSiamese(TrainerBuilder):
             args = args + (b.tcl_i1, b.tcl_i2, b.tcl_y, b.tcl_w)
         return args
 
-    def _give_split_single(self, b, do_training, rng):
-        train_step, eval_step = self._ensure_split_bank_steps(b.bucket, 1)
+    def _bank_args(self, b):
+        if self._BANK_EXTRA_LABELS:
+            assert b.y_spk is not None, \
+                "multitask bank training needs speaker labels"
+            args = (b.ids1, b.ids2, b.y, b.y_spk, b.pair_w)
+        else:
+            args = (b.ids1, b.ids2, b.y, b.pair_w)
+        if b.tcl_i1 is not None:
+            args = args + (b.tcl_i1, b.tcl_i2, b.tcl_y, b.tcl_w)
+        return args
+
+    def _give_single(self, b, do_training, rng):
+        train_step, eval_step = self._steps_for(b, 1)
         if do_training:
             params, state, opt, value = train_step(
                 self.network.params, self.network.state, self._opt_state,
-                rng, *self._split_bank_args(b))
+                rng, *self._args_for(b))
             self.network.params = params
             self.network.state = state
             self._opt_state = opt
             return value
         return eval_step(self.network.params, self.network.state,
-                         *self._split_bank_args(b))
+                         *self._args_for(b))
 
-    def _give_split_bank_batch(self, b, do_training, rng):
-        """Batches accumulate into per-bucket buffers of K and get
-        dispatched as one scanned call (returns None while buffering) —
-        train AND eval passes both amortize the per-dispatch latency;
-        partial buffers flush single-step at pass end."""
+    def _give_buffered_batch(self, b, do_training, rng):
+        """Bank batches (mixed or split) accumulate into per-(kind,
+        bucket) buffers of K and get dispatched as one scanned call
+        (returns None while buffering) — train AND eval passes both
+        amortize the per-dispatch latency; partial buffers flush
+        single-step at pass end."""
         K = self._bank_steps_per_call
         if K == 1:
-            return self._give_split_single(b, do_training, rng)
+            return self._give_single(b, do_training, rng)
         attr = "_split_buf" if do_training else "_split_eval_buf"
         bufs = getattr(self, attr, None)
         if bufs is None:
             bufs = {}
             setattr(self, attr, bufs)
-        buf = bufs.setdefault(b.bucket, [])
+        key = (type(b).__name__, getattr(b, "bucket", None),
+               getattr(b, "mode", None))
+        buf = bufs.setdefault(key, [])
         buf.append(b)
         if len(buf) >= K:
-            bufs[b.bucket] = []
+            bufs[key] = []
             # (mean-of-K, K): the epoch average weights the chunk by K
             if do_training:
-                return (self._dispatch_split_chunk(b.bucket, buf, rng),
-                        len(buf))
-            return (self._dispatch_split_eval_chunk(b.bucket, buf),
-                    len(buf))
+                return (self._dispatch_chunk(buf, rng), len(buf))
+            return (self._dispatch_eval_chunk(buf), len(buf))
         return None
-
-    def _dispatch_split_eval_chunk(self, bucket, chunk):
-        """Dispatch K buffered same-bucket dev batches as one scanned
-        eval call; returns the mean of the K per-batch losses."""
-        _, eval_step = self._ensure_split_bank_steps(bucket, len(chunk))
-        values = eval_step(self.network.params, self.network.state,
-                           *self._stack_split_args(chunk))
-        return jnp.mean(values)
-
-    def _flush_split_eval_buffers(self):
-        """Flush partial eval buffers single-step at pass end."""
-        vals = []
-        for bucket, chunk in list(
-                getattr(self, "_split_eval_buf", {}).items()):
-            for b in chunk:
-                vals.append(self._give_split_single(b, False, None))
-        self._split_eval_buf = {}
-        return vals
-
-    def _bank_args(self, b):
-        if self._BANK_EXTRA_LABELS:
-            assert b.y_spk is not None, \
-                "multitask bank training needs speaker labels"
-            return (b.ids1, b.ids2, b.y, b.y_spk, b.pair_w)
-        return (b.ids1, b.ids2, b.y, b.pair_w)
-
-    def _give_bank_batch(self, b, do_training, rng):
-        train_step, eval_step = self._ensure_bank_steps(b.bucket)
-        if do_training:
-            params, state, opt, value = train_step(
-                self.network.params, self.network.state, self._opt_state,
-                rng, *self._bank_args(b))
-            self.network.params = params
-            self.network.state = state
-            self._opt_state = opt
-            return value
-        return eval_step(
-            self.network.params, self.network.state, *self._bank_args(b))
 
     def give_batch_to_network(self, batch, do_training, rng):
         """One step; returns the batch loss value
         (reference trainer.py:211-224)."""
-        from abnet3_tpu.dataloader import BankBatch, SplitBankBatch
-        if isinstance(batch, SplitBankBatch):
+        from abnet3_tpu.dataloader import (BankBatch, FrameBankBatch,
+                                           SplitBankBatch)
+        if isinstance(batch, (BankBatch, FrameBankBatch, SplitBankBatch)):
             if rng is None:
                 rng = jax.random.PRNGKey(self.seed)
-            return self._give_split_bank_batch(batch, do_training, rng)
-        if isinstance(batch, BankBatch):
-            if rng is None:
-                rng = jax.random.PRNGKey(self.seed)
-            return self._give_bank_batch(batch, do_training, rng)
+            return self._give_buffered_batch(batch, do_training, rng)
         b = self._pad_batch(batch)
         if do_training:
             if "train" not in self._step_fns:
@@ -587,7 +623,8 @@ class TrainerSiamese(TrainerBuilder):
                                         matrix_loss=self.matrix_loss),
                 make_sampled_eval_step(self.network, self.loss, bank,
                                        sampler, mesh,
-                                       matrix_loss=self.matrix_loss))
+                                       matrix_loss=self.matrix_loss,
+                                       steps_per_call=k))
         return self._step_fns[key]
 
     def _optimize_model_sampled(self, do_training):
@@ -613,6 +650,7 @@ class TrainerSiamese(TrainerBuilder):
         for i in range(n_calls):
             rng = jax.random.fold_in(base_rng, i)
             if do_training:
+                # train_step returns the mean over its K chained batches
                 params, state, opt, value = train_step(
                     self.network.params, self.network.state,
                     self._opt_state, rng)
@@ -620,20 +658,26 @@ class TrainerSiamese(TrainerBuilder):
                 self.network.state = state
                 self._opt_state = opt
             else:
+                # eval steps return the (K,) per-batch losses
                 train_eval = self._ensure_sampled_steps(True)[1]
                 value = train_eval(self.network.params,
                                    self.network.state, rng)
-            losses.append(value)
-        train_loss = float(np.sum([np.asarray(v) for v in losses]))
+            losses.append(np.atleast_1d(np.asarray(value)))
+        train_loss = float(np.sum([v.mean() for v in losses]))
         n_train = len(losses)
 
+        # dev pass: K-chained eval dispatches, like the train pass (one
+        # eval per dispatch made the dev pass dominate small epochs
+        # through a high-latency link)
         losses = []
-        for i in range(self.dataloader.steps_per_epoch(False)):
+        n_dev_calls = max(round(self.dataloader.steps_per_epoch(False)
+                                / k), 1)
+        for i in range(n_dev_calls):
             rng = jax.random.fold_in(base_rng, 10_000 + i)
-            losses.append(dev_eval(self.network.params,
-                                   self.network.state, rng))
-        dev_loss = float(np.sum([np.asarray(v) for v in losses]))
-        n_dev = len(losses)
+            losses.append(np.atleast_1d(np.asarray(dev_eval(
+                self.network.params, self.network.state, rng))))
+        dev_loss = float(np.sum([v.sum() for v in losses]))
+        n_dev = sum(v.size for v in losses)
 
         self.train_losses.append(train_loss / max(n_train, 1))
         self.dev_losses.append(dev_loss / max(n_dev, 1))
@@ -734,7 +778,9 @@ class TrainerSiameseMultitask(TrainerSiamese):
                             weights=w), new_state
             (value, new_state), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)
-            updates, new_opt = optimizer.update(grads, opt_state, params)
+            updates, new_opt = opt_update(optimizer, grads, opt_state,
+                                          params, value,
+                                          lambda q: loss_fn(q)[0])
             return (optax.apply_updates(params, updates), new_state,
                     new_opt, value)
         return step
@@ -753,14 +799,10 @@ class TrainerSiameseMultitask(TrainerSiamese):
 
     def give_batch_to_network(self, batch, do_training, rng):
         from abnet3_tpu.dataloader import BankBatch, SplitBankBatch
-        if isinstance(batch, SplitBankBatch):
+        if isinstance(batch, (BankBatch, SplitBankBatch)):
             if rng is None:
                 rng = jax.random.PRNGKey(self.seed)
-            return self._give_split_bank_batch(batch, do_training, rng)
-        if isinstance(batch, BankBatch):
-            if rng is None:
-                rng = jax.random.PRNGKey(self.seed)
-            return self._give_bank_batch(batch, do_training, rng)
+            return self._give_buffered_batch(batch, do_training, rng)
         b = self._pad_batch(batch)
         assert b.y_spk is not None, \
             "multitask training needs speaker labels (MultiTaskDataLoader)"
@@ -848,7 +890,8 @@ class MultimodalTrainer(TrainerSiamese):
                 return loss(e1, e2, y, weights=w), new_state
             (value, new_state), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)
-            updates, new_opt = tx.update(grads, opt_state, params)
+            updates, new_opt = opt_update(tx, grads, opt_state, params,
+                                          value, lambda q: loss_fn(q)[0])
             return (optax.apply_updates(params, updates), new_state,
                     new_opt, value)
         return step
@@ -864,6 +907,13 @@ class MultimodalTrainer(TrainerSiamese):
         return step
 
     def give_batch_to_network(self, batch, do_training, rng):
+        from abnet3_tpu.dataloader import FrameBankBatch
+        if isinstance(batch, FrameBankBatch):
+            # device path: per-modality tables live in HBM, the step
+            # gathers by index (make_frame_train_step multimodal=True)
+            if rng is None:
+                rng = jax.random.PRNGKey(self.seed)
+            return self._give_buffered_batch(batch, do_training, rng)
         # multimodal frame batches are dense (no padding weights)
         w = batch.weights if batch.weights is not None else \
             jnp.ones((batch.y.shape[0],), jnp.float32)
@@ -903,6 +953,9 @@ class MultimodalTrainer(TrainerSiamese):
             # unit un-froze / groups changed: recompile + fresh opt state
             self._step_fns.pop("train", None)
             self._step_fns.pop("eval", None)
+            for key in [k for k in self._step_fns
+                        if isinstance(k, tuple) and k[0] == "frame"]:
+                self._step_fns.pop(key)
             self._opt_state = None
             print("Headstart ended")
         dev_loss = super().optimize_model(do_training)

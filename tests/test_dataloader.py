@@ -127,7 +127,10 @@ def test_frames_dataloader(corpus):
     dl = FramesDataLoader(pairs_path, feats_path, batch_size=16,
                           randomize_dataset=True)
     batches = list(dl.batch_iterator(True))
-    assert all(b.x1.shape[0] == 16 for b in batches)
+    # device path: index-only batches into the HBM frame table
+    from abnet3_tpu.dataloader import FrameBankBatch
+    assert all(isinstance(b, FrameBankBatch) and b.i1.shape == (16,)
+               for b in batches)
     # total frame pairs matches the host computation
     dl_host = OriginalDataLoader(pairs_path, feats_path, batch_size=6,
                                  num_max_minibatches=1, seed=0,
@@ -304,12 +307,49 @@ def test_split_bank_batches(corpus):
                for b in dl2.batch_iterator(True))
 
 
-def test_tcl_bank_guard(corpus):
-    """tcl > 0 on the bank backend needs the split path."""
+def test_tcl_bank_nonsplit_loss_mixture(corpus):
+    """tcl > 0 on the NON-split bank path (the round-2 guarded hole):
+    mixed BankBatches carry the static tcl frame-index group and the
+    step's loss is exactly (1-tcl)*L_tokens + tcl*L_tcl, same as the
+    split path (reference dataloader.py:314-322)."""
+    import optax
+    from abnet3_tpu.dataloader import BankBatch
+    from abnet3_tpu.loss import coscos2
+    from abnet3_tpu.models import SiameseNetwork
+    from abnet3_tpu.parallel import make_mesh, make_pair_train_step
+
     feats_path, pairs_path, _ = corpus
-    with pytest.raises(AssertionError):
-        OriginalDataLoader(pairs_path, feats_path, tcl=0.3,
-                           align_backend="bank", bank_split=False)
+    tcl = 0.3
+    dl = OriginalDataLoader(pairs_path, feats_path, tcl=tcl,
+                            align_backend="bank", bank_split=False,
+                            batch_size=4, num_max_minibatches=4, seed=0)
+    b = next(iter(dl.batch_iterator(True)))
+    assert isinstance(b, BankBatch) and b.tcl_i1 is not None
+    net = SiameseNetwork(input_dim=4, num_hidden_layers=1, hidden_dim=8,
+                         output_dim=4, p_dropout=0.0,
+                         activation_layer="sigmoid")
+    net.ensure_init(0)
+    loss = coscos2()
+    opt = optax.adam(1e-3)
+    mesh = make_mesh(n_data=1, n_model=1)
+
+    def eval_for(frame_bank, tcl_v, args):
+        _, ev = make_pair_train_step(
+            net, loss, opt, dl.token_bank, mesh, max_frames=b.bucket,
+            frame_bank=frame_bank, tcl=tcl_v)
+        return float(ev(net.params, net.state, *args))
+
+    tok_args = (b.ids1, b.ids2, b.y, b.pair_w)
+    full = eval_for(dl.frame_bank, tcl,
+                    tok_args + (b.tcl_i1, b.tcl_i2, b.tcl_y, b.tcl_w))
+    tokens_only = eval_for(None, 0.0, tok_args)
+    x1 = np.asarray(dl.frame_bank)[np.asarray(b.tcl_i1)]
+    x2 = np.asarray(dl.frame_bank)[np.asarray(b.tcl_i2)]
+    e1, _ = net.forward_once(net.params, net.state, x1, train=False)
+    e2, _ = net.forward_once(net.params, net.state, x2, train=False)
+    tcl_only = float(loss(e1, e2, np.asarray(b.tcl_y)))
+    np.testing.assert_allclose(
+        full, (1 - tcl) * tokens_only + tcl * tcl_only, rtol=1e-5)
 
 
 def test_tcl_bank_batches(corpus):
@@ -455,13 +495,23 @@ def test_multimodal_dataloader(corpus, tmp_path):
     times = [np.arange(80) * 0.01 + 0.0025 for _ in items]
     write_h5features(feats2_path, "features", items, times, feats2)
 
+    # host parity path keeps the per-modality frame lists
     dl = MultimodalDataLoader(pairs_path, [feats_path, feats2_path],
-                              batch_size=16)
+                              batch_size=16, align_backend="host")
     b = next(dl.batch_iterator(True))
     assert isinstance(b.x1, list) and len(b.x1) == 2
     assert b.x1[0].shape == (16, 4)
     assert b.x1[1].shape == (16, 6)
     assert b.y.shape == (16,)
+    # device path: index batches; per-modality tables live on device
+    from abnet3_tpu.dataloader import FrameBankBatch
+    dl_dev = MultimodalDataLoader(pairs_path, [feats_path, feats2_path],
+                                  batch_size=16)
+    bd = next(dl_dev.batch_iterator(True))
+    assert isinstance(bd, FrameBankBatch) and bd.i1.shape == (16,)
+    tables = dl_dev.frame_tables(True)
+    assert len(tables) == 2
+    assert tables[0].shape[1] == 4 and tables[1].shape[1] == 6
 
 
 def test_tcl_bank_multidevice_mesh(corpus):

@@ -140,3 +140,29 @@ def test_sampled_train_step_end_to_end(setup):
     # optimizes: average loss over the last 10 sampled batches is below
     # the first 10
     assert np.mean(losses[-10:]) < np.mean(losses[:10])
+
+
+def test_sampled_eval_chaining_matches_single(setup):
+    """K-chained sampled dev-eval dispatch == K single eval calls with
+    the matching fold_in rng streams (round-2 weak #5)."""
+    from abnet3_tpu.parallel import make_sampled_eval_step
+
+    descr, proba, bank = setup
+    sampler = DevicePairSampler(descr, proba, batch_size=32)
+    mesh = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+    net = SiameseNetwork(input_dim=6, num_hidden_layers=1, hidden_dim=12,
+                         output_dim=5, p_dropout=0.0,
+                         activation_layer="sigmoid")
+    net.ensure_init(0)
+    loss = coscos2()
+    K = 3
+    evalK = make_sampled_eval_step(net, loss, bank, sampler, mesh,
+                                   steps_per_call=K)
+    eval1 = make_sampled_eval_step(net, loss, bank, sampler, mesh)
+    rng = jax.random.PRNGKey(7)
+    chained = np.asarray(evalK(net.params, net.state, rng))
+    assert chained.shape == (K,)
+    singles = [float(eval1(net.params, net.state,
+                           jax.random.fold_in(rng, k)))
+               for k in range(K)]
+    np.testing.assert_allclose(chained, singles, rtol=1e-6)

@@ -30,15 +30,42 @@ def _network(tmp_path, **kw):
 @pytest.mark.parametrize("opt", ["sgd", "adadelta", "adam", "adagrad",
                                  "RMSprop", "LBFGS"])
 def test_optimizer_zoo_steps(opt):
-    """Every optimizer type must produce a working update."""
+    """Every optimizer type must produce a working update through the
+    closure-mode update helper the step factories use (LBFGS's zoom
+    linesearch consumes the extra args; the rest ignore them)."""
     import optax
+    from abnet3_tpu.parallel.mesh import opt_update
     tx = build_optimizer(opt, 0.01)
     p = {"w": jnp.ones((4, 4))}
     s = tx.init(p)
-    g = {"w": jnp.full((4, 4), 0.5)}
-    u, s = tx.update(g, s, p)
+
+    def f(q):
+        return jnp.sum((q["w"] - 0.5) ** 2)
+
+    v, g = jax.value_and_grad(f)(p)
+    u, s = opt_update(tx, g, s, p, v, f)
     p2 = optax.apply_updates(p, u)
     assert not np.allclose(np.asarray(p2["w"]), np.asarray(p["w"]))
+
+
+def test_lbfgs_converges_through_train_loop(corpus, tmp_path):  # noqa: F811
+    """The reference exposes closure-mode LBFGS (reference
+    trainer.py:68-87); ours must actually CONVERGE through the real
+    trainer loop, not just step (round-2 weak #7: linesearch=None was a
+    semantically different optimizer — measured flat at chance loss)."""
+    feats_path, pairs_path, _ = corpus
+    net = _network(tmp_path)
+    dl = OriginalDataLoader(pairs_path, feats_path, batch_size=6,
+                            num_max_minibatches=1, seed=0,
+                            shuffle_between_epochs=False)
+    trainer = TrainerSiamese(network=net, loss=coscos2(), dataloader=dl,
+                             optimizer_type="LBFGS", lr=1.0,
+                             num_epochs=8, patience=10,
+                             log_dir=str(tmp_path / "logs"), seed=0)
+    trainer.train()
+    assert all(np.isfinite(trainer.train_losses))
+    # epoch 0 is the eval-only baseline; training must clearly beat it
+    assert trainer.train_losses[-1] < 0.8 * trainer.train_losses[0]
 
 
 def test_train_loop_runs_and_saves(corpus, tmp_path):  # noqa: F811
