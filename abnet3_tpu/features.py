@@ -37,11 +37,17 @@ class FeaturesGenerator:
                  norm_per_file=True, stack=True,
                  nframes=7, deltas=False, deltasdeltas=False,
                  norm_per_channel=False,
-                 run="once"):
+                 run="once", vad_folder=None):
         self.files = files
         self.output_path = output_path
         self.load_mean_variance_path = load_mean_variance_path
         self.save_mean_variance_path = save_mean_variance_path
+        # vad_folder: accepted as an alias so the reference's canonical
+        # full-pipeline config instantiates as shipped (reference
+        # test/data/buckeye.yaml names the argument vad_folder, which
+        # even the reference's own FeaturesGenerator did not accept)
+        if vad_file is None and vad_folder not in (None, "None"):
+            vad_file = vad_folder
         self.vad_file = vad_file
         self.n_filters = n_filters
         self.method = method
