@@ -324,7 +324,8 @@ def abx_error(D: np.ndarray, labels: Sequence, speakers: Sequence,
 def evaluate(features_path: str, classes_path: str,
              spkid_file: Optional[str] = None, task: str = "across",
              distance: str = "dtw_cos", batch_size: int = 1024,
-             max_frames: Optional[int] = None, mesh=None) -> Dict:
+             max_frames: Optional[int] = None, mesh=None,
+             out_dtype=np.float32) -> Dict:
     """End-to-end ABX over an h5features file + .classes token inventory
     (+ wav->speaker mapping, same file contracts as the sampler)."""
     from abnet3_tpu.ops.bank import TokenBank
@@ -347,7 +348,8 @@ def evaluate(features_path: str, classes_path: str,
             tid += 1
     bank = TokenBank(token_feats, max_frames=max_frames)
     D = distance_matrix(bank, distance=distance, batch_size=batch_size,
-                        mesh=mesh, max_frames=max_frames)
+                        mesh=mesh, max_frames=max_frames,
+                        out_dtype=out_dtype)
     out = abx_error(D, labels, speakers, task=task)
     out.update({"task": task, "distance": distance, "n_tokens": tid,
                 "n_classes": len(clusters)})
@@ -368,13 +370,18 @@ def main():
                         choices=["dtw_cos", "mean_cos"])
     parser.add_argument("-b", "--batch-size", type=int, default=1024)
     parser.add_argument("--max-frames", type=int, default=None)
+    parser.add_argument("--f16", action="store_true",
+                        help="store the host distance matrix as float16 "
+                             "(halves memory and d2h bytes; N~30k fits "
+                             "in ~1.8 GB)")
     parser.add_argument("-o", "--output", help="write the result JSON "
                                                "here as well as stdout")
     args = parser.parse_args()
     result = evaluate(args.features, args.classes,
                       spkid_file=args.spkid_file, task=args.task,
                       distance=args.distance, batch_size=args.batch_size,
-                      max_frames=args.max_frames)
+                      max_frames=args.max_frames,
+                      out_dtype=np.float16 if args.f16 else np.float32)
     line = json.dumps(result)
     print(line)
     if args.output:

@@ -316,3 +316,48 @@ def test_abx_zerospeech_scale_cpu():
     assert t_score < 120, f"scoring too slow: {t_score:.1f}s"
     print(f"[abx-scale] dist={t_dist:.1f}s score={t_score:.1f}s "
           f"across={across['error']:.3f} within={within['error']:.3f}")
+
+
+def test_abx_cli_f16_flag(tmp_path, monkeypatch, capsys):
+    """--f16 stores the distance matrix as float16; scores stay put on a
+    clean corpus."""
+    from abnet3_tpu.eval.abx import main
+    from abnet3_tpu.io import write_h5features
+
+    rng = np.random.RandomState(1)
+    d = 4
+    items = ["fA", "fB"]
+    n_frames = 100
+    feats = [np.zeros((n_frames, d), np.float32) for _ in items]
+    times = [np.arange(n_frames) * 0.01 + 0.005 for _ in items]
+    lines, centers = [], {"a": rng.randn(d) * 3, "b": rng.randn(d) * 3}
+    for ci, (cname, center) in enumerate(centers.items()):
+        lines.append(f"{ci} {cname}")
+        for fi, f in enumerate(items):
+            t0 = 10 + 30 * ci
+            feats[fi][t0:t0 + 15] = center + 0.1 * rng.randn(15, d)
+            lines.append(f"{f} {t0 * 0.01:.2f} {(t0 + 14) * 0.01:.2f}")
+        lines.append("")
+    fpath = str(tmp_path / "feats.h5f")
+    write_h5features(fpath, "features", items, times, feats)
+    cpath = str(tmp_path / "tok.classes")
+    open(cpath, "w").write("\n".join(lines) + "\n")
+    import sys as _sys
+    monkeypatch.setattr(_sys, "argv",
+                        ["abnet3-abx", fpath, cpath, "--f16"])
+    main()
+    result = json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])
+    assert result["n_tokens"] == 4 and np.isfinite(result["error"])
+
+
+def test_distance_matrix_mesh_plumbing():
+    """distance_matrix accepts a multi-device mesh (the per-row DTW
+    dispatches route through it) and matches the single-device matrix."""
+    from abnet3_tpu.parallel import make_mesh
+    feats = _tokens(n=8)
+    bank = TokenBank(feats)
+    D1 = distance_matrix(bank, batch_size=8)
+    mesh = make_mesh(n_data=8, n_model=1)
+    D2 = distance_matrix(bank, batch_size=8, mesh=mesh)
+    np.testing.assert_allclose(D1, D2, atol=1e-6)
