@@ -64,7 +64,7 @@ class EmbedderBuilder:
 
     def __init__(self, network=None, network_path=None, feature_path=None,
                  output_path=None, cuda=True, batch_size=5000, mesh=None,
-                 transfer_dtype="float32"):
+                 transfer_dtype="float32", streaming=False):
         if network is None:
             raise ValueError("network is None.")
         assert transfer_dtype in ("float32", "bfloat16", "int8")
@@ -85,6 +85,12 @@ class EmbedderBuilder:
         # (per-chunk affine quantization, see encode_transfer); files
         # always store float32
         self.transfer_dtype = transfer_dtype
+        # streaming: read the input corpus item-by-item and append each
+        # finished file's embeddings immediately — memory stays bounded
+        # by (in-flight chunk window + one file) regardless of corpus
+        # size (the reference, and the default path, load the whole
+        # corpus into RAM, reference embedder.py:73-79)
+        self.streaming = streaming
         if mesh is not None:
             # chunk rows must divide evenly over the data axis
             n_data = mesh.shape["data"]
@@ -187,6 +193,58 @@ class EmbedderBuilder:
         """Embed one file (kept for API compat); see _embed_corpus."""
         return self._embed_corpus(forward, [feat])[0]
 
+    def _embed_streaming(self, forward, stream, on_file_done,
+                         n_outputs: int = 1):
+        """Streaming twin of :func:`_embed_corpus`: ``stream`` yields
+        ``(item, labels, frames)``; each file's decoded embeddings are
+        handed to ``on_file_done(item, labels, [per-head arrays])`` as
+        soon as its last chunk drains. Same async pipeline (dispatch
+        ahead, overlapped d2h through a bounded window); memory is
+        O(window + current file), never the whole corpus."""
+        bs = self.batch_size
+        params, state = self.network.params, self.network.state
+        window = 16
+        pending = []  # (file_seq, valid_rows, heads)
+        live = {}     # file_seq -> [item, labels, [chunks]*heads, n_left]
+
+        def drain_one():
+            seq, valid, heads = pending.pop(0)
+            rec = live[seq]
+            for h, head in enumerate(heads):
+                rec[2][h].append(decode_transfer(head)[:valid])
+            rec[3] -= 1
+            if rec[3] == 0:
+                item, labels, chunk_lists, _ = rec
+                del live[seq]
+                on_file_done(item, labels,
+                             [np.vstack(c) for c in chunk_lists])
+
+        for seq, (item, labels, feat) in enumerate(stream):
+            feat = np.asarray(feat, np.float32)
+            n_frames = len(feat)
+            n_chunks = max((n_frames + bs - 1) // bs, 1)
+            live[seq] = [item, labels,
+                         [[] for _ in range(n_outputs)], n_chunks]
+            for c0 in range(0, max(n_frames, 1), bs):
+                chunk = feat[c0:c0 + bs]
+                pad = bs - len(chunk)
+                if pad:
+                    chunk = np.vstack([chunk, np.zeros(
+                        (pad, feat.shape[1]), np.float32)])
+                heads = forward(params, state, jnp.asarray(chunk))
+                for head in heads:
+                    for leaf in head:
+                        try:
+                            leaf.copy_to_host_async()
+                        except AttributeError:
+                            pass
+                pending.append((seq, min(bs, max(n_frames - c0, 0)),
+                                heads))
+                if len(pending) >= window:
+                    drain_one()
+        while pending:
+            drain_one()
+
     def embed(self):
         raise NotImplementedError("Unimplemented embed for class:",
                                   self.__class__.__name__)
@@ -198,9 +256,22 @@ class EmbedderSiamese(EmbedderBuilder):
     def embed(self):
         from abnet3_tpu.profiling import stage_trace
         self._load()
+        forward = self._forward_fn()
+        if self.streaming:
+            from abnet3_tpu.io.h5f import iter_h5features
+            if _exists(self.output_path):
+                _remove(self.output_path)
+            writer = _BatchedWriter(self.output_path, "features")
+            with stage_trace("embed"):
+                self._embed_streaming(
+                    forward, iter_h5features(self.feature_path,
+                                             "features"),
+                    lambda item, labels, embs: writer.add(
+                        item, labels, embs[0]))
+            writer.flush()
+            return
         data = read_h5features(self.feature_path, "features")
         print("Done loading input feature file")
-        forward = self._forward_fn()
         with stage_trace("embed"):
             embeddings = self._embed_corpus(forward, data.features())
         if _exists(self.output_path):
@@ -215,7 +286,6 @@ class EmbedderSiameseMultitask(EmbedderBuilder):
 
     def embed(self):
         self._load()
-        data = read_h5features(self.feature_path, "features")
         network = self.network
 
         transfer_dtype = self.transfer_dtype
@@ -228,6 +298,27 @@ class EmbedderSiameseMultitask(EmbedderBuilder):
 
         forward = self._jit_forward(forward_impl, n_heads=2)
 
+        if self.streaming:
+            from abnet3_tpu.io.h5f import iter_h5features
+            writers = []
+            for suffix in (".spk", ".phn"):
+                path = self.output_path + suffix
+                if _exists(path):
+                    _remove(path)
+                writers.append(_BatchedWriter(path, "features"))
+
+            def on_done(item, labels, embs):
+                for w, e in zip(writers, embs):
+                    w.add(item, labels, e)
+
+            self._embed_streaming(
+                forward, iter_h5features(self.feature_path, "features"),
+                on_done, n_outputs=2)
+            for w in writers:
+                w.flush()
+            return
+
+        data = read_h5features(self.feature_path, "features")
         # both heads ride the pipelined corpus path (async dispatch +
         # overlapped d2h), same as the monotask embedder
         emb_spk, emb_phn = self._embed_corpus(forward, data.features(),
@@ -312,6 +403,33 @@ class MultimodalEmbedder(EmbedderBuilder):
             for observer in self.observers:
                 observer.record_arrays(result[1])
                 observer.save(items, times)
+
+
+class _BatchedWriter:
+    """Accumulate finished files and append them to the output
+    h5features container in batches (one h5py reopen per flush, not per
+    file — write_h5features is append-aware)."""
+
+    def __init__(self, path: str, group: str, flush_every: int = 32):
+        self.path = path
+        self.group = group
+        self.flush_every = flush_every
+        self._items: List[str] = []
+        self._labels: List[np.ndarray] = []
+        self._feats: List[np.ndarray] = []
+
+    def add(self, item, labels, feats):
+        self._items.append(item)
+        self._labels.append(labels)
+        self._feats.append(feats)
+        if len(self._items) >= self.flush_every:
+            self.flush()
+
+    def flush(self):
+        if self._items:
+            write_h5features(self.path, self.group, self._items,
+                             self._labels, self._feats)
+            self._items, self._labels, self._feats = [], [], []
 
 
 def _exists(path):

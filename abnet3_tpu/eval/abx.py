@@ -108,9 +108,14 @@ def _pooled_token_vectors(bank, max_frames=None, chunk: int = 2048):
 def _auto_block(N: int, T: int, batch_size: int) -> int:
     """Tokens per tile side: tile dispatches scan ``block`` rows of
     ``block`` pairs each, so one dispatch covers block^2 pairs. Cap the
-    per-row (block, T, T) distance transient at ~256 MB of HBM."""
+    per-row (block, T, T) distance transient at ~256 MB of HBM, and cap
+    the side at ~N/4: with t tiles per side the upper-triangle tiling
+    computes t(t+1)/2 * block^2 pairs for N^2/2 needed — t=1 wastes 2x
+    (the whole matrix for its half), t>=4 wastes <=25% (measured: an
+    N=1152 corpus at block=1024 spent 2x longer than block=288)."""
     cap = max(8, int((1 << 26) / max(T * T, 1)))
-    return max(1, min(N, batch_size, cap))
+    quarter = max(64, -(-N // 4))
+    return max(1, min(N, batch_size, cap, quarter))
 
 
 def distance_matrix(bank, distance: str = "dtw_cos",

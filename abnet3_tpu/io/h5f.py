@@ -33,6 +33,7 @@ __all__ = [
     "read_h5features",
     "read_h5features_item",
     "read_h5features_index",
+    "iter_h5features",
 ]
 
 _STR_DTYPE = h5py.string_dtype(encoding="utf-8")
@@ -197,6 +198,31 @@ def read_h5features(path: str, group: Optional[str] = None
         features = [feats_all[s:e] for s, e in zip(starts, ends)]
         labels = [labs_all[s:e] for s, e in zip(starts, ends)]
     return H5FeaturesData(items, labels, features, check=False)
+
+
+def iter_h5features(path: str, group: Optional[str] = None,
+                    chunk_items: int = 64):
+    """Stream ``(item, labels, features)`` triples without loading the
+    whole corpus into RAM (read_h5features materializes everything, the
+    reference's behavior — fine for test fixtures, a hard memory wall
+    for multi-GB corpora). Disk reads batch ``chunk_items`` items per
+    HDF5 access; memory stays O(chunk of items), independent of corpus
+    size."""
+    with h5py.File(path, "r") as fh:
+        g = _resolve_group(fh, group)
+        items_name, labels_name, index_name = _dataset_names(g)
+        items = _decode_items(np.asarray(g[items_name]))
+        index = np.asarray(g[index_name], dtype=np.int64)
+        ends = index + 1
+        starts = np.concatenate(([0], ends[:-1]))
+        for c0 in range(0, len(items), chunk_items):
+            c1 = min(c0 + chunk_items, len(items))
+            lo, hi = int(starts[c0]), int(ends[c1 - 1])
+            feats = np.asarray(g["features"][lo:hi])
+            labs = np.asarray(g[labels_name][lo:hi])
+            for i in range(c0, c1):
+                s, e = int(starts[i]) - lo, int(ends[i]) - lo
+                yield items[i], labs[s:e], feats[s:e]
 
 
 def read_h5features_item(path: str, item: str, group: Optional[str] = None):

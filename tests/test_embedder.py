@@ -212,3 +212,64 @@ def test_embedder_int8_multitask_and_mesh(feature_file, tmp_path):
     b = read_h5features(outm)
     for fa, fb in zip(a.features(), b.features()):
         np.testing.assert_allclose(fa, fb, atol=8e-3)
+
+
+def test_embedder_streaming_matches_full_load(feature_file, tmp_path):
+    """streaming=True (item-by-item reads, incremental appends) writes a
+    file identical to the full-load path — including with chunking
+    inside files, int8 codec, and the batched writer flushing."""
+    path, items, feats, times = feature_file
+    net = SiameseNetwork(input_dim=6, num_hidden_layers=1, hidden_dim=16,
+                         output_dim=7, p_dropout=0.0,
+                         activation_layer="sigmoid")
+    net.ensure_init(0)
+    out_full = str(tmp_path / "full.h5f")
+    EmbedderSiamese(network=net, feature_path=path, output_path=out_full,
+                    batch_size=50).embed()
+    out_stream = str(tmp_path / "stream.h5f")
+    EmbedderSiamese(network=net, feature_path=path,
+                    output_path=out_stream, batch_size=50,
+                    streaming=True).embed()
+    a = read_h5features(out_full)
+    b = read_h5features(out_stream)
+    assert a.items() == b.items()
+    for fa, fb, ta, tb in zip(a.features(), b.features(),
+                              a.labels(), b.labels()):
+        np.testing.assert_array_equal(fa, fb)
+        np.testing.assert_array_equal(ta, tb)
+    # overwrite semantics hold on re-run
+    EmbedderSiamese(network=net, feature_path=path,
+                    output_path=out_stream, batch_size=50,
+                    streaming=True).embed()
+    assert read_h5features(out_stream).items() == items
+
+    # int8 codec rides the streaming path too
+    out_s8 = str(tmp_path / "s8.h5f")
+    EmbedderSiamese(network=net, feature_path=path, output_path=out_s8,
+                    batch_size=50, streaming=True,
+                    transfer_dtype="int8").embed()
+    c = read_h5features(out_s8)
+    for fa, fc in zip(a.features(), c.features()):
+        np.testing.assert_allclose(fa, fc, atol=8e-3)
+
+
+def test_embedder_streaming_multitask(feature_file, tmp_path):
+    path, items, feats, _ = feature_file
+    net = SiameseMultitaskNetwork(
+        input_dim=6, num_hidden_layers_shared=1, num_hidden_layers_spk=0,
+        num_hidden_layers_phn=0, hidden_dim=8, output_dim=5, p_dropout=0.0,
+        activation_layer="relu")
+    net.ensure_init(0)
+    out = str(tmp_path / "emb.h5f")
+    EmbedderSiameseMultitask(network=net, feature_path=path,
+                             output_path=out, batch_size=64).embed()
+    outs = str(tmp_path / "embs.h5f")
+    EmbedderSiameseMultitask(network=net, feature_path=path,
+                             output_path=outs, batch_size=64,
+                             streaming=True).embed()
+    for suffix in (".spk", ".phn"):
+        a = read_h5features(out + suffix)
+        b = read_h5features(outs + suffix)
+        assert a.items() == b.items()
+        for fa, fb in zip(a.features(), b.features()):
+            np.testing.assert_array_equal(fa, fb)

@@ -70,3 +70,25 @@ def test_duplicate_item_rejected(tmp_path):
     write_h5features(path, "features", ["a"], [t1], [f1])
     with pytest.raises(ValueError):
         write_h5features(path, "features", ["a"], [t1], [f1])
+
+
+def test_iter_h5features_streams_exact_content(tmp_path):
+    """iter_h5features yields the same (item, labels, features) triples
+    read_h5features materializes, across chunk boundaries."""
+    import numpy as np
+    from abnet3_tpu.io import (iter_h5features, read_h5features,
+                               write_h5features)
+    rng = np.random.RandomState(0)
+    path = str(tmp_path / "f.h5f")
+    items = [f"it{i}" for i in range(7)]
+    feats = [rng.randn(rng.randint(1, 30), 5).astype(np.float32)
+             for _ in items]
+    times = [np.arange(len(f)) * 0.01 for f in feats]
+    write_h5features(path, "features", items, times, feats)
+    full = read_h5features(path)
+    streamed = list(iter_h5features(path, chunk_items=3))
+    assert [s[0] for s in streamed] == full.items()
+    for (it, labs, fs), wl, wf in zip(streamed, full.labels(),
+                                      full.features()):
+        np.testing.assert_array_equal(labs, wl)
+        np.testing.assert_array_equal(fs, wf)
