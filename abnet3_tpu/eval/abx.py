@@ -118,29 +118,99 @@ def _auto_block(N: int, T: int, batch_size: int) -> int:
     return max(1, min(N, batch_size, cap, quarter))
 
 
+def _pairs_distance_matrix(bank, distance, batch_size, mesh, max_frames,
+                           out_dtype) -> np.ndarray:
+    """Flat pair-stream strategy: fixed-size (ids1, ids2) batches through
+    the jitted pair kernel (tail padded; padded results discarded). One
+    small executable with no scan — cheap to compile — at one dispatch
+    per ``batch_size`` pairs; right for small corpora where the tile
+    strategy's scan-bearing executable costs more remote-compile time
+    than it saves in dispatches (measured ~144 s compile vs ~0.5 s/tile
+    execution at N~1k)."""
+    import jax
+
+    N = len(bank)
+    fn = make_pair_distance_fn(bank, distance=distance,
+                               max_frames=max_frames, mesh=mesh)
+    iu = np.triu_indices(N, k=1)
+    ids1_all = iu[0].astype(np.int32)
+    ids2_all = iu[1].astype(np.int32)
+    D = np.zeros((N, N), out_dtype)
+    total = len(ids1_all)
+    pending: List[Tuple[int, int, object]] = []
+    window = 8
+
+    def drain_one():
+        c, nv, o = pending.pop(0)
+        vals = np.asarray(o)[:nv].astype(out_dtype)
+        D[ids1_all[c:c + nv], ids2_all[c:c + nv]] = vals
+        D[ids2_all[c:c + nv], ids1_all[c:c + nv]] = vals
+
+    for c0 in range(0, total, batch_size):
+        i1 = ids1_all[c0:c0 + batch_size]
+        i2 = ids2_all[c0:c0 + batch_size]
+        n_valid = len(i1)
+        if n_valid < batch_size:  # static shape: pad with pair (0, 0)
+            pad = batch_size - n_valid
+            i1 = np.concatenate([i1, np.zeros(pad, np.int32)])
+            i2 = np.concatenate([i2, np.zeros(pad, np.int32)])
+        out = fn(jax.device_put(i1), jax.device_put(i2))
+        try:
+            out.copy_to_host_async()
+        except AttributeError:
+            pass
+        pending.append((c0, n_valid, out))
+        if len(pending) >= window:
+            drain_one()
+    while pending:
+        drain_one()
+    return D
+
+
+# below this many tokens the pair stream's cheap compile beats the tile
+# strategy's dispatch savings (see _pairs_distance_matrix)
+_TILE_MIN_TOKENS = 2048
+
+
 def distance_matrix(bank, distance: str = "dtw_cos",
                     batch_size: int = 1024, mesh=None,
                     max_frames: Optional[int] = None,
-                    out_dtype=np.float32) -> np.ndarray:
+                    out_dtype=np.float32,
+                    strategy: str = "auto") -> np.ndarray:
     """All-pairs normalized token distances: (N, N) ``out_dtype``, zero
     diagonal, symmetric.
 
-    TPU-first tiling: the token ids split into tiles of ``block`` ids
-    (block = min(N, batch_size, HBM cap)); one jitted dispatch computes a
-    whole (block, block) tile — a lax.scan over rows, each row one
-    batched DTW of token i against the tile's column tokens — so a
-    dispatch covers block^2 pairs instead of streaming them one id pair
-    each (at N=30k and block=1024 that is ~450 dispatches for 450M
-    pairs; the previous flat pair stream needed ~440k). Only upper tiles
-    run; results mirror. ``out_dtype=np.float16`` halves the host
-    matrix (N=30k -> 1.8 GB) and each tile's d2h bytes."""
+    Two strategies, picked by corpus size under ``strategy='auto'``:
+
+    - ``'pairs'`` (N < 2048): flat fixed-size pair batches through a
+      small scan-free executable — compile-cheap, one dispatch per
+      ``batch_size`` pairs.
+    - ``'tiles'``: token ids split into tiles of ``block`` ids
+      (block = min(batch_size, HBM cap, ~N/4)); one jitted dispatch
+      computes a whole (block, block) tile — a lax.scan over rows, each
+      row one batched DTW of token i against the tile's column tokens —
+      so a dispatch covers block^2 pairs instead of streaming them one
+      id pair each (at N=30k and block=1024 that is ~450 dispatches for
+      450M pairs; the flat stream would need ~440k through a ~50 ms
+      dispatch link). Only upper tiles run; results mirror.
+
+    ``out_dtype=np.float16`` halves the host matrix (N=30k -> 1.8 GB)
+    and the d2h bytes either way."""
     import jax
     import jax.numpy as jnp
     from abnet3_tpu.ops.dtw import (dtw_path_from_dist,
                                     pairwise_angular_distance)
 
     assert distance in ("dtw_cos", "mean_cos")
+    assert strategy in ("auto", "pairs", "tiles")
     N = len(bank)
+    if strategy == "pairs" or (strategy == "auto"
+                               and distance == "dtw_cos"
+                               and N < _TILE_MIN_TOKENS):
+        # mean_cos always tiles: its tile is one matmul, no scan, so the
+        # compile-cost argument doesn't apply
+        return _pairs_distance_matrix(bank, distance, batch_size, mesh,
+                                      max_frames, out_dtype)
     T = max_frames if max_frames is not None else bank.max_len
     block = _auto_block(N, T, batch_size)
     pooled = (_pooled_token_vectors(bank, max_frames)

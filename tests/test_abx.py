@@ -361,3 +361,18 @@ def test_distance_matrix_mesh_plumbing():
     mesh = make_mesh(n_data=8, n_model=1)
     D2 = distance_matrix(bank, batch_size=8, mesh=mesh)
     np.testing.assert_allclose(D1, D2, atol=1e-6)
+
+
+def test_distance_matrix_strategies_agree():
+    """Forced 'tiles' and 'pairs' strategies produce the same matrix
+    (auto picks by corpus size; both must stay correct)."""
+    feats = _tokens(n=10)
+    bank = TokenBank(feats)
+    Dp = distance_matrix(bank, batch_size=16, strategy="pairs")
+    Dt = distance_matrix(bank, batch_size=4, strategy="tiles")
+    np.testing.assert_allclose(Dp, Dt, atol=1e-6)
+    Dm_p = distance_matrix(bank, distance="mean_cos", batch_size=16,
+                           strategy="tiles")
+    Dm_t = distance_matrix(bank, distance="mean_cos", batch_size=4,
+                           strategy="tiles")
+    np.testing.assert_allclose(Dm_p, Dm_t, atol=1e-6)
