@@ -397,7 +397,11 @@ class OriginalDataLoader(DataLoader):
             # batches into one chained dispatch (same rationale as
             # SplitBankBatch; one h2d per stacked field amortizes over K)
             tcl_fields = {}
-            if getattr(self, "frame_bank", None) is not None:
+            # gate on tcl, not just frame_bank: TemporalCoherenceDataLoader
+            # builds a frame bank for its own train batches while tcl==0,
+            # and its dev pass routes through this iterator
+            if self.tcl > 0 and getattr(self, "frame_bank", None) \
+                    is not None:
                 ti1, ti2, ty, tw = self._sample_tcl_group()
                 tcl_fields = dict(tcl_i1=ti1, tcl_i2=ti2,
                                   tcl_y=ty, tcl_w=tw)
@@ -790,7 +794,9 @@ class OriginalDataLoader(DataLoader):
             # chained dispatch (stacking device arrays costs extra device
             # ops; one h2d per stacked field amortizes over K steps)
             tcl_fields = {}
-            if getattr(self, "frame_bank", None) is not None:
+            # tcl gate, not frame_bank alone (see bank_batch_iterator)
+            if self.tcl > 0 and getattr(self, "frame_bank", None) \
+                    is not None:
                 ti1, ti2, ty, tw = self._sample_tcl_group()
                 tcl_fields = dict(tcl_i1=ti1, tcl_i2=ti2,
                                   tcl_y=ty, tcl_w=tw)

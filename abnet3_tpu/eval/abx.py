@@ -105,17 +105,22 @@ def _pooled_token_vectors(bank, max_frames=None, chunk: int = 2048):
     return jnp.concatenate(out, axis=0)[:N]
 
 
-def _auto_block(N: int, T: int, batch_size: int) -> int:
+def _auto_block(N: int, T: int, batch_size: int, n_data: int = 1) -> int:
     """Tokens per tile side: tile dispatches scan ``block`` rows of
     ``block`` pairs each, so one dispatch covers block^2 pairs. Cap the
     per-row (block, T, T) distance transient at ~256 MB of HBM, and cap
     the side at ~N/4: with t tiles per side the upper-triangle tiling
     computes t(t+1)/2 * block^2 pairs for N^2/2 needed — t=1 wastes 2x
     (the whole matrix for its half), t>=4 wastes <=25% (measured: an
-    N=1152 corpus at block=1024 spent 2x longer than block=288)."""
+    N=1152 corpus at block=1024 spent 2x longer than block=288).
+    ``n_data``: the mesh data-axis size — the per-row pair batch rides
+    shard_map over it on multi-device meshes, so block must divide it."""
     cap = max(8, int((1 << 26) / max(T * T, 1)))
     quarter = max(64, -(-N // 4))
-    return max(1, min(N, batch_size, cap, quarter))
+    block = max(1, min(N, batch_size, cap, quarter))
+    if n_data > 1:
+        block = max(n_data, (block // n_data) * n_data)
+    return block
 
 
 def _pairs_distance_matrix(bank, distance, batch_size, mesh, max_frames,
@@ -212,7 +217,8 @@ def distance_matrix(bank, distance: str = "dtw_cos",
         return _pairs_distance_matrix(bank, distance, batch_size, mesh,
                                       max_frames, out_dtype)
     T = max_frames if max_frames is not None else bank.max_len
-    block = _auto_block(N, T, batch_size)
+    n_data = mesh.shape["data"] if mesh is not None else 1
+    block = _auto_block(N, T, batch_size, n_data=n_data)
     pooled = (_pooled_token_vectors(bank, max_frames)
               if distance == "mean_cos" else None)
 
@@ -336,8 +342,9 @@ def abx_error(D: np.ndarray, labels: Sequence, speakers: Sequence,
     speakers = np.asarray(speakers)
     N = len(labels)
     assert D.shape == (N, N) and len(speakers) == N
-    if D.dtype != np.float32 and D.dtype != np.float64:
-        D = D.astype(np.float32)  # comparisons in full precision
+    # no dtype upcast: > / == on float16 values give identical results
+    # to comparing their exact float32 images, and a full-matrix astype
+    # would allocate the 2x copy the --f16 flag exists to avoid
     classes = sorted(set(labels.tolist()))
     spks = sorted(set(speakers.tolist()))
     # index lists per class and per (class, speaker)

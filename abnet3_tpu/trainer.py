@@ -407,9 +407,17 @@ class TrainerSiamese(TrainerBuilder):
                 extra_labels=self._BANK_EXTRA_LABELS,
                 max_frames=bucket, matrix_loss=self.matrix_loss,
                 steps_per_call=steps_per_call,
-                frame_bank=getattr(self.dataloader, "frame_bank", None),
+                frame_bank=self._tcl_frame_bank(),
                 tcl=getattr(self.dataloader, "tcl", 0.0))
         return self._step_fns[key]
+
+    def _tcl_frame_bank(self):
+        """The tcl frame bank, only when tcl mixing is actually on — a
+        loader may hold a frame bank for other purposes (the pure-tcl
+        TemporalCoherenceDataLoader trains from one with tcl == 0)."""
+        if getattr(self.dataloader, "tcl", 0.0) > 0:
+            return getattr(self.dataloader, "frame_bank", None)
+        return None
 
     def _ensure_split_bank_steps(self, bucket=None, steps_per_call=1):
         key = ("split_bank", bucket, steps_per_call)
@@ -422,7 +430,7 @@ class TrainerSiamese(TrainerBuilder):
                     self.dataloader, "align_different_words", False),
                 extra_labels=self._BANK_EXTRA_LABELS,
                 max_frames=bucket, steps_per_call=steps_per_call,
-                frame_bank=getattr(self.dataloader, "frame_bank", None),
+                frame_bank=self._tcl_frame_bank(),
                 tcl=getattr(self.dataloader, "tcl", 0.0),
                 matrix_loss=self.matrix_loss)
         return self._step_fns[key]
@@ -436,13 +444,18 @@ class TrainerSiamese(TrainerBuilder):
         frame tables (FrameBankBatch; Frames/Multimodal/TCL loaders)."""
         key = ("frame", mode, steps_per_call)
         if key not in self._step_fns:
+            from abnet3_tpu.dataloader import MultimodalDataLoader
             from abnet3_tpu.parallel import make_frame_train_step
             tables = self.dataloader.frame_tables(mode == "train")
+            # multimodality comes from the LOADER type, not the table
+            # count: a one-modality MultimodalDataLoader still feeds a
+            # MultimodalSiameseNetwork, whose forward takes x lists
+            multimodal = isinstance(self.dataloader, MultimodalDataLoader)
             self._step_fns[key] = make_frame_train_step(
                 self.network, self.loss, self._checkpoint_optimizer(),
                 tables, self._bank_mesh(),
                 steps_per_call=steps_per_call,
-                multimodal=len(tables) > 1)
+                multimodal=multimodal)
         return self._step_fns[key]
 
     def _steps_for(self, b, steps_per_call):

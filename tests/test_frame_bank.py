@@ -214,3 +214,58 @@ def test_multimodal_trainer_frame_bank(corpus):
                                log_dir=td)
         tr.train()
     assert all(np.isfinite(v) for v in tr.train_losses)
+
+
+def test_tcl_loader_bank_backend_dev_pass(corpus):
+    """Review regression: a TemporalCoherenceDataLoader on the bank
+    backend builds a frame bank (for its own train batches) while
+    tcl == 0 — the dev pass routes through the bank iterator, which
+    must NOT attach a tcl group (gate on tcl, not frame_bank)."""
+    import tempfile
+    from abnet3_tpu.trainer import TrainerSiamese
+    dl = _mk(TemporalCoherenceDataLoader, corpus, batch_size=20,
+             num_max_minibatches=2, align_backend="bank")
+    train_batches = list(dl.batch_iterator(True))  # builds frame_bank
+    assert dl.frame_bank is not None and dl.tcl == 0.0
+    dev_batches = list(dl.batch_iterator(False))
+    assert dev_batches
+    for b in dev_batches:
+        assert getattr(b, "tcl_i1", None) is None
+    with tempfile.TemporaryDirectory() as td:
+        net = SiameseNetwork(input_dim=4, num_hidden_layers=1,
+                             hidden_dim=8, output_dim=4, p_dropout=0.0,
+                             activation_layer="sigmoid",
+                             output_path=td + "/net")
+        tr = TrainerSiamese(network=net, loss=coscos2(), dataloader=dl,
+                            num_epochs=1, patience=3, lr=1e-3,
+                            optimizer_type="adam", log_dir=td)
+        tr.train()  # crashed before the fix (scalar anchors -> iter)
+    assert all(np.isfinite(v) for v in tr.dev_losses)
+
+
+def test_multimodal_single_modality_frame_bank(corpus):
+    """Review regression: a ONE-modality MultimodalDataLoader must still
+    take the multimodal step (x lists), not the array-path — the flag
+    comes from the loader type, not the table count."""
+    import tempfile
+    from abnet3_tpu.integration import ConcatenationIntegration
+    from abnet3_tpu.models import MultimodalSiameseNetwork
+    from abnet3_tpu.trainer import MultimodalTrainer
+
+    feats_path, pairs_path, _ = corpus
+    dl = MultimodalDataLoader(pairs_path, [feats_path], batch_size=16,
+                              randomize_dataset=False, steps_per_call=2)
+    dl._rng = np.random.RandomState(0)
+    with tempfile.TemporaryDirectory() as td:
+        net = MultimodalSiameseNetwork(
+            integration_unit=ConcatenationIntegration(),
+            pre_integration_net_params=[[4, 8]],
+            post_integration_net_params=[8, 4],
+            p_dropout=0.0, activation_layer="sigmoid",
+            output_path=td + "/net")
+        tr = MultimodalTrainer(network=net, loss=coscos2(),
+                               dataloader=dl, num_epochs=1, patience=3,
+                               lr=1e-3, optimizer_type="adam",
+                               log_dir=td)
+        tr.train()  # TypeError'd before the fix
+    assert all(np.isfinite(v) for v in tr.train_losses)
