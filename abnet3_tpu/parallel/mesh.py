@@ -126,6 +126,86 @@ def use_matrix_loss(loss, extra_labels: bool = False,
     return getattr(loss, "supports_cells", False)
 
 
+def _chain_steps(one_step, eval_step, mesh: Mesh, n_batch_args: int,
+                 K: int, fill_for):
+    """Shared scaffolding of the bank/frame step factories: K-chained
+    dispatch (lax.scan over stacked batches), data-axis padding, and the
+    lazily-jitted (train, eval) pair.
+
+    one_step(params, state, opt_state, rng, args) -> (params, state,
+    opt_state, value); eval_step(params, state, *args) -> value;
+    fill_for(i) -> pad constant for batch arg i (ids 0, labels 1.0,
+    weights 0.0). With K > 1 every batch array carries a leading K axis;
+    the eval twin scans K losses and returns the (K,) values."""
+    dp = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+    assert K >= 1, "steps_per_call must be >= 1"
+
+    if K == 1:
+        def step(params, state, opt_state, rng, *args):
+            return one_step(params, state, opt_state, rng, args)
+        eval_fn = eval_step
+        dp_step = dp
+    else:
+        def step(params, state, opt_state, rng, *stacked):
+            def body(carry, inp):
+                p, s, o = carry
+                k, args = inp[0], inp[1:]
+                p, s, o, v = one_step(p, s, o,
+                                      jax.random.fold_in(rng, k), args)
+                return (p, s, o), v
+            (params, state, opt_state), values = jax.lax.scan(
+                body, (params, state, opt_state),
+                (jnp.arange(K),) + stacked)
+            return params, state, opt_state, jnp.mean(values)
+
+        def eval_fn(params, state, *stacked):
+            def body(_, args):
+                return None, eval_step(params, state, *args)
+            _, values = jax.lax.scan(body, None, stacked)
+            return values
+        dp_step = NamedSharding(mesh, P(None, "data"))
+
+    cache = {}
+    n_data = mesh.shape["data"]
+    group_axis = 0 if K == 1 else 1
+
+    def _pad(args):
+        """Batch rows must divide the data axis; padded entries carry
+        zero weight by construction of fill_for."""
+        if n_data == 1:
+            return args
+        out = []
+        for i, a in enumerate(args):
+            pad = (-a.shape[group_axis]) % n_data
+            if pad:
+                widths = [(0, 0)] * a.ndim
+                widths[group_axis] = (0, pad)
+                a = jnp.pad(a, widths, constant_values=fill_for(i))
+            out.append(a)
+        return tuple(out)
+
+    def compiled(params, state, opt_state, rng, *batch):
+        if "jit" not in cache:
+            p_shard = param_shardings(params, mesh)
+            cache["jit"] = jax.jit(
+                step,
+                in_shardings=(p_shard, None, None, rep)
+                + (dp_step,) * n_batch_args,
+                out_shardings=(p_shard, None, None, None))
+        return cache["jit"](params, state, opt_state, rng, *_pad(batch))
+
+    def compiled_eval(params, state, *batch):
+        if "ejit" not in cache:
+            p_shard = param_shardings(params, mesh)
+            cache["ejit"] = jax.jit(
+                eval_fn,
+                in_shardings=(p_shard, None) + (dp_step,) * n_batch_args)
+        return cache["ejit"](params, state, *_pad(batch))
+
+    return compiled, compiled_eval
+
+
 def _diff_path_mask(p1d, p2d, plen_d, wd, T1: int, T2: int) -> jnp.ndarray:
     """Scatter a diff-pair alignment path (diagonal-stretch mode,
     ops.dtw.align_diff_batch) into a (B, T1, T2) mask weighted by the
@@ -357,22 +437,6 @@ def _bank_matrix_value(network, loss, params, state, rng, train, parts):
     return loss.from_cells(cells, y_cells, weights=A), new_state
 
 
-def _bank_matrix_value_multi(network, loss, params, state, rng, train,
-                             parts, y_spk_pair):
-    """Multitask twin of :func:`_bank_matrix_value`: one trunk pass over
-    the unique frames, one cosine matrix per head, both reduced under
-    the same alignment mask."""
-    frames, w_frames, A, y_cells = parts
-    spk, phn, new_state = network.forward_once(
-        params, state, frames, rng=rng, train=train, weights=w_frames)
-    B, T1, T2 = A.shape
-    c_spk = _head_cells(loss.loss_spk, spk, B, T1, T2)
-    c_phn = _head_cells(loss.loss_phn, phn, B, T1, T2)
-    y_spk_cells = jnp.broadcast_to(y_spk_pair[:, None, None], A.shape)
-    return loss.from_cells_multi(c_spk, c_phn, y_spk_cells, y_cells,
-                                 weights=A), new_state
-
-
 def _split_bank_align(bank, ids1s, ids2s, ws, ids1d, ids2d, wd,
                       align_different_words, mesh, max_frames):
     """Static same/diff split: DTW DP only over the same-word group; diff
@@ -433,8 +497,6 @@ def make_split_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
     :func:`use_matrix_loss`): the alignment stays a (B, T, T) mask, each
     frame embeds once, and the loss reduces the A-weighted embedding
     cosine matrix — no backtrace walk, no frame gathers."""
-    dp = NamedSharding(mesh, P("data"))
-    rep = NamedSharding(mesh, P())
     assert not (extra_labels and frame_bank is not None), (
         "tcl mixing is a monotask feature (the reference never combines "
         "it with multitask speaker labels)")
@@ -592,23 +654,6 @@ def make_split_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
             return (optax.apply_updates(params, updates), new_state,
                     new_opt, value)
 
-    if K == 1:
-        def step(params, state, opt_state, rng, *args):
-            return one_step(params, state, opt_state, rng, args)
-    else:
-        def step(params, state, opt_state, rng, *stacked):
-            # stacked: each batch array has leading axis K
-            def body(carry, inp):
-                p, s, o = carry
-                k, args = inp[0], inp[1:]
-                p, s, o, v = one_step(p, s, o,
-                                      jax.random.fold_in(rng, k), args)
-                return (p, s, o), v
-            (params, state, opt_state), values = jax.lax.scan(
-                body, (params, state, opt_state),
-                (jnp.arange(K),) + stacked)
-            return params, state, opt_state, jnp.mean(values)
-
     if matrix:
         def eval_step(params, state, *args):
             value, _ = matrix_value(params, state, None, False,
@@ -624,73 +669,17 @@ def make_split_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
             e1, e2, _ = network.forward(params, state, x1, x2, train=False)
             return loss(e1, e2, y, weights=w)
 
-    cache = {}
-    n_data = mesh.shape["data"]
-    group_axis = 0 if K == 1 else 1  # K>1: leading axis is the step index
-    dp_step = dp if K == 1 else NamedSharding(mesh, P(None, "data"))
+    n_tok_args = n_batch_args - (4 if frame_bank is not None else 0)
 
-    def _pad_groups(args):
-        """Group sizes must divide the data axis; pad ids with 0 and
-        weights with 0 (spk labels with 1) — padded pairs weigh nothing."""
-        if n_data == 1:
-            return args
-        n_tok_args = n_batch_args - (4 if frame_bank is not None else 0)
-        out = []
-        for i, a in enumerate(args):
-            pad = (-a.shape[group_axis]) % n_data
-            if pad:
-                if i in (2, 5) or i >= n_tok_args + 2:  # weights / tcl y,w
-                    fill = 0.0
-                elif extra_labels and i >= 6:  # spk labels
-                    fill = 1.0
-                else:  # token / tcl frame ids
-                    fill = 0
-                widths = [(0, 0)] * a.ndim
-                widths[group_axis] = (0, pad)
-                a = jnp.pad(a, widths, constant_values=fill)
-            out.append(a)
-        return tuple(out)
+    def fill_for(i):
+        if i in (2, 5) or i >= n_tok_args + 2:  # weights / tcl y,w
+            return 0.0
+        if extra_labels and i >= 6:  # spk labels
+            return 1.0
+        return 0  # token / tcl frame ids
 
-    def compiled(params, state, opt_state, rng, *args):
-        if "jit" not in cache:
-            p_shard = param_shardings(params, mesh)
-            cache["jit"] = jax.jit(
-                step,
-                in_shardings=(p_shard, None, None, rep)
-                + (dp_step,) * n_batch_args,
-                out_shardings=(p_shard, None, None, None))
-        return cache["jit"](params, state, opt_state, rng,
-                            *_pad_groups(args))
-
-    if K == 1:
-        def compiled_eval(params, state, *args):
-            if "ejit" not in cache:
-                p_shard = param_shardings(params, mesh)
-                cache["ejit"] = jax.jit(
-                    eval_step,
-                    in_shardings=(p_shard, None) + (dp,) * n_batch_args)
-            return cache["ejit"](params, state, *_pad_groups(args))
-    else:
-        # chained evaluation: K stacked batches per dispatch (leading
-        # axis K on every batch array), one lax.scan'd call returning
-        # the (K,) per-batch losses — the dev pass amortizes dispatch
-        # latency exactly like the train pass
-        def eval_many(params, state, *stacked):
-            def body(_, args):
-                return None, eval_step(params, state, *args)
-            _, values = jax.lax.scan(body, None, stacked)
-            return values
-
-        def compiled_eval(params, state, *args):
-            if "ejit" not in cache:
-                p_shard = param_shardings(params, mesh)
-                cache["ejit"] = jax.jit(
-                    eval_many,
-                    in_shardings=(p_shard, None)
-                    + (dp_step,) * n_batch_args)
-            return cache["ejit"](params, state, *_pad_groups(args))
-
-    return compiled, compiled_eval
+    return _chain_steps(one_step, eval_step, mesh, n_batch_args, K,
+                        fill_for)
 
 
 def make_sampled_train_step(network, loss, optimizer, bank, sampler,
@@ -854,8 +843,6 @@ def make_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
     y, w) mixed into the loss at exactly the tcl/(1-tcl) weight fraction
     — the same contract as the split factory, so the non-split bank
     path supports tcl too (reference dataloader.py:314-322)."""
-    dp = NamedSharding(mesh, P("data"))
-    rep = NamedSharding(mesh, P())
     T = max_frames if max_frames is not None else bank.max_len
     L = 2 * T - 1
     matrix = use_matrix_loss(loss, extra_labels, matrix_loss)
@@ -959,90 +946,22 @@ def make_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
         return (optax.apply_updates(params, updates), new_state,
                 new_opt, value)
 
-    if K == 1:
-        def step(params, state, opt_state, rng, *args):
-            return one_step(params, state, opt_state, rng, args)
-    else:
-        def step(params, state, opt_state, rng, *stacked):
-            def body(carry, inp):
-                p, s, o = carry
-                k, args = inp[0], inp[1:]
-                p, s, o, v = one_step(p, s, o,
-                                      jax.random.fold_in(rng, k), args)
-                return (p, s, o), v
-            (params, state, opt_state), values = jax.lax.scan(
-                body, (params, state, opt_state),
-                (jnp.arange(K),) + stacked)
-            return params, state, opt_state, jnp.mean(values)
-
     def eval_step(params, state, *args):
         value, _ = value_fn(params, state, None, False, args)
         return value
 
-    cache = {}
-    n_data = mesh.shape["data"]
-    group_axis = 0 if K == 1 else 1
-    dp_step = dp if K == 1 else NamedSharding(mesh, P(None, "data"))
+    n_tok_args = n_batch_args - (4 if frame_bank is not None else 0)
+    w_idx = n_tok_args - 1  # pair_w is the last token-batch arg
 
-    def _pad_groups(args):
-        """The pair batch must divide the data axis; pad ids with 0 and
-        weights with 0 (labels with 1) — padded pairs weigh nothing."""
-        if n_data == 1:
-            return args
-        n_tok_args = n_batch_args - (4 if frame_bank is not None else 0)
-        w_idx = n_tok_args - 1  # pair_w is the last token-batch arg
-        out = []
-        for i, a in enumerate(args):
-            pad = (-a.shape[group_axis]) % n_data
-            if pad:
-                if i == w_idx or i >= n_tok_args + 2:  # weights / tcl y,w
-                    fill = 0.0
-                elif i in (2, 3) and i < w_idx:  # y / spk labels
-                    fill = 1.0
-                else:  # token / tcl frame ids
-                    fill = 0
-                widths = [(0, 0)] * a.ndim
-                widths[group_axis] = (0, pad)
-                a = jnp.pad(a, widths, constant_values=fill)
-            out.append(a)
-        return tuple(out)
+    def fill_for(i):
+        if i == w_idx or i >= n_tok_args + 2:  # weights / tcl y,w
+            return 0.0
+        if i in (2, 3) and i < w_idx:  # y / spk labels
+            return 1.0
+        return 0  # token / tcl frame ids
 
-    def compiled(params, state, opt_state, rng, *batch):
-        if "jit" not in cache:
-            p_shard = param_shardings(params, mesh)
-            cache["jit"] = jax.jit(
-                step,
-                in_shardings=(p_shard, None, None, rep)
-                + (dp_step,) * n_batch_args,
-                out_shardings=(p_shard, None, None, None))
-        return cache["jit"](params, state, opt_state, rng,
-                            *_pad_groups(batch))
-
-    if K == 1:
-        def compiled_eval(params, state, *batch):
-            if "ejit" not in cache:
-                p_shard = param_shardings(params, mesh)
-                cache["ejit"] = jax.jit(
-                    eval_step,
-                    in_shardings=(p_shard, None) + (dp,) * n_batch_args)
-            return cache["ejit"](params, state, *_pad_groups(batch))
-    else:
-        def eval_many(params, state, *stacked):
-            def body(_, args):
-                return None, eval_step(params, state, *args)
-            _, values = jax.lax.scan(body, None, stacked)
-            return values
-
-        def compiled_eval(params, state, *batch):
-            if "ejit" not in cache:
-                p_shard = param_shardings(params, mesh)
-                cache["ejit"] = jax.jit(
-                    eval_many,
-                    in_shardings=(p_shard, None)
-                    + (dp_step,) * n_batch_args)
-            return cache["ejit"](params, state, *_pad_groups(batch))
-
-    return compiled, compiled_eval
+    return _chain_steps(one_step, eval_step, mesh, n_batch_args, K,
+                        fill_for)
 
 
 def make_frame_train_step(network, loss, optimizer, tables, mesh: Mesh,
@@ -1062,8 +981,6 @@ def make_frame_train_step(network, loss, optimizer, tables, mesh: Mesh,
     dispatch like the bank factories. Returns (train_step, eval_step);
     with K > 1 the eval step takes K stacked batches and returns the
     (K,) losses."""
-    dp = NamedSharding(mesh, P("data"))
-    rep = NamedSharding(mesh, P())
     tables = tuple(tables)
     assert steps_per_call >= 1, "steps_per_call must be >= 1"
     K = steps_per_call
@@ -1096,78 +1013,14 @@ def make_frame_train_step(network, loss, optimizer, tables, mesh: Mesh,
         return (optax.apply_updates(params, updates), new_state,
                 new_opt, value)
 
-    if K == 1:
-        def step(params, state, opt_state, rng, *args):
-            return one_step(params, state, opt_state, rng, args)
-    else:
-        def step(params, state, opt_state, rng, *stacked):
-            def body(carry, inp):
-                p, s, o = carry
-                k, args = inp[0], inp[1:]
-                p, s, o, v = one_step(p, s, o,
-                                      jax.random.fold_in(rng, k), args)
-                return (p, s, o), v
-            (params, state, opt_state), values = jax.lax.scan(
-                body, (params, state, opt_state),
-                (jnp.arange(K),) + stacked)
-            return params, state, opt_state, jnp.mean(values)
-
     def eval_step(params, state, *args):
         value, _ = value_fn(params, state, None, False, args)
         return value
 
-    cache = {}
-    n_data = mesh.shape["data"]
-    group_axis = 0 if K == 1 else 1
-    dp_step = dp if K == 1 else NamedSharding(mesh, P(None, "data"))
+    def fill_for(i):  # (i1, i2, y, w)
+        return 0.0 if i == 3 else (1.0 if i == 2 else 0)
 
-    def _pad_rows(args):
-        if n_data == 1:
-            return args
-        out = []
-        for i, a in enumerate(args):
-            pad = (-a.shape[group_axis]) % n_data
-            if pad:
-                fill = 0.0 if i == 3 else (1.0 if i == 2 else 0)
-                widths = [(0, 0)] * a.ndim
-                widths[group_axis] = (0, pad)
-                a = jnp.pad(a, widths, constant_values=fill)
-            out.append(a)
-        return tuple(out)
-
-    def compiled(params, state, opt_state, rng, *batch):
-        if "jit" not in cache:
-            p_shard = param_shardings(params, mesh)
-            cache["jit"] = jax.jit(
-                step,
-                in_shardings=(p_shard, None, None, rep) + (dp_step,) * 4,
-                out_shardings=(p_shard, None, None, None))
-        return cache["jit"](params, state, opt_state, rng,
-                            *_pad_rows(batch))
-
-    if K == 1:
-        def compiled_eval(params, state, *batch):
-            if "ejit" not in cache:
-                p_shard = param_shardings(params, mesh)
-                cache["ejit"] = jax.jit(
-                    eval_step, in_shardings=(p_shard, None) + (dp,) * 4)
-            return cache["ejit"](params, state, *_pad_rows(batch))
-    else:
-        def eval_many(params, state, *stacked):
-            def body(_, args):
-                return None, eval_step(params, state, *args)
-            _, values = jax.lax.scan(body, None, stacked)
-            return values
-
-        def compiled_eval(params, state, *batch):
-            if "ejit" not in cache:
-                p_shard = param_shardings(params, mesh)
-                cache["ejit"] = jax.jit(
-                    eval_many,
-                    in_shardings=(p_shard, None) + (dp_step,) * 4)
-            return cache["ejit"](params, state, *_pad_rows(batch))
-
-    return compiled, compiled_eval
+    return _chain_steps(one_step, eval_step, mesh, 4, K, fill_for)
 
 
 def make_fused_train_step(network, loss, optimizer, mesh: Mesh,
