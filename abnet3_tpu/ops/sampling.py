@@ -134,13 +134,18 @@ class DevicePairSampler:
         # static batch size
         self.configs[0]["n"] += batch_size - total
 
-    def sample(self, rng):
+    def sample(self, rng, with_speakers: bool = False):
         """Draw one pair batch on device.
 
         Returns (ids1, ids2, y) with static shape (batch_size,):
         TokenBank ids and +1/-1 same/diff-type labels. Jit-friendly.
-        """
-        out1, out2, ys = [], [], []
+
+        with_speakers=True appends the +1/-1 same/diff-SPEAKER labels
+        (the multitask stream): they are static per config — Sspk
+        configs pair one speaker's groups, Dspk configs two different
+        speakers' (the Dtype_Dspk fallback swap keeps them distinct) —
+        so no per-token speaker lookup is needed."""
+        out1, out2, ys, yspk = [], [], [], []
         for cfg in self.configs:
             rng, k_key, k_t1, k_t2 = jax.random.split(rng, 4)
             u = jax.random.uniform(k_key, (cfg["n"],))
@@ -169,5 +174,11 @@ class DevicePairSampler:
             out2.append(t2)
             ys.append(jnp.full((cfg["n"],),
                                1.0 if cfg["same_type"] else -1.0))
-        return (jnp.concatenate(out1), jnp.concatenate(out2),
-                jnp.concatenate(ys))
+            yspk.append(jnp.full((cfg["n"],),
+                                 1.0 if cfg["name"].endswith("Sspk")
+                                 else -1.0))
+        out = (jnp.concatenate(out1), jnp.concatenate(out2),
+               jnp.concatenate(ys))
+        if with_speakers:
+            return out + (jnp.concatenate(yspk),)
+        return out

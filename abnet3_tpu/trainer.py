@@ -633,11 +633,15 @@ class TrainerSiamese(TrainerBuilder):
                 make_sampled_train_step(self.network, self.loss,
                                         self.optimizer, bank, sampler,
                                         mesh, steps_per_call=k,
-                                        matrix_loss=self.matrix_loss),
+                                        matrix_loss=self.matrix_loss,
+                                        extra_labels=
+                                        self._BANK_EXTRA_LABELS),
                 make_sampled_eval_step(self.network, self.loss, bank,
                                        sampler, mesh,
                                        matrix_loss=self.matrix_loss,
-                                       steps_per_call=k))
+                                       steps_per_call=k,
+                                       extra_labels=
+                                       self._BANK_EXTRA_LABELS))
         return self._step_fns[key]
 
     def _optimize_model_sampled(self, do_training):

@@ -166,3 +166,111 @@ def test_sampled_eval_chaining_matches_single(setup):
                            jax.random.fold_in(rng, k)))
                for k in range(K)]
     np.testing.assert_allclose(chained, singles, rtol=1e-6)
+
+
+def test_sampler_speaker_labels(setup):
+    """with_speakers=True emits the per-config same/diff-SPEAKER labels,
+    consistent with the sampled tokens' actual speakers."""
+    descr, proba, bank = setup
+    sampler = DevicePairSampler(descr, proba, batch_size=128)
+    ids1, ids2, y, y_spk = sampler.sample(jax.random.PRNGKey(3),
+                                          with_speakers=True)
+    ids1, ids2, y_spk = map(np.asarray, (ids1, ids2, y_spk))
+    spks = np.asarray(descr["tokens_speaker"])
+    same = y_spk > 0
+    np.testing.assert_array_equal(spks[ids1[same]], spks[ids2[same]])
+    assert np.all(spks[ids1[~same]] != spks[ids2[~same]])
+
+
+def test_sampled_multitask_train_and_eval(setup):
+    """The fully on-device pipeline trains the multitask family: one
+    jitted call samples pairs + speaker labels, aligns, and optimizes
+    the weighted spk+phn loss; chained eval matches singles."""
+    from abnet3_tpu.loss import cosmargin, weighted_loss_multi
+    from abnet3_tpu.models import SiameseMultitaskNetwork
+    from abnet3_tpu.parallel import make_sampled_eval_step
+
+    descr, proba, bank = setup
+    sampler = DevicePairSampler(descr, proba, batch_size=24)
+    mesh = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+    net = SiameseMultitaskNetwork(
+        input_dim=6, num_hidden_layers_shared=1, num_hidden_layers_spk=0,
+        num_hidden_layers_phn=0, hidden_dim=12, output_dim=5,
+        p_dropout=0.0, activation_layer="sigmoid")
+    params, state = net.init_params(jax.random.PRNGKey(0))
+    loss = weighted_loss_multi(weight=0.4, loss_spk=coscos2(),
+                               loss_phn=cosmargin(margin=0.3))
+    opt = optax.adam(1e-3)
+    step = make_sampled_train_step(net, loss, opt, bank, sampler, mesh,
+                                   steps_per_call=2, extra_labels=True)
+    p, s, o, v = step(params, state, opt.init(params),
+                      jax.random.PRNGKey(1))
+    assert np.isfinite(float(v))
+    moved = any(not np.allclose(np.asarray(a), np.asarray(b))
+                for a, b in zip(jax.tree_util.tree_leaves(params),
+                                jax.tree_util.tree_leaves(p)))
+    assert moved
+
+    K = 3
+    evalK = make_sampled_eval_step(net, loss, bank, sampler, mesh,
+                                   steps_per_call=K, extra_labels=True)
+    eval1 = make_sampled_eval_step(net, loss, bank, sampler, mesh,
+                                   extra_labels=True)
+    rng = jax.random.PRNGKey(5)
+    chained = np.asarray(evalK(params, state, rng))
+    singles = [float(eval1(params, state, jax.random.fold_in(rng, k)))
+               for k in range(K)]
+    np.testing.assert_allclose(chained, singles, rtol=1e-6)
+
+
+def test_on_device_sampler_multitask_trainer(tmp_path):
+    """TrainerSiameseMultitask drives the fully on-device pipeline:
+    sampling emits speaker labels, the step trains the weighted
+    spk+phn loss (round-3: the sampled path covers the multitask
+    family)."""
+    from abnet3_tpu.dataloader import OnDeviceSamplerDataLoader
+    from abnet3_tpu.io import write_h5features
+    from abnet3_tpu.loss import cosmargin, weighted_loss_multi
+    from abnet3_tpu.models import SiameseMultitaskNetwork
+    from abnet3_tpu.trainer import TrainerSiameseMultitask
+
+    rng = np.random.RandomState(0)
+    items = [f"f{i}" for i in range(4)]
+    feats = [rng.randn(120, 5).astype(np.float32) for _ in items]
+    times = [np.arange(120) * 0.01 + 0.0025 for _ in items]
+    feats_path = str(tmp_path / "feats.h5f")
+    write_h5features(feats_path, "features", items, times, feats)
+    lines = []
+    for c in range(4):
+        lines.append(f"{c} word{c}")
+        for k in range(5):
+            f = rng.randint(4)
+            t0 = rng.randint(0, 90) * 0.01 + 0.0025
+            t1 = t0 + rng.randint(5, 25) * 0.01
+            lines.append(f"f{f} {t0:.4f} {t1:.4f}")
+        lines.append("")
+    classes_path = str(tmp_path / "w.classes")
+    open(classes_path, "w").write("\n".join(lines) + "\n")
+    spk_path = str(tmp_path / "spk.txt")
+    open(spk_path, "w").write("f0 a\nf1 a\nf2 b\nf3 b\n")
+
+    np.random.seed(0)
+    dl = OnDeviceSamplerDataLoader(
+        features_path=feats_path, std_file=classes_path,
+        spkid_file=spk_path, batch_size=16, num_max_minibatches=4,
+        max_size_cluster=0, seed=0, steps_per_call=2)
+    net = SiameseMultitaskNetwork(
+        input_dim=5, num_hidden_layers_shared=1, num_hidden_layers_spk=0,
+        num_hidden_layers_phn=0, hidden_dim=16, output_dim=8,
+        p_dropout=0.0, activation_layer="sigmoid",
+        output_path=str(tmp_path / "net"))
+    loss = weighted_loss_multi(weight=0.5, loss_spk=coscos2(),
+                               loss_phn=cosmargin(margin=0.3))
+    trainer = TrainerSiameseMultitask(
+        network=net, loss=loss, dataloader=dl, optimizer_type="adam",
+        lr=0.01, num_epochs=2, patience=5,
+        log_dir=str(tmp_path / "logs"), seed=0)
+    trainer.train()
+    assert len(trainer.train_losses) == 3
+    assert all(np.isfinite(trainer.train_losses))
+    assert all(np.isfinite(trainer.dev_losses))
