@@ -174,9 +174,10 @@ class DevicePairSampler:
             out2.append(t2)
             ys.append(jnp.full((cfg["n"],),
                                1.0 if cfg["same_type"] else -1.0))
-            yspk.append(jnp.full((cfg["n"],),
-                                 1.0 if cfg["name"].endswith("Sspk")
-                                 else -1.0))
+            if with_speakers:
+                yspk.append(jnp.full((cfg["n"],),
+                                     1.0 if cfg["name"].endswith("Sspk")
+                                     else -1.0))
         out = (jnp.concatenate(out1), jnp.concatenate(out2),
                jnp.concatenate(ys))
         if with_speakers:

@@ -694,13 +694,13 @@ def make_split_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
                         fill_for)
 
 
-def _sampled_value(network, loss, bank, sampler, mesh,
-                   align_different_words, matrix, extra_labels,
-                   params, state, rng_sample, rng_drop, train):
-    """Shared body of the sampled train/eval steps: sample a fresh pair
-    batch on device, align, and compute the loss (matrix or gather
-    mode; extra_labels adds the multitask speaker stream, whose labels
-    the sampler emits per config)."""
+def _sampled_prepare(bank, sampler, mesh, align_different_words, matrix,
+                     extra_labels, rng_sample):
+    """Sample a fresh pair batch on device and align it — everything
+    that does NOT depend on the parameters. Kept outside the loss
+    closure so an LBFGS linesearch (which re-evaluates value_fn several
+    times per update) reuses one sampling + DTW alignment instead of
+    re-running them per evaluation."""
     sampled = sampler.sample(rng_sample, with_speakers=extra_labels)
     if extra_labels:
         ids1, ids2, y_pair, y_spk_pair = sampled
@@ -710,12 +710,21 @@ def _sampled_value(network, loss, bank, sampler, mesh,
     if matrix:
         parts = _bank_align_matrix(bank, ids1, ids2, y_pair, pair_w,
                                    align_different_words, mesh)
-        return _bank_matrix_value(network, loss, params, state, rng_drop,
-                                  train, parts, y_spk_pair=y_spk_pair)
+        return ("matrix", parts, y_spk_pair)
     x1, x2, y, w = _bank_align(bank, ids1, ids2, y_pair, pair_w,
                                align_different_words, mesh)
-    if extra_labels:
-        B = y_pair.shape[0]
+    return ("gather", (x1, x2, y, w, y_pair.shape[0]), y_spk_pair)
+
+
+def _sampled_apply(network, loss, prep, params, state, rng_drop, train):
+    """Loss of a prepared sampled batch (the parameter-dependent half of
+    the sampled step; extra_labels is implied by prep's y_spk_pair)."""
+    mode, data, y_spk_pair = prep
+    if mode == "matrix":
+        return _bank_matrix_value(network, loss, params, state, rng_drop,
+                                  train, data, y_spk_pair=y_spk_pair)
+    x1, x2, y, w, B = data
+    if y_spk_pair is not None:
         L = x1.shape[0] // B
         y_spk = jnp.broadcast_to(y_spk_pair[:, None], (B, L)).reshape(-1)
         spk1, phn1, spk2, phn2, new_state = network.forward(
@@ -758,11 +767,12 @@ def make_sampled_train_step(network, loss, optimizer, bank, sampler,
 
     def one_step(params, state, opt_state, rng):
         rng_sample, rng_drop = jax.random.split(rng)
+        prep = _sampled_prepare(bank, sampler, mesh,
+                                align_different_words, matrix,
+                                extra_labels, rng_sample)
 
         def loss_fn(p):
-            return _sampled_value(network, loss, bank, sampler, mesh,
-                                  align_different_words, matrix,
-                                  extra_labels, p, state, rng_sample,
+            return _sampled_apply(network, loss, prep, p, state,
                                   rng_drop, True)
 
         (value, new_state), grads = jax.value_and_grad(
@@ -822,9 +832,10 @@ def make_sampled_eval_step(network, loss, bank, sampler, mesh: Mesh,
             "sharded Pallas DTW kernel gets equal per-device blocks")
 
     def one(params, state, rng):
-        value, _ = _sampled_value(network, loss, bank, sampler, mesh,
-                                  align_different_words, matrix,
-                                  extra_labels, params, state, rng,
+        prep = _sampled_prepare(bank, sampler, mesh,
+                                align_different_words, matrix,
+                                extra_labels, rng)
+        value, _ = _sampled_apply(network, loss, prep, params, state,
                                   None, False)
         return value
 

@@ -274,3 +274,31 @@ def test_on_device_sampler_multitask_trainer(tmp_path):
     assert len(trainer.train_losses) == 3
     assert all(np.isfinite(trainer.train_losses))
     assert all(np.isfinite(trainer.dev_losses))
+
+
+def test_sampled_multitask_matrix_matches_gather(setup):
+    """extra_labels gather branch (matrix off) gives the exact matrix-
+    path loss — the same alignment contract the bank factories keep."""
+    from abnet3_tpu.loss import cosmargin, weighted_loss_multi
+    from abnet3_tpu.models import SiameseMultitaskNetwork
+    from abnet3_tpu.parallel import make_sampled_eval_step
+
+    descr, proba, bank = setup
+    sampler = DevicePairSampler(descr, proba, batch_size=24)
+    mesh = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+    net = SiameseMultitaskNetwork(
+        input_dim=6, num_hidden_layers_shared=1, num_hidden_layers_spk=0,
+        num_hidden_layers_phn=0, hidden_dim=12, output_dim=5,
+        p_dropout=0.0, activation_layer="sigmoid")
+    net.ensure_init(0)
+    loss = weighted_loss_multi(weight=0.4, loss_spk=coscos2(),
+                               loss_phn=cosmargin(margin=0.3))
+    ev_m = make_sampled_eval_step(net, loss, bank, sampler, mesh,
+                                  extra_labels=True, matrix_loss=True)
+    ev_g = make_sampled_eval_step(net, loss, bank, sampler, mesh,
+                                  extra_labels=True, matrix_loss=False)
+    for seed in (0, 1, 2):
+        rng = jax.random.PRNGKey(seed)
+        vm = float(ev_m(net.params, net.state, rng))
+        vg = float(ev_g(net.params, net.state, rng))
+        assert vm == pytest.approx(vg, rel=1e-5)
