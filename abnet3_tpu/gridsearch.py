@@ -213,6 +213,7 @@ class GridSearch:
         if not self.test_only:
             if self.embed_only:
                 embedder.embed()
+                self._run_abx(single_experiment, sampler, embedder)
                 return
 
             if features.run == "never":
@@ -236,10 +237,43 @@ class GridSearch:
 
             trainer.train()
             embedder.embed()
+            self._run_abx(single_experiment, sampler, embedder)
 
         if self.test_files:
             for file in self.test_files:
                 self._embed_test_file(single_experiment, model, file)
+
+    def _run_abx(self, single_experiment, sampler, embedder):
+        """Optional in-framework ABX scoring of the exported embeddings
+        (an ``abx`` YAML block with ``run`` + evaluate() ``arguments``).
+        The reference ends at export and defers scoring to external
+        ABXpy (reference embedder.py:98-100, README.md:3); here the
+        evaluator runs on-device right after the embed stage and drops
+        ``abx.json`` into the experiment dir. The token inventory
+        defaults to the sampler's .classes file, the speaker map to its
+        spkid_file."""
+        abx_prop = single_experiment.get("abx")
+        if not abx_prop or abx_prop.get("run", "always") == "never":
+            return
+        import json as _json
+
+        from abnet3_tpu.eval.abx import evaluate
+
+        args = dict(abx_prop.get("arguments") or {})
+        classes = args.pop("classes_path", None) or getattr(
+            sampler, "std_file", None)
+        assert classes, ("the abx block needs a classes_path argument "
+                         "(or a sampler with std_file)")
+        args.setdefault("spkid_file", getattr(sampler, "spkid_file",
+                                              None))
+        result = evaluate(embedder.output_path, classes, **args)
+        out = os.path.join(single_experiment["pathname_experience"],
+                           "abx.json")
+        with open(out, "w") as f:
+            f.write(_json.dumps(result) + "\n")
+        print("ABX (%s, %s): error=%.4f over %d triplets -> %s"
+              % (result["task"], result["distance"], result["error"],
+                 result["n_triplets"], out))
 
     def _embed_test_file(self, single_experiment, model, file):
         """Generate features for a held-out corpus and embed it

@@ -471,3 +471,47 @@ def test_ondevice_sampler_yaml_end_to_end(experiment, tmp_path):
                   or f.endswith(".pth")]
     assert any(f.endswith(".pth") for f in found), found
     assert any(f.endswith(".h5f") for f in found), found
+
+
+ABX_BLOCK = """\
+  abx:
+    run: always
+    arguments:
+      classes_path: {classes_path}
+      spkid_file: {spk_path}
+      task: across
+      distance: dtw_cos
+      batch_size: 64
+"""
+
+
+def test_abx_stage_yaml_end_to_end(experiment, tmp_path):
+    """The optional abx YAML block scores the exported embeddings
+    in-framework right after the embed stage (the reference defers
+    scoring to external ABXpy) and writes abx.json."""
+    import json
+    yaml_path, exp_path, yaml_text = experiment
+    classes_path = str(tmp_path / "w.classes")
+    lines = []
+    for ci in range(2):
+        lines.append(f"{ci} word{ci}")
+        for fi in range(4):
+            t0 = 0.05 + 0.3 * ci
+            lines.append(f"f{fi} {t0:.2f} {t0 + 0.12:.2f}")
+        lines.append("")
+    open(classes_path, "w").write("\n".join(lines) + "\n")
+    spk_path = str(tmp_path / "spk.txt")
+    open(spk_path, "w").write("f0 a\nf1 a\nf2 b\nf3 b\n")
+    yaml2 = str(tmp_path / "exp_abx.yaml")
+    open(yaml2, "w").write(
+        yaml_text + ABX_BLOCK.format(classes_path=classes_path,
+                                     spk_path=spk_path))
+    # the 2-space indent nests the block under default_params
+    grid = GridSearch(input_file=yaml2)
+    exps = grid.build_grid_experiments()
+    grid.run_single_experiment(single_experiment=exps[0])
+    out = os.path.join(exps[0]["pathname_experience"], "abx.json")
+    assert os.path.exists(out)
+    result = json.loads(open(out).read())
+    assert result["n_tokens"] == 8 and np.isfinite(result["error"])
+    assert result["task"] == "across"
