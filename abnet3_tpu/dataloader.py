@@ -393,9 +393,6 @@ class OriginalDataLoader(DataLoader):
                     ((by > 0) & (w > 0)).sum())
                 self.statistics_training["DiffType"] += int(
                     ((by < 0) & (w > 0)).sum())
-            # numpy on purpose: the trainer host-stacks K same-bucket
-            # batches into one chained dispatch (same rationale as
-            # SplitBankBatch; one h2d per stacked field amortizes over K)
             tcl_fields = {}
             # gate on tcl, not just frame_bank: TemporalCoherenceDataLoader
             # builds a frame bank for its own train batches while tcl==0,
@@ -405,8 +402,20 @@ class OriginalDataLoader(DataLoader):
                 ti1, ti2, ty, tw = self._sample_tcl_group()
                 tcl_fields = dict(tcl_i1=ti1, tcl_i2=ti2,
                                   tcl_y=ty, tcl_w=tw)
-            yield BankBatch(bi1.astype(np.int32), bi2.astype(np.int32),
-                            by, w, bspk, bucket=bucket, **tcl_fields)
+            # K>1: numpy on purpose — the trainer host-stacks K
+            # same-bucket batches into one chained dispatch (one h2d per
+            # stacked field amortizes over K). K=1: stage on device from
+            # the (prefetch) thread so the ~100ms-RPC h2d overlaps the
+            # previous step's compute instead of serializing with it.
+            stage = ((lambda a: a) if self.steps_per_call > 1
+                     else jnp.asarray)
+            yield BankBatch(stage(bi1.astype(np.int32)),
+                            stage(bi2.astype(np.int32)),
+                            stage(by), stage(w),
+                            None if bspk is None else stage(bspk),
+                            bucket=bucket,
+                            **{k: stage(v)
+                               for k, v in tcl_fields.items()})
 
     def get_token_feats(self, pairs, frames=False):
         """Slice unique token features (reference dataloader.py:147-164)."""

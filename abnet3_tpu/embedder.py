@@ -170,8 +170,13 @@ class EmbedderBuilder:
                     chunk = m[c0:c0 + bs]
                     pad = bs - len(chunk)
                     if pad:
-                        chunk = np.vstack([chunk, np.zeros(
-                            (pad, m.shape[1]), np.float32)])
+                        # replicate the last valid row (not zeros): pad
+                        # rows are discarded, but their embeddings enter
+                        # the int8 codec's per-chunk min/max — zero-row
+                        # outputs would widen the quantization range and
+                        # degrade the valid rows' precision
+                        chunk = np.vstack([chunk, np.repeat(
+                            chunk[-1:], pad, axis=0)])
                     chunks.append(jnp.asarray(chunk))
                 embs = forward(params, state, *chunks)
                 for head in embs:
@@ -229,8 +234,12 @@ class EmbedderBuilder:
                 chunk = feat[c0:c0 + bs]
                 pad = bs - len(chunk)
                 if pad:
-                    chunk = np.vstack([chunk, np.zeros(
-                        (pad, feat.shape[1]), np.float32)])
+                    # last-row replication, as in _embed_corpus (keeps
+                    # the int8 codec's min/max on valid-row outputs)
+                    fill = (np.repeat(chunk[-1:], pad, axis=0)
+                            if len(chunk) else
+                            np.zeros((pad, feat.shape[1]), np.float32))
+                    chunk = np.vstack([chunk, fill])
                 heads = forward(params, state, jnp.asarray(chunk))
                 for head in heads:
                     for leaf in head:

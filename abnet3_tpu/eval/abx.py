@@ -45,6 +45,16 @@ __all__ = ["make_pair_distance_fn", "distance_matrix", "abx_error",
            "evaluate", "main"]
 
 
+def _masked_mean_pool(f, n, T: int):
+    """Mean over each token's valid frames: f (B, T, d) zero-padded,
+    n (B,) true lengths -> (B, d). The single definition both distance
+    strategies share — pairs and tiles must pool identically for
+    mean_cos to agree across strategies."""
+    import jax.numpy as jnp
+    m = (jnp.arange(T)[None, :] < n[:, None])[..., None]
+    return jnp.sum(f * m, 1) / jnp.maximum(n[:, None], 1)
+
+
 def make_pair_distance_fn(bank, distance: str = "dtw_cos",
                           max_frames: Optional[int] = None, mesh=None):
     """Jitted (ids1, ids2) -> (B,) normalized token distances over a
@@ -61,10 +71,8 @@ def make_pair_distance_fn(bank, distance: str = "dtw_cos",
         f1, n1 = bank.take(ids1, T)
         f2, n2 = bank.take(ids2, T)
         if distance == "mean_cos":
-            m1 = (jnp.arange(T)[None, :] < n1[:, None])[..., None]
-            m2 = (jnp.arange(T)[None, :] < n2[:, None])[..., None]
-            v1 = jnp.sum(f1 * m1, 1) / jnp.maximum(n1[:, None], 1)
-            v2 = jnp.sum(f2 * m2, 1) / jnp.maximum(n2[:, None], 1)
+            v1 = _masked_mean_pool(f1, n1, T)
+            v2 = _masked_mean_pool(f2, n2, T)
             return pairwise_angular_distance(
                 v1[:, None, :], v2[:, None, :])[:, 0, 0]
         dist = pairwise_angular_distance(f1, f2)
@@ -92,8 +100,7 @@ def _pooled_token_vectors(bank, max_frames=None, chunk: int = 2048):
     @jax.jit
     def pool(ids):
         f, n = bank.take(ids, T)
-        m = (jnp.arange(T)[None, :] < n[:, None])[..., None]
-        return jnp.sum(f * m, 1) / jnp.maximum(n[:, None], 1)
+        return _masked_mean_pool(f, n, T)
 
     out = []
     for c0 in range(0, N, chunk):
@@ -105,7 +112,8 @@ def _pooled_token_vectors(bank, max_frames=None, chunk: int = 2048):
     return jnp.concatenate(out, axis=0)[:N]
 
 
-def _auto_block(N: int, T: int, batch_size: int, n_data: int = 1) -> int:
+def _auto_block(N: int, T: int, batch_size: int, n_data: int = 1,
+                itemsize: int = 4) -> int:
     """Tokens per tile side: tile dispatches scan ``block`` rows of
     ``block`` pairs each, so one dispatch covers block^2 pairs. Cap the
     per-row (block, T, T) distance transient at ~256 MB of HBM, and cap
@@ -117,7 +125,11 @@ def _auto_block(N: int, T: int, batch_size: int, n_data: int = 1) -> int:
     shard_map over it on multi-device meshes, so block must divide it."""
     cap = max(8, int((1 << 26) / max(T * T, 1)))
     quarter = max(64, -(-N // 4))
-    block = max(1, min(N, batch_size, cap, quarter))
+    # keep each tile's d2h fetch <= 2 MB: larger fetches can stall for
+    # minutes through the dev tunnel (CLAUDE.md); float16 tiles allow a
+    # sqrt(2)-larger side
+    fetch_cap = max(64, int(((2 << 20) // itemsize) ** 0.5))
+    block = max(1, min(N, batch_size, cap, quarter, fetch_cap))
     if n_data > 1:
         block = max(n_data, (block // n_data) * n_data)
     return block
@@ -218,7 +230,8 @@ def distance_matrix(bank, distance: str = "dtw_cos",
                                       max_frames, out_dtype)
     T = max_frames if max_frames is not None else bank.max_len
     n_data = mesh.shape["data"] if mesh is not None else 1
-    block = _auto_block(N, T, batch_size, n_data=n_data)
+    block = _auto_block(N, T, batch_size, n_data=n_data,
+                        itemsize=np.dtype(out_dtype).itemsize)
     pooled = (_pooled_token_vectors(bank, max_frames)
               if distance == "mean_cos" else None)
 

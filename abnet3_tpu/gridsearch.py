@@ -266,7 +266,19 @@ class GridSearch:
                          "(or a sampler with std_file)")
         args.setdefault("spkid_file", getattr(sampler, "spkid_file",
                                               None))
-        result = evaluate(embedder.output_path, classes, **args)
+        # resolve the file the embedder actually wrote: the multitask
+        # embedder writes .spk/.phn (score the phonetic head — the
+        # subword-quality stream), the multimodal one a suffixed file
+        emb_path = abx_prop.get("features_path")
+        if emb_path is None:
+            emb_path = embedder.output_path
+            if isinstance(embedder, abnet3_tpu.embedder
+                          .EmbedderSiameseMultitask):
+                emb_path = embedder.output_path + ".phn"
+            elif isinstance(embedder, abnet3_tpu.embedder
+                            .MultimodalEmbedder):
+                emb_path = embedder.output_path + "embedded.features"
+        result = evaluate(emb_path, classes, **args)
         out = os.path.join(single_experiment["pathname_experience"],
                            "abx.json")
         with open(out, "w") as f:

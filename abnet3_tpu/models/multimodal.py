@@ -89,8 +89,13 @@ class MultimodalSiameseNetwork(NetworkBuilder):
         return params, state
 
     def forward_once(self, params, state, x_list, rng=None, train=False,
-                     integration_mask=None):
-        """x_list: one array per modality. Returns (emb, new_state)."""
+                     integration_mask=None, weights=None):
+        """x_list: one array per modality. Returns (emb, new_state).
+
+        ``weights``: per-row validity weights — padded rows carry 0 so
+        they stay out of the batch-norm statistics (same contract as the
+        monotask towers; index-gather frame batches pad to static
+        shapes)."""
         if not isinstance(x_list, (list, tuple)):
             x_list = [x_list]
         new_state = dict(state)
@@ -108,7 +113,7 @@ class MultimodalSiameseNetwork(NetworkBuilder):
             for i, (x, net) in enumerate(zip(x_list, self._pre_nets)):
                 out, s, partials = net.apply(
                     params[f"pre_{i}"], state[f"pre_{i}"], x, rng=rngs[i],
-                    train=train, save_partials=True)
+                    train=train, weights=weights, save_partials=True)
                 new_state[f"pre_{i}"] = s
                 partial_results.append(out)
                 all_partials.append(partials)
@@ -125,11 +130,13 @@ class MultimodalSiameseNetwork(NetworkBuilder):
 
         if self.post:
             out, s = self._post_net.apply(params["post"], state["post"], out,
-                                          rng=rngs[-1], train=train)
+                                          rng=rngs[-1], train=train,
+                                          weights=weights)
             new_state["post"] = s
         return out, new_state
 
-    def forward(self, params, state, x_list1, x_list2, rng=None, train=False):
+    def forward(self, params, state, x_list1, x_list2, rng=None, train=False,
+                weights=None):
         if rng is not None:
             r1, r2, rm = jax.random.split(rng, 3)
         else:
@@ -144,9 +151,11 @@ class MultimodalSiameseNetwork(NetworkBuilder):
                  else x_list1).shape[0]
             m1, m2 = self.integration_unit.draw_masks(rm, n)
         out1, state = self.forward_once(params, state, x_list1, rng=r1,
-                                        train=train, integration_mask=m1)
+                                        train=train, integration_mask=m1,
+                                        weights=weights)
         out2, state = self.forward_once(params, state, x_list2, rng=r2,
-                                        train=train, integration_mask=m2)
+                                        train=train, integration_mask=m2,
+                                        weights=weights)
         return out1, out2, state
 
     def save_network(self, epoch=""):

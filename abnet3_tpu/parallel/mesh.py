@@ -1036,13 +1036,10 @@ def make_frame_train_step(network, loss, optimizer, tables, mesh: Mesh,
     def value_fn(p, state, rng, train, args):
         i1, i2, y, w = args
         x1, x2 = gather(i1), gather(i2)
-        if multimodal:
-            e1, e2, new_state = network.forward(p, state, x1, x2,
-                                                rng=rng, train=train)
-        else:
-            e1, e2, new_state = network.forward(p, state, x1, x2,
-                                                rng=rng, train=train,
-                                                weights=w)
+        # weights flow through both network families: padded weight-0
+        # rows must stay out of the batch-norm statistics
+        e1, e2, new_state = network.forward(p, state, x1, x2, rng=rng,
+                                            train=train, weights=w)
         return loss(e1, e2, y, weights=w), new_state
 
     def one_step(params, state, opt_state, rng, args):
