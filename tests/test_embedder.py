@@ -273,3 +273,34 @@ def test_embedder_streaming_multitask(feature_file, tmp_path):
         assert a.items() == b.items()
         for fa, fb in zip(a.features(), b.features()):
             np.testing.assert_array_equal(fa, fb)
+
+
+def test_transfer_codec_unit_properties():
+    """encode/decode roundtrip at the function level: identity for
+    float32, bf16-rounding for bfloat16, and the (hi-lo)/510 bound +
+    exact endpoint recovery for int8."""
+    import jax.numpy as jnp
+    from abnet3_tpu.embedder import decode_transfer, encode_transfer
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(64, 9).astype(np.float32) * 5)
+
+    out = decode_transfer(encode_transfer(x, "float32"))
+    np.testing.assert_array_equal(out, np.asarray(x))
+
+    out = decode_transfer(encode_transfer(x, "bfloat16"))
+    np.testing.assert_allclose(out, np.asarray(x), rtol=1e-2)
+
+    leaves = encode_transfer(x, "int8")
+    assert leaves[0].dtype == jnp.uint8
+    out = decode_transfer(leaves)
+    lo, hi = float(x.min()), float(x.max())
+    assert np.max(np.abs(out - np.asarray(x))) <= (hi - lo) / 510 + 1e-6
+    # the range endpoints quantize exactly (q=0 and q=255)
+    assert out.min() == pytest.approx(lo, abs=1e-5)
+    assert out.max() == pytest.approx(hi, abs=(hi - lo) / 500)
+
+    # constant chunk: scale clamps, decode returns the constant
+    c = jnp.full((8, 3), 2.5)
+    out = decode_transfer(encode_transfer(c, "int8"))
+    np.testing.assert_allclose(out, 2.5, atol=1e-5)
