@@ -193,7 +193,8 @@ def distance_matrix(bank, distance: str = "dtw_cos",
                     batch_size: int = 1024, mesh=None,
                     max_frames: Optional[int] = None,
                     out_dtype=np.float32,
-                    strategy: str = "auto") -> np.ndarray:
+                    strategy: str = "auto",
+                    checkpoint_path: Optional[str] = None) -> np.ndarray:
     """All-pairs normalized token distances: (N, N) ``out_dtype``, zero
     diagonal, symmetric.
 
@@ -212,7 +213,14 @@ def distance_matrix(bank, distance: str = "dtw_cos",
       dispatch link). Only upper tiles run; results mirror.
 
     ``out_dtype=np.float16`` halves the host matrix (N=30k -> 1.8 GB)
-    and the d2h bytes either way."""
+    and the d2h bytes either way.
+
+    ``checkpoint_path`` (tiles strategy) makes the computation
+    RESUMABLE: the matrix lives in a ``<path>.npy`` memmap and each
+    drained tile is recorded in ``<path>.tiles.json``, so a crash at
+    N≈30k scale (hours of device time) loses at most the in-flight
+    window — rerunning with the same path skips completed tiles. Stale
+    checkpoints (different N/block/dtype) are discarded loudly."""
     import jax
     import jax.numpy as jnp
     from abnet3_tpu.ops.dtw import (dtw_path_from_dist,
@@ -272,7 +280,46 @@ def distance_matrix(bank, distance: str = "dtw_cos",
             ids = np.concatenate([ids, np.zeros(pad, np.int32)])
         return jnp.asarray(ids), block - pad
 
-    D = np.zeros((N, N), out_dtype)
+    done: set = set()
+    meta = {"N": N, "block": block, "dtype": np.dtype(out_dtype).name,
+            "distance": distance}
+    if checkpoint_path is not None:
+        import json as _json
+        import os as _os
+        mat_path = checkpoint_path + ".npy"
+        prog_path = checkpoint_path + ".tiles.json"
+        resume = False
+        if _os.path.exists(mat_path) and _os.path.exists(prog_path):
+            with open(prog_path) as f:
+                prog = _json.load(f)
+            if {k: prog.get(k) for k in meta} == meta:
+                done = {tuple(t) for t in prog["done"]}
+                resume = True
+            else:
+                print("distance_matrix: discarding stale checkpoint "
+                      f"at {checkpoint_path} (layout changed: "
+                      f"{ {k: prog.get(k) for k in meta} } != {meta})")
+        D = np.lib.format.open_memmap(
+            mat_path, mode="r+" if resume else "w+", dtype=out_dtype,
+            shape=(N, N))
+        if resume and done:
+            print(f"distance_matrix: resuming {checkpoint_path}: "
+                  f"{len(done)}/{n_tiles * (n_tiles + 1) // 2} tiles "
+                  "already computed")
+
+        def record(ti, tj):
+            done.add((ti, tj))
+            D.flush()
+            tmp = prog_path + ".tmp"
+            with open(tmp, "w") as f:
+                _json.dump(dict(meta, done=sorted(done)), f)
+            _os.replace(tmp, prog_path)
+    else:
+        D = np.zeros((N, N), out_dtype)
+
+        def record(ti, tj):
+            pass
+
     # pipeline the tile dispatches: enqueue, then drain through a window
     pending: List[Tuple[int, int, object]] = []
     window = 4
@@ -286,10 +333,13 @@ def distance_matrix(bank, distance: str = "dtw_cos",
         D[i0:i0 + ni, j0:j0 + nj] = vals
         if tj != ti:
             D[j0:j0 + nj, i0:i0 + ni] = vals.T
+        record(ti, tj)
 
     for ti in range(n_tiles):
         ids_i, _ = tile_ids(ti)
         for tj in range(ti, n_tiles):
+            if (ti, tj) in done:
+                continue
             ids_j, _ = tile_ids(tj)
             out = tile(ids_i, ids_j)
             try:
@@ -420,7 +470,8 @@ def evaluate(features_path: str, classes_path: str,
              spkid_file: Optional[str] = None, task: str = "across",
              distance: str = "dtw_cos", batch_size: int = 1024,
              max_frames: Optional[int] = None, mesh=None,
-             out_dtype=np.float32) -> Dict:
+             out_dtype=np.float32,
+             checkpoint_path: Optional[str] = None) -> Dict:
     """End-to-end ABX over an h5features file + .classes token inventory
     (+ wav->speaker mapping, same file contracts as the sampler)."""
     from abnet3_tpu.ops.bank import TokenBank
@@ -444,7 +495,8 @@ def evaluate(features_path: str, classes_path: str,
     bank = TokenBank(token_feats, max_frames=max_frames)
     D = distance_matrix(bank, distance=distance, batch_size=batch_size,
                         mesh=mesh, max_frames=max_frames,
-                        out_dtype=out_dtype)
+                        out_dtype=out_dtype,
+                        checkpoint_path=checkpoint_path)
     out = abx_error(D, labels, speakers, task=task)
     out.update({"task": task, "distance": distance, "n_tokens": tid,
                 "n_classes": len(clusters)})
@@ -469,6 +521,11 @@ def main():
                         help="store the host distance matrix as float16 "
                              "(halves memory and d2h bytes; N~30k fits "
                              "in ~1.8 GB)")
+    parser.add_argument("--checkpoint", type=str, default=None,
+                        help="make the (tiles-strategy) distance matrix "
+                             "resumable: tiles land in <path>.npy + "
+                             "<path>.tiles.json; rerunning with the "
+                             "same path skips completed tiles")
     parser.add_argument("-o", "--output", help="write the result JSON "
                                                "here as well as stdout")
     args = parser.parse_args()
@@ -476,7 +533,8 @@ def main():
                       spkid_file=args.spkid_file, task=args.task,
                       distance=args.distance, batch_size=args.batch_size,
                       max_frames=args.max_frames,
-                      out_dtype=np.float16 if args.f16 else np.float32)
+                      out_dtype=np.float16 if args.f16 else np.float32,
+                      checkpoint_path=args.checkpoint)
     line = json.dumps(result)
     print(line)
     if args.output:

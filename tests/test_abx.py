@@ -376,3 +376,66 @@ def test_distance_matrix_strategies_agree():
     Dm_t = distance_matrix(bank, distance="mean_cos", batch_size=4,
                            strategy="tiles")
     np.testing.assert_allclose(Dm_p, Dm_t, atol=1e-3)
+
+
+def test_distance_matrix_checkpoint_resume(tmp_path):
+    """Tiles-strategy checkpointing: a completed run leaves a memmap +
+    tile log; a re-run with the same path skips every tile (proven by
+    swapping the bank: the OLD matrix comes back); a partial checkpoint
+    resumes only the missing tiles; a stale layout is discarded."""
+    feats = _tokens(n=24, seed=5)
+    bank = TokenBank(feats)
+    ck = str(tmp_path / "D")
+    D_ref = distance_matrix(bank, batch_size=8, strategy="tiles")
+    D1 = distance_matrix(bank, batch_size=8, strategy="tiles",
+                         checkpoint_path=ck)
+    np.testing.assert_allclose(np.asarray(D1), D_ref, atol=1e-6)
+    assert os.path.exists(ck + ".npy") and os.path.exists(
+        ck + ".tiles.json")
+
+    # different bank, same checkpoint -> every tile skipped, old values
+    rng = np.random.RandomState(99)
+    other = TokenBank({i: rng.randn(len(f), f.shape[1]).astype(np.float32)
+                       for i, f in feats.items()})
+    D2 = distance_matrix(other, batch_size=8, strategy="tiles",
+                         checkpoint_path=ck)
+    np.testing.assert_allclose(np.asarray(D2), D_ref, atol=1e-6)
+
+    # partial resume: forget half the tiles and zero the whole matrix —
+    # the forgotten tiles must be recomputed from the ORIGINAL bank and
+    # the remembered ones stay zeroed (proof only missing tiles ran)
+    prog = json.loads(open(ck + ".tiles.json").read())
+    kept = prog["done"][1::2]
+    dropped = [t for t in prog["done"] if t not in kept]
+    prog["done"] = kept
+    open(ck + ".tiles.json", "w").write(json.dumps(prog))
+    M = np.lib.format.open_memmap(ck + ".npy", mode="r+")
+    M[:] = 0
+    M.flush()
+    del M
+    D3 = np.asarray(distance_matrix(bank, batch_size=8,
+                                    strategy="tiles",
+                                    checkpoint_path=ck))
+    block = json.loads(open(ck + ".tiles.json").read())["block"]
+    for ti, tj in dropped:
+        sl_i = slice(ti * block, min((ti + 1) * block, len(bank)))
+        sl_j = slice(tj * block, min((tj + 1) * block, len(bank)))
+        np.testing.assert_allclose(D3[sl_i, sl_j], D_ref[sl_i, sl_j],
+                                   atol=1e-6)
+    for ti, tj in kept:
+        if (ti, tj) not in [tuple(t) for t in dropped]:
+            sl_i = slice(ti * block, min((ti + 1) * block, len(bank)))
+            sl_j = slice(tj * block, min((tj + 1) * block, len(bank)))
+            assert np.all(D3[sl_i, sl_j] == 0)
+
+    # full-forget resume reproduces the reference exactly
+    prog["done"] = []
+    open(ck + ".tiles.json", "w").write(json.dumps(prog))
+    D4 = distance_matrix(bank, batch_size=8, strategy="tiles",
+                         checkpoint_path=ck)
+    np.testing.assert_allclose(np.asarray(D4), D_ref, atol=1e-6)
+
+    # stale layout (different dtype) -> discarded and recomputed
+    D5 = distance_matrix(bank, batch_size=8, strategy="tiles",
+                         checkpoint_path=ck, out_dtype=np.float16)
+    np.testing.assert_allclose(np.asarray(D5), D_ref, atol=2e-3)
