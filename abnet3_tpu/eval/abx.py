@@ -208,9 +208,10 @@ def distance_matrix(bank, distance: str = "dtw_cos",
       computes a whole (block, block) tile — a lax.scan over rows, each
       row one batched DTW of token i against the tile's column tokens —
       so a dispatch covers block^2 pairs instead of streaming them one
-      id pair each (at N=30k and block=1024 that is ~450 dispatches for
-      450M pairs; the flat stream would need ~440k through a ~50 ms
-      dispatch link). Only upper tiles run; results mirror.
+      id pair each (at N=30k the 2 MB-fetch-capped block of 724 for
+      float32 / 1024 for float16 means ~1,700 / ~450 tile dispatches
+      for 450M pairs; the flat stream would need ~440k through a
+      ~50 ms dispatch link). Only upper tiles run; results mirror.
 
     ``out_dtype=np.float16`` halves the host matrix (N=30k -> 1.8 GB)
     and the d2h bytes either way.
@@ -229,6 +230,12 @@ def distance_matrix(bank, distance: str = "dtw_cos",
     assert distance in ("dtw_cos", "mean_cos")
     assert strategy in ("auto", "pairs", "tiles")
     N = len(bank)
+    if checkpoint_path is not None and strategy != "tiles":
+        if strategy == "pairs":
+            raise ValueError("checkpoint_path requires the tiles "
+                             "strategy (the pair stream has no tile "
+                             "granularity to resume at)")
+        strategy = "tiles"  # auto: checkpointing implies tiles
     if strategy == "pairs" or (strategy == "auto"
                                and distance == "dtw_cos"
                                and N < _TILE_MIN_TOKENS):
@@ -282,7 +289,7 @@ def distance_matrix(bank, distance: str = "dtw_cos",
 
     done: set = set()
     meta = {"N": N, "block": block, "dtype": np.dtype(out_dtype).name,
-            "distance": distance}
+            "distance": distance, "max_frames": max_frames, "T": T}
     if checkpoint_path is not None:
         import json as _json
         import os as _os

@@ -262,8 +262,9 @@ class GridSearch:
         args = dict(abx_prop.get("arguments") or {})
         classes = args.pop("classes_path", None) or getattr(
             sampler, "std_file", None)
-        assert classes, ("the abx block needs a classes_path argument "
-                         "(or a sampler with std_file)")
+        if not classes:
+            raise ValueError("the abx block needs a classes_path "
+                             "argument (or a sampler with std_file)")
         args.setdefault("spkid_file", getattr(sampler, "spkid_file",
                                               None))
         # resolve the file the embedder actually wrote: the multitask

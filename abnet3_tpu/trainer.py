@@ -901,9 +901,11 @@ class MultimodalTrainer(TrainerSiamese):
         @jax.jit
         def step(params, state, opt_state, rng, x1_list, x2_list, y, w):
             def loss_fn(p):
+                # weights: padded weight-0 rows stay out of BN stats
                 e1, e2, new_state = network.forward(p, state, x1_list,
                                                     x2_list, rng=rng,
-                                                    train=True)
+                                                    train=True,
+                                                    weights=w)
                 return loss(e1, e2, y, weights=w), new_state
             (value, new_state), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)

@@ -58,21 +58,21 @@ def _frames_in_batch(batch):
     return total
 
 
-def bench_trainer_loop(shared, n_calls=20, steps_per_call=8):
+def bench_trainer_loop(shared, n_calls=20):
     """Trainer-loop throughput: the same chained step as bench_ours but
     with the HOST side of the production loop inside the timing — fresh
     id-batch assembly (numpy permutation + stacking, what SplitBankBatch
     does per epoch) and the per-dispatch h2d of the id arrays. This is
     what TrainerSiamese actually sustains per dispatch, minus file IO.
 
-    ``shared`` reuses bench_ours's compiled step + bank + init state:
-    re-tracing an identical ~100-300 s remote-compile executable would
-    only measure the compile service twice."""
+    ``shared`` reuses bench_ours's compiled step + bank + init state
+    AND its steps_per_call (the executable's K is baked in at trace
+    time): re-tracing an identical ~100-300 s remote-compile executable
+    would only measure the compile service twice."""
     import jax
     import optax
 
-    step, bank, net, params, state = shared
-    K = steps_per_call
+    step, K, bank, net, params, state = shared
     optimizer = optax.adam(1e-3)
     opt_state = optimizer.init(params)
     rng = jax.random.PRNGKey(0)
@@ -175,9 +175,9 @@ def bench_ours(batch, n_calls=25, steps_per_call=8):
     dt = time.perf_counter() - t0
     assert np.isfinite(float(value))
     # the trained tower rides into the embed benchmarks (exports measure
-    # the TRAINED output distribution) and the compiled step + bank into
-    # bench_trainer_loop — no executable compiles twice
-    return n_calls * K / dt, (step, bank, net, params, state)
+    # the TRAINED output distribution) and the compiled step + its K +
+    # bank into bench_trainer_loop — no executable compiles twice
+    return n_calls * K / dt, (step, K, bank, net, params, state)
 
 
 EMBED_CHUNK = 4096
@@ -356,7 +356,7 @@ def main():
     batch = _make_batch()
     frames = _frames_in_batch(batch)
     ours_sps, shared = bench_ours(batch)
-    _, _, enet, eparams, estate = shared
+    _, _, _, enet, eparams, estate = shared
     base_sps = bench_torch_baseline(batch)
     print(json.dumps({
         "metric": ("siamese train throughput/chip: DTW-aligned frame pairs "
