@@ -113,7 +113,7 @@ def _pooled_token_vectors(bank, max_frames=None, chunk: int = 2048):
 
 
 def _auto_block(N: int, T: int, batch_size: int, n_data: int = 1,
-                itemsize: int = 4) -> int:
+                itemsize: int = 2) -> int:
     """Tokens per tile side: tile dispatches scan ``block`` rows of
     ``block`` pairs each, so one dispatch covers block^2 pairs. Cap the
     per-row (block, T, T) distance transient at ~256 MB of HBM, and cap
@@ -122,17 +122,40 @@ def _auto_block(N: int, T: int, batch_size: int, n_data: int = 1,
     (the whole matrix for its half), t>=4 wastes <=25% (measured: an
     N=1152 corpus at block=1024 spent 2x longer than block=288).
     ``n_data``: the mesh data-axis size — the per-row pair batch rides
-    shard_map over it on multi-device meshes, so block must divide it."""
+    shard_map over it on multi-device meshes, so block must divide it.
+    ``itemsize``: bytes per value ON THE WIRE (the uint16 tile codec ->
+    2 B), which sets the 2 MB-fetch-capped side."""
     cap = max(8, int((1 << 26) / max(T * T, 1)))
     quarter = max(64, -(-N // 4))
     # keep each tile's d2h fetch <= 2 MB: larger fetches can stall for
-    # minutes through the dev tunnel (CLAUDE.md); float16 tiles allow a
-    # sqrt(2)-larger side
+    # minutes through the dev tunnel (CLAUDE.md); the 2-byte uint16 wire
+    # codec buys a sqrt(2)-larger side than raw float32 tiles
     fetch_cap = max(64, int(((2 << 20) // itemsize) ** 0.5))
     block = max(1, min(N, batch_size, cap, quarter, fetch_cap))
     if n_data > 1:
         block = max(n_data, (block // n_data) * n_data)
     return block
+
+
+# uint16 fixed-point wire codec for distance tiles: distances live in
+# [0, 1] (pairwise_angular_distance and its DTW path means), so tiles
+# ship as round(d * 65535) uint16 — 2 B/value on the wire, max error
+# 1/(2*65535) ~ 7.6e-6, TIGHTER than float16 (~2.4e-4 resolution near
+# 1.0) at the same byte cost, and half of float32's. The host matrix
+# dequantizes to out_dtype (the same wire-vs-storage split as the
+# embedder's int8 transfer codec, embedder.py encode_transfer).
+_U16_SCALE = 65535.0
+
+
+def _encode_tile_u16(d):
+    import jax.numpy as jnp
+    return jnp.round(jnp.clip(d, 0.0, 1.0) * _U16_SCALE) \
+        .astype(jnp.uint16)
+
+
+def _decode_tile_u16(q: np.ndarray, out_dtype) -> np.ndarray:
+    return (np.asarray(q).astype(np.float32)
+            * np.float32(1.0 / _U16_SCALE)).astype(out_dtype)
 
 
 def _pairs_distance_matrix(bank, distance, batch_size, mesh, max_frames,
@@ -208,13 +231,16 @@ def distance_matrix(bank, distance: str = "dtw_cos",
       computes a whole (block, block) tile — a lax.scan over rows, each
       row one batched DTW of token i against the tile's column tokens —
       so a dispatch covers block^2 pairs instead of streaming them one
-      id pair each (at N=30k the 2 MB-fetch-capped block of 724 for
-      float32 / 1024 for float16 means ~1,700 / ~450 tile dispatches
-      for 450M pairs; the flat stream would need ~440k through a
-      ~50 ms dispatch link). Only upper tiles run; results mirror.
+      id pair each. Tiles ship over the wire as uint16 fixed-point in
+      [0, 1] (2 B/value, max error 7.6e-6 — tighter than float16) and
+      dequantize host-side to ``out_dtype``, so the 2 MB-fetch-capped
+      block side is 1024 regardless of the host dtype (at N=30k that is
+      ~450 tile dispatches for 450M pairs; the flat stream would need
+      ~440k through a ~50 ms dispatch link). Only upper tiles run;
+      results mirror.
 
-    ``out_dtype=np.float16`` halves the host matrix (N=30k -> 1.8 GB)
-    and the d2h bytes either way.
+    ``out_dtype=np.float16`` halves the HOST matrix (N=30k -> 1.8 GB);
+    the wire bytes are 2 B/value either way (uint16 codec).
 
     ``checkpoint_path`` (tiles strategy) makes the computation
     RESUMABLE: the matrix lives in a ``<path>.npy`` memmap and each
@@ -245,8 +271,7 @@ def distance_matrix(bank, distance: str = "dtw_cos",
                                       max_frames, out_dtype)
     T = max_frames if max_frames is not None else bank.max_len
     n_data = mesh.shape["data"] if mesh is not None else 1
-    block = _auto_block(N, T, batch_size, n_data=n_data,
-                        itemsize=np.dtype(out_dtype).itemsize)
+    block = _auto_block(N, T, batch_size, n_data=n_data)  # u16 wire
     pooled = (_pooled_token_vectors(bank, max_frames)
               if distance == "mean_cos" else None)
 
@@ -256,7 +281,7 @@ def distance_matrix(bank, distance: str = "dtw_cos",
             v1 = pooled[ids_i]
             v2 = pooled[ids_j]
             d = pairwise_angular_distance(v1[None], v2[None])[0]
-            return d.astype(jnp.float16) if out_dtype == np.float16 else d
+            return _encode_tile_u16(d)
     else:
         @jax.jit
         def tile(ids_i, ids_j):
@@ -273,8 +298,7 @@ def distance_matrix(bank, distance: str = "dtw_cos",
                               / jnp.maximum(plen, 1.0))
 
             _, rows = jax.lax.scan(row, None, ids_i)
-            return (rows.astype(jnp.float16)
-                    if out_dtype == np.float16 else rows)
+            return _encode_tile_u16(rows)
 
     n_tiles = (N + block - 1) // block
     starts = [t * block for t in range(n_tiles)]
@@ -289,7 +313,8 @@ def distance_matrix(bank, distance: str = "dtw_cos",
 
     done: set = set()
     meta = {"N": N, "block": block, "dtype": np.dtype(out_dtype).name,
-            "distance": distance, "max_frames": max_frames, "T": T}
+            "distance": distance, "max_frames": max_frames, "T": T,
+            "wire": "u16"}  # discards pre-codec (float-wire) checkpoints
     if checkpoint_path is not None:
         import json as _json
         import os as _os
@@ -336,7 +361,7 @@ def distance_matrix(bank, distance: str = "dtw_cos",
         i0, j0 = starts[ti], starts[tj]
         ni = min(block, N - i0)
         nj = min(block, N - j0)
-        vals = np.asarray(out)[:ni, :nj].astype(out_dtype)
+        vals = _decode_tile_u16(np.asarray(out)[:ni, :nj], out_dtype)
         D[i0:i0 + ni, j0:j0 + nj] = vals
         if tj != ti:
             D[j0:j0 + nj, i0:i0 + ni] = vals.T
@@ -503,25 +528,55 @@ def evaluate(features_path: str, classes_path: str,
              out_dtype=np.float32,
              checkpoint_path: Optional[str] = None) -> Dict:
     """End-to-end ABX over an h5features file + .classes token inventory
-    (+ wav->speaker mapping, same file contracts as the sampler)."""
+    (+ wav->speaker mapping, same file contracts as the sampler).
+
+    The corpus is STREAMED (io.h5f.iter_h5features): only the token
+    slices named by the .classes inventory are retained, so host memory
+    is bounded by the token inventory + one read chunk, not the corpus
+    (ZeroSpeech feature files run to GBs while the scored tokens are a
+    small fraction; round-3 review weak #3)."""
+    from abnet3_tpu.io.h5f import iter_h5features
     from abnet3_tpu.ops.bank import TokenBank
     from abnet3_tpu.sampler import SamplerClusterSiamese
-    from abnet3_tpu.utils import read_feats, read_spkid_file
+    from abnet3_tpu.utils import Features_Accessor, read_spkid_file
 
     clusters = SamplerClusterSiamese().parse_input_file(classes_path)
     spkid = read_spkid_file(spkid_file) if spkid_file else None
-    accessor, _, _ = read_feats(features_path)
+    # token specs in inventory order (the tid order the labels/speakers
+    # lists follow), grouped by file for the single streaming pass
+    specs = [(ci, f, on, off)
+             for ci, cluster in enumerate(clusters)
+             for f, on, off in cluster]
+    by_file: Dict[str, List[int]] = {}
+    for k, (_, f, _, _) in enumerate(specs):
+        by_file.setdefault(f, []).append(k)
+    feat_by_spec: Dict[int, np.ndarray] = {}
+    missing = set(by_file)
+    for item, labs, feats in iter_h5features(features_path, "features"):
+        ks = by_file.get(item)
+        if ks is None:
+            continue
+        missing.discard(item)
+        for k in ks:
+            _, _, on, off = specs[k]
+            seg = Features_Accessor.get_features_between(
+                feats, labs, on, off)
+            if len(seg):
+                feat_by_spec[k] = np.asarray(seg, np.float32)
+    if missing:
+        raise KeyError("items named by %s but absent from %s: %s"
+                       % (classes_path, features_path,
+                          sorted(missing)[:5]))
     token_feats, labels, speakers = {}, [], []
     tid = 0
-    for ci, cluster in enumerate(clusters):
-        for f, on, off in cluster:
-            feat = accessor.get(f, on, off)
-            if len(feat) == 0:
-                continue
-            token_feats[tid] = np.asarray(feat, np.float32)
-            labels.append(ci)
-            speakers.append(spkid[f] if spkid else f)
-            tid += 1
+    for k, (ci, f, _, _) in enumerate(specs):
+        feat = feat_by_spec.get(k)
+        if feat is None:  # zero frames in [on, off]
+            continue
+        token_feats[tid] = feat
+        labels.append(ci)
+        speakers.append(spkid[f] if spkid else f)
+        tid += 1
     bank = TokenBank(token_feats, max_frames=max_frames)
     D = distance_matrix(bank, distance=distance, batch_size=batch_size,
                         mesh=mesh, max_frames=max_frames,

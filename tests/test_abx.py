@@ -419,17 +419,39 @@ def test_distance_matrix_mesh_plumbing():
 
 def test_distance_matrix_strategies_agree():
     """Forced 'tiles' and 'pairs' strategies produce the same matrix
-    (auto picks by corpus size; both must stay correct)."""
+    (auto picks by corpus size; both must stay correct). Tiles ship
+    uint16 fixed-point over the wire — max dequantization error
+    1/(2*65535) vs the pairs strategy's raw float32."""
     feats = _tokens(n=10)
     bank = TokenBank(feats)
     Dp = distance_matrix(bank, batch_size=16, strategy="pairs")
     Dt = distance_matrix(bank, batch_size=4, strategy="tiles")
-    np.testing.assert_allclose(Dp, Dt, atol=1e-6)
+    np.testing.assert_allclose(Dp, Dt, atol=1.0 / 65535)
     Dm_p = distance_matrix(bank, distance="mean_cos", batch_size=16,
                            strategy="pairs")
     Dm_t = distance_matrix(bank, distance="mean_cos", batch_size=4,
                            strategy="tiles")
     np.testing.assert_allclose(Dm_p, Dm_t, atol=1e-3)
+
+
+def test_tile_u16_codec_roundtrip():
+    """Wire codec properties: exact on the grid, <= half-step error off
+    it, endpoints preserved, out-of-range clipped."""
+    import jax.numpy as jnp
+    from abnet3_tpu.eval.abx import _decode_tile_u16, _encode_tile_u16
+    grid = np.arange(0, 65536, 257, dtype=np.float64) / 65535.0
+    q = _encode_tile_u16(jnp.asarray(grid, jnp.float32))
+    back = _decode_tile_u16(np.asarray(q), np.float32)
+    np.testing.assert_allclose(back, grid, atol=3e-8)  # f32 rounding
+    rng = np.random.RandomState(0)
+    x = rng.rand(4096).astype(np.float32)
+    back = _decode_tile_u16(
+        np.asarray(_encode_tile_u16(jnp.asarray(x))), np.float32)
+    assert np.abs(back - x).max() <= 0.5 / 65535 + 1e-7
+    edge = jnp.asarray([0.0, 1.0, -0.25, 1.5], jnp.float32)
+    back = _decode_tile_u16(np.asarray(_encode_tile_u16(edge)),
+                            np.float32)
+    np.testing.assert_allclose(back, [0.0, 1.0, 0.0, 1.0], atol=1e-7)
 
 
 def test_distance_matrix_checkpoint_resume(tmp_path):
