@@ -169,9 +169,33 @@ class DataLoader:
         raise NotImplementedError(
             "You must implement batch_iterator in DataLoader class.")
 
+    #: constructor-arg name -> callable(self) for the few args whose
+    #: values are not stored under the same attribute name
+    _WHOAMI_ALIASES: dict = {}
+
     def whoami(self):
-        raise NotImplementedError(
-            "You must implement whoami in DataLoader class")
+        """Reproducibility dump: EVERY non-private constructor argument
+        across the MRO, read back from the instance (the reference's
+        whoami idiom dumps the full configuration, reference
+        dataloader.py:60-84; an arg a subclass forgets to store fails
+        loudly here instead of silently vanishing from the dump)."""
+        import inspect
+        params = {}
+        for cls in type(self).__mro__:
+            init = cls.__dict__.get("__init__")
+            if init is None:
+                continue
+            for name, p in inspect.signature(init).parameters.items():
+                if name == "self" or p.kind in (p.VAR_POSITIONAL,
+                                                p.VAR_KEYWORD):
+                    continue
+                if name in params:
+                    continue  # nearest-subclass value wins
+                alias = self._WHOAMI_ALIASES.get(name)
+                params[name] = (alias(self) if alias is not None
+                                else getattr(self, name))
+        return {"params": params,
+                "class_name": self.__class__.__name__}
 
 
 class OriginalDataLoader(DataLoader):
@@ -215,19 +239,6 @@ class OriginalDataLoader(DataLoader):
         self.frame_bank = None  # (N_frames, d) device frame corpus (tcl)
         self._tcl_files = None
         self._rng = np.random.RandomState(seed)
-
-    def whoami(self):
-        return {"params": {
-            "pairs_path": self.pairs_path,
-            "features_path": self.features_path,
-            "seed": self.seed,
-            "num_max_minibatches": self.num_max_minibatches,
-            "batch_size": self.batch_size,
-            "align_backend": self.align_backend,
-            "bank_split": self.bank_split,
-            "steps_per_call": self.steps_per_call,
-            "tcl": self.tcl,
-        }, "class_name": self.__class__.__name__}
 
     # pickle support: drop the multi-GB features / device arrays from the
     # state and reload them on restore (reference dataloader.py:86-117).
@@ -821,6 +832,12 @@ class PairsDataLoader(OriginalDataLoader):
     SPLIT_EACH_FILE = "split_each_file"
     SPLIT_METHODS = [SPLIT_FILES, SPLIT_EACH_FILE]
 
+    # iteration counts live in the self.iterations dict
+    _WHOAMI_ALIASES = {
+        "train_iterations": lambda s: s.iterations["train"],
+        "test_iterations": lambda s: s.iterations["test"],
+    }
+
     def __init__(self, pairs_path, features_path, id_to_file,
                  ratio_split_train_test=0.7, batch_size=8,
                  train_iterations=10000, test_iterations=500,
@@ -1278,21 +1295,6 @@ class OnDeviceSamplerDataLoader(OriginalDataLoader):
         # per-dispatch latency; see make_sampled_train_step)
         self.steps_per_call = steps_per_call
         self.device_samplers = None  # {'train': ..., 'dev': ...}
-
-    def whoami(self):
-        return {"params": {
-            "features_path": self.features_path,
-            "std_file": self.std_file,
-            "spkid_file": self.spkid_file,
-            "batch_size": self.batch_size,
-            "num_max_minibatches": self.num_max_minibatches,
-            "ratio_same_diff_spk": self.ratio_same_diff_spk,
-            "ratio_same_diff_type": self.ratio_same_diff_type,
-            "type_sampling_mode": self.type_sampling_mode,
-            "spk_sampling_mode": self.spk_sampling_mode,
-            "steps_per_call": self.steps_per_call,
-            "seed": self.seed,
-        }, "class_name": self.__class__.__name__}
 
     def load_data(self):
         if self.device_samplers is not None:

@@ -47,6 +47,7 @@ class SamplerBuilder:
                  directory_output=None, ratio_train_dev=0.7, seed=0):
         self.batch_size = batch_size
         self.run = run
+        self.input_file = input_file
         self.directory_output = directory_output
         self.seed = seed
         self.ratio_train_dev = ratio_train_dev

@@ -146,8 +146,8 @@ class TrainerBuilder:
                 "optimizer", "statistics_training", "mesh"}
         out = {k: v for k, v in self.__dict__.items()
                if not k.startswith("_") and k not in skip}
-        if self.mesh is not None:
-            out["mesh"] = str(dict(self.mesh.shape))
+        out["mesh"] = (str(dict(self.mesh.shape))
+                       if self.mesh is not None else None)
         return out
 
     def whoami(self):
@@ -157,9 +157,10 @@ class TrainerBuilder:
             "loss": self.loss.whoami(),
             "class_name": self.__class__.__name__,
             "dataloader": self.dataloader.whoami(),
+            "feature_generator": (self.feature_generator.whoami()
+                                  if self.feature_generator is not None
+                                  else None),
         }
-        if self.feature_generator is not None:
-            whoami["feature_generator"] = self.feature_generator.whoami()
         return whoami
 
     def save_whoami(self):
