@@ -82,12 +82,21 @@ class FeaturesGenerator:
     # -- spectral transforms (device) -----------------------------------
 
     @staticmethod
-    def _read_wav(fname):
+    def _read_wav_raw(fname):
+        """Waveform in its on-disk dtype (int16 stays int16 so the
+        batched path ships half the h2d bytes and casts on device)."""
         from scipy.io import wavfile
         srate, sound = wavfile.read(fname)
         sound = np.asarray(sound)
         if sound.ndim > 1:
             sound = sound[:, 0]
+        if sound.dtype != np.int16:
+            sound = sound.astype(np.float32)
+        return srate, sound
+
+    @staticmethod
+    def _read_wav(fname):
+        srate, sound = FeaturesGenerator._read_wav_raw(fname)
         return srate, sound.astype(np.float32)
 
     @staticmethod
@@ -130,9 +139,21 @@ class FeaturesGenerator:
 
     def h5features_compute(self, files, h5f, featfunc=None, timefunc=None):
         """Stream features for many files into one h5features container in
-        batches of 500 (reference features.py:161-203)."""
+        batches of 500 (reference features.py:161-203).
+
+        The wav front-end (featfunc in {do_fbank, do_mfccs}) routes
+        through the batched async pipeline: one device dispatch per
+        same-length bucket of wavs instead of one synchronous round trip
+        per file (the reference pays one `spectral` call per wav,
+        reference features.py:175-188). Arbitrary featfuncs (e.g. the
+        stacking pass) keep the generic per-file loop.
+        """
         if featfunc is None:
             featfunc = self.do_fbank
+        if featfunc in (self.do_fbank, self.do_mfccs):
+            method = "fbanks" if featfunc == self.do_fbank else "mfcc"
+            return self._h5features_compute_wavs(files, h5f, method,
+                                                 timefunc=timefunc)
         batch_size = 500
         features, times, internal_files = [], [], []
         for f in files:
@@ -152,6 +173,131 @@ class FeaturesGenerator:
         if features:
             write_h5features(h5f, "/features/", internal_files, times,
                              features)
+
+    # -- batched async wav pipeline ---------------------------------------
+
+    def _feature_dim(self, method):
+        base = self.n_filters if method == "fbanks" else 13
+        return base * (1 + bool(self.deltas) + bool(self.deltasdeltas))
+
+    def _bucket_batch_size(self, nf, method):
+        """Files per dispatch for a bucket: capped at 32, and sized so one
+        batch's d2h result stays under ~2 MB (fetches above that stall
+        through the device tunnel, see CLAUDE.md)."""
+        bytes_per_file = max(1, nf) * self._feature_dim(method) * 4
+        return max(1, min(32, (2 << 20) // bytes_per_file))
+
+    def _h5features_compute_wavs(self, files, h5f, method, timefunc=None):
+        """TPU-first wav->features: a reader thread prefetches waveforms,
+        same-bucket files stack into one vmapped jitted dispatch
+        (ops/dsp.py spectral_frames_batch), results drain through a
+        bounded in-flight window with async d2h, and writes flush in the
+        original file order (the `_embed_corpus` pipeline pattern,
+        embedder.py:132-195). Exactly one compile per (srate, padlen,
+        dtype) bucket: partial final buckets pad by replicating the last
+        waveform, so no fresh shapes appear at flush time."""
+        import jax.numpy as jnp
+        import queue
+        import threading
+
+        files = list(files)
+        n = len(files)
+        results = {}       # file index -> (item, time, feats)
+        next_flush = 0     # first file index not yet written
+        write_batch = 500
+        window = 8         # in-flight batched dispatches
+        buckets = {}       # (srate, padlen, dtype) -> [(fi, sound, nf)]
+        batch_of = {}      # bucket key -> fixed files-per-dispatch
+        pending = []       # [(entries, device_feats)]
+
+        def flush(force=False):
+            nonlocal next_flush
+            while True:
+                run = 0
+                while next_flush + run in results and run < write_batch:
+                    run += 1
+                if run == 0 or (run < write_batch and not force
+                                and next_flush + run < n):
+                    return
+                items, times, feats = [], [], []
+                for _ in range(run):
+                    it, tm, ft = results.pop(next_flush)
+                    items.append(it)
+                    times.append(tm)
+                    feats.append(ft)
+                    next_flush += 1
+                write_h5features(h5f, "/features/", items, times, feats)
+
+        def drain_one():
+            entries, dev = pending.pop(0)
+            arr = np.asarray(dev)
+            for j, (fi, _sound, nf) in enumerate(entries):
+                data = arr[j, :nf].astype(np.float32)
+                if timefunc is None:
+                    time = (np.arange(data.shape[0], dtype=float) * 0.01
+                            + 0.0025)
+                else:
+                    time = timefunc(files[fi])
+                item = os.path.basename(os.path.splitext(files[fi])[0])
+                results[fi] = (item, time, data)
+            flush()
+
+        def dispatch(key, entries):
+            srate, padlen, dtype = key
+            bsz = batch_of[key]
+            wavs = np.zeros((bsz, padlen), dtype)
+            for j, (_fi, sound, _nf) in enumerate(entries):
+                wavs[j, :len(sound)] = sound
+            for j in range(len(entries), bsz):
+                wavs[j] = wavs[len(entries) - 1]
+            feats = dsp.spectral_frames_batch(
+                jnp.asarray(wavs), int(srate), method=method,
+                nfilt=self.n_filters, deltas=bool(self.deltas),
+                deltasdeltas=bool(self.deltasdeltas))
+            try:
+                feats.copy_to_host_async()
+            except AttributeError:
+                pass
+            pending.append((entries, feats))
+            while len(pending) >= window:
+                drain_one()
+
+        wav_q = queue.Queue(maxsize=64)
+
+        def reader():
+            for fi, f in enumerate(files):
+                try:
+                    srate, sound = self._read_wav_raw(f)
+                except Exception as exc:  # re-raised on the main thread
+                    wav_q.put((fi, exc, None))
+                    return
+                wav_q.put((fi, srate, sound))
+            wav_q.put(None)
+
+        t = threading.Thread(target=reader, daemon=True)
+        t.start()
+        while True:
+            msg = wav_q.get()
+            if msg is None:
+                break
+            fi, srate, sound = msg
+            if isinstance(srate, Exception):
+                raise srate
+            nf = dsp.num_frames(len(sound), srate)
+            padlen = int(np.ceil(max(len(sound), srate) / srate)) * srate
+            key = (int(srate), padlen, sound.dtype)
+            if key not in batch_of:
+                batch_of[key] = self._bucket_batch_size(
+                    dsp.num_frames(padlen, srate), method)
+            buckets.setdefault(key, []).append((fi, sound, nf))
+            if len(buckets[key]) == batch_of[key]:
+                dispatch(key, buckets.pop(key))
+        for key in sorted(buckets, key=str):
+            dispatch(key, buckets.pop(key))
+        while pending:
+            drain_one()
+        flush(force=True)
+        t.join()
 
     # -- normalization ----------------------------------------------------
 
@@ -225,9 +371,14 @@ class FeaturesGenerator:
         (reference features.py:299-320)."""
         files = read_h5features_index(fb_h5f)
 
+        # host-numpy stacking (bit-identical to the device op, see
+        # ops/dsp.py stack_frames_np): the data already lives on the host
+        # after normalization and stacking is a pure memory op — a device
+        # round trip per file would be all latency, no compute
         def aux(f):
-            return self.stack_fbanks(read_h5features_item(fb_h5f, f)[1],
-                                     nframes=nframes)
+            return dsp.stack_frames_np(
+                np.asarray(read_h5features_item(fb_h5f, f)[1]),
+                nframes=nframes)
 
         def time_f(f):
             return read_h5features_item(fb_h5f, f)[0]

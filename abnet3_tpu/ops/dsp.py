@@ -27,7 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["mel_filterbank_matrix", "logmel_frames", "mfcc_frames",
-           "add_deltas", "stack_frames", "num_frames"]
+           "spectral_frames_batch", "add_deltas", "stack_frames",
+           "stack_frames_np", "num_frames"]
 
 
 def _hz_to_mel(f):
@@ -121,6 +122,36 @@ def mfcc_frames(waveform: jnp.ndarray, fs: int, frate: float = 100.0,
                    preferred_element_type=jnp.float32)
 
 
+@functools.partial(jax.jit, static_argnames=("method", "fs", "nfilt",
+                                             "deltas", "deltasdeltas"))
+def spectral_frames_batch(waveforms: jnp.ndarray, fs: int,
+                          method: str = "fbanks", nfilt: int = 40,
+                          deltas: bool = False,
+                          deltasdeltas: bool = False) -> jnp.ndarray:
+    """Batched front-end: (B, n) same-length padded waveforms -> (B, nf, d)
+    features in ONE dispatch, deltas fused in.
+
+    This is what makes the wav stage TPU-first: the per-file API pays one
+    h2d RPC + one dispatch + one blocking d2h per wav (~100 ms+ each
+    through the device tunnel); stacking a same-length bucket of B files
+    into a single vmapped computation divides the dispatch count by B and
+    hands XLA a (B*nf, nfft/2+1) x (nfft/2+1, nfilt) mel projection that
+    actually fills the MXU. Same parameterization as the per-file
+    functions (reference features.py:99-133); exact-parity with the
+    per-file path is asserted in tests/test_features.py.
+    """
+    def one(w):
+        if method == "fbanks":
+            f = logmel_frames(w, fs, nfft=1024, nfilt=nfilt)
+        else:
+            f = mfcc_frames(w, fs, nfilt=nfilt, ncep=13)
+        return add_deltas(f, deltas, deltasdeltas)
+
+    # int16 wavs ship as-is (half the h2d bytes) and widen here; the cast
+    # is value-exact so parity with the float32 per-file path holds
+    return jax.vmap(one)(waveforms.astype(jnp.float32))
+
+
 def add_deltas(feats: jnp.ndarray, do_deltas: bool,
                do_deltasdeltas: bool, window: int = 2) -> jnp.ndarray:
     """Append regression deltas (and delta-deltas) along the feature axis
@@ -159,3 +190,18 @@ def stack_frames(feats: jnp.ndarray, nframes: int = 7) -> jnp.ndarray:
     padded = jnp.concatenate([pad, feats, pad], axis=0)
     cols = [padded[i:i + T] for i in range(nframes)]
     return jnp.concatenate(cols, axis=1)
+
+
+def stack_frames_np(feats: np.ndarray, nframes: int = 7) -> np.ndarray:
+    """Host-numpy twin of :func:`stack_frames` (bit-identical: both are
+    concatenations of zero-padded shifts). Corpus-scale stacking is a pure
+    memory op on data that already lives on the host after normalization —
+    routing it through the device costs a round trip per file for zero
+    compute win, so the features pipeline uses this path."""
+    assert nframes % 2 == 1, "number of stacked frames must be odd"
+    T, dim = feats.shape
+    half = nframes // 2
+    padded = np.concatenate(
+        [np.zeros((half, dim), feats.dtype), feats,
+         np.zeros((half, dim), feats.dtype)], axis=0)
+    return np.concatenate([padded[i:i + T] for i in range(nframes)], axis=1)

@@ -287,3 +287,81 @@ class TestDSPOracles:
         ours = np.asarray(mfcc_frames(jnp.asarray(w), fs))
         theirs = scipy_dct(lm, type=2, norm="ortho", axis=1)[:, :13]
         np.testing.assert_allclose(ours, theirs, rtol=2e-3, atol=2e-3)
+
+
+class TestBatchedWavPipeline:
+    """The batched async wav front-end (round-4: one dispatch per
+    same-length bucket, reader-thread prefetch, ordered writes) must
+    match the per-file path exactly."""
+
+    def _write_corpus(self, d, n_files=9, fs=16000, seed=3):
+        from scipy.io import wavfile
+        rng = np.random.RandomState(seed)
+        paths = []
+        for i in range(n_files):
+            # durations spread over three 1-second buckets; mix dtypes
+            dur = 0.3 + 0.9 * (i % 3) + 0.11 * i
+            w = rng.randn(int(fs * dur)) * 1000
+            p = str(d / f"utt{i:02d}.wav")
+            if i % 4 == 0:
+                wavfile.write(p, fs, w.astype(np.float32) / 32768.0 * 32768)
+            else:
+                wavfile.write(p, fs, w.astype(np.int16))
+            paths.append(p)
+        return paths
+
+    @pytest.mark.parametrize("method", ["fbanks", "mfcc"])
+    def test_batched_matches_per_file(self, tmp_path, method):
+        wavdir = tmp_path / "wavs"
+        wavdir.mkdir()
+        paths = self._write_corpus(wavdir)
+        fg = FeaturesGenerator(n_filters=40, method=method,
+                               normalization=False, norm_per_file=False,
+                               stack=False, deltas=(method == "mfcc"))
+        featfunc = fg.do_fbank if method == "fbanks" else fg.do_mfccs
+        out = str(tmp_path / "batched.h5f")
+        fg.h5features_compute(paths, out, featfunc=featfunc)
+        data = read_h5features(out)
+        assert data.items() == [f"utt{i:02d}" for i in range(len(paths))]
+        for p, item, time, feats in zip(paths, data.items(), data.labels(),
+                                        data.features()):
+            ref = featfunc(p)
+            assert feats.shape == ref.shape, item
+            np.testing.assert_allclose(feats, ref, rtol=0, atol=1e-5)
+            assert time[0] == pytest.approx(0.0025)
+
+    def test_partial_buckets_and_order(self, tmp_path):
+        # 5 same-bucket files with batch size forced to 2: two full
+        # dispatches + one padded flush dispatch; order must survive
+        from scipy.io import wavfile
+        rng = np.random.RandomState(0)
+        paths = []
+        for i in range(5):
+            p = str(tmp_path / f"w{i}.wav")
+            wavfile.write(p, 16000,
+                          (rng.randn(8000) * 500).astype(np.int16))
+            paths.append(p)
+        fg = FeaturesGenerator(normalization=False, norm_per_file=False,
+                               stack=False)
+        fg._bucket_batch_size = lambda nf, method: 2
+        out = str(tmp_path / "out.h5f")
+        fg.h5features_compute(paths, out)
+        data = read_h5features(out)
+        assert data.items() == [f"w{i}" for i in range(5)]
+        for p, feats in zip(paths, data.features()):
+            np.testing.assert_allclose(feats, fg.do_fbank(p),
+                                       rtol=0, atol=1e-5)
+
+    def test_reader_error_propagates(self, tmp_path):
+        fg = FeaturesGenerator(normalization=False, norm_per_file=False,
+                               stack=False)
+        with pytest.raises(Exception):
+            fg.h5features_compute([str(tmp_path / "missing.wav")],
+                                  str(tmp_path / "out.h5f"))
+
+    def test_stack_np_matches_device(self):
+        from abnet3_tpu.ops import dsp
+        rng = np.random.RandomState(1)
+        x = rng.randn(23, 5).astype(np.float32)
+        np.testing.assert_array_equal(dsp.stack_frames_np(x, 7),
+                                      np.asarray(dsp.stack_frames(x, 7)))
