@@ -911,7 +911,15 @@ def make_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
             y_spk_pair = None
         return ids1, ids2, y_pair, y_spk_pair, pair_w, tcl_args
 
-    def gather_value(p, state, rng, train, args):
+    # prepare/apply split: sampling-independent of params, the DTW
+    # alignment (the quadratic DP) happens ONCE per step in prepare();
+    # the loss closure the optimizer re-evaluates (LBFGS's zoom
+    # linesearch calls value_fn several times inside a while_loop, where
+    # XLA cannot CSE across iterations) only runs the parameter-dependent
+    # half (round-3 review weak #4; the _sampled_prepare/_sampled_apply
+    # pattern above).
+
+    def gather_prepare(args):
         ids1, ids2, y_pair, y_spk_pair, pair_w, tcl_args = \
             split_args(args)
         x1, x2, y, w = _bank_align(bank, ids1, ids2, y_pair, pair_w,
@@ -925,9 +933,15 @@ def make_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
             x2 = jnp.concatenate([x2, frame_bank[ti2]])
             y = jnp.concatenate([y, ty])
             w = jnp.concatenate([w, wt])
+        y_spk = None
         if extra_labels:
             y_spk = jnp.broadcast_to(
                 y_spk_pair[:, None], (y_spk_pair.shape[0], L)).reshape(-1)
+        return x1, x2, y, w, y_spk
+
+    def gather_apply(p, state, rng, train, prep):
+        x1, x2, y, w, y_spk = prep
+        if y_spk is not None:
             spk1, phn1, spk2, phn2, new_state = network.forward(
                 p, state, x1, x2, rng=rng, train=train, weights=w)
             return loss(spk1, phn1, spk2, phn2, y_spk, y,
@@ -936,7 +950,7 @@ def make_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
                                             train=train, weights=w)
         return loss(e1, e2, y, weights=w), new_state
 
-    def matrix_value(p, state, rng, train, args):
+    def matrix_prepare(args):
         ids1, ids2, y_pair, y_spk_pair, pair_w, tcl_args = \
             split_args(args)
         frames, w_frames, A, y_cells = _bank_align_matrix(
@@ -952,6 +966,10 @@ def make_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
                 [frames, frame_bank[ti1], frame_bank[ti2]])
             w_frames = jnp.concatenate([w_frames, wt, wt])
             tcl_terms = (ty, wt, ti1.shape[0])
+        return frames, w_frames, A, y_cells, n_tok, y_spk_pair, tcl_terms
+
+    def matrix_apply(p, state, rng, train, prep):
+        frames, w_frames, A, y_cells, n_tok, y_spk_pair, tcl_terms = prep
         B_, T1, T2 = A.shape
         if extra_labels:
             spk, phn, new_state = network.forward_once(
@@ -976,11 +994,14 @@ def make_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
         w = jnp.concatenate([A.reshape(-1), wt])
         return loss.from_cells(c, y, weights=w), new_state
 
-    value_fn = matrix_value if matrix else gather_value
+    prepare = matrix_prepare if matrix else gather_prepare
+    apply_fn = matrix_apply if matrix else gather_apply
 
     def one_step(params, state, opt_state, rng, args):
+        prep = prepare(args)
+
         def loss_fn(p):
-            return value_fn(p, state, rng, True, args)
+            return apply_fn(p, state, rng, True, prep)
 
         (value, new_state), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
@@ -991,7 +1012,7 @@ def make_pair_train_step(network, loss, optimizer, bank, mesh: Mesh,
                 new_opt, value)
 
     def eval_step(params, state, *args):
-        value, _ = value_fn(params, state, None, False, args)
+        value, _ = apply_fn(params, state, None, False, prepare(args))
         return value
 
     n_tok_args = n_batch_args - (4 if frame_bank is not None else 0)

@@ -382,3 +382,25 @@ def test_early_stopping(corpus, tmp_path):  # noqa: F811
     # epoch0 + first epoch (improves over None) + second epoch (equal dev
     # loss, not better) -> stop
     assert len(trainer.train_losses) <= 4
+
+
+@pytest.mark.parametrize("matrix", [False, True], ids=["gather", "matrix"])
+def test_lbfgs_converges_through_bank_loader(corpus, tmp_path, matrix):  # noqa: F811
+    """LBFGS through make_pair_train_step (align_backend='bank',
+    bank_split=False): the round-4 prepare/apply hoist keeps the DTW
+    alignment out of the loss closure the zoom linesearch re-evaluates —
+    convergence must hold on both the gather and matrix paths."""
+    feats_path, pairs_path, _ = corpus
+    net = _network(tmp_path)
+    dl = OriginalDataLoader(pairs_path, feats_path, batch_size=6,
+                            num_max_minibatches=1, seed=0,
+                            align_backend="bank", bank_split=False,
+                            shuffle_between_epochs=False)
+    trainer = TrainerSiamese(network=net, loss=coscos2(), dataloader=dl,
+                             optimizer_type="LBFGS", lr=1.0,
+                             num_epochs=8, patience=10,
+                             log_dir=str(tmp_path / "logs"), seed=0,
+                             matrix_loss=matrix)
+    trainer.train()
+    assert all(np.isfinite(trainer.train_losses))
+    assert trainer.train_losses[-1] < 0.8 * trainer.train_losses[0]
