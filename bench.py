@@ -352,12 +352,21 @@ def bench_torch_baseline(batch, n_steps=6):
     return n_steps / dt
 
 
+def _median_of(fn, n=3):
+    """Median-of-n for the torch-CPU baseline denominators: a single
+    timing inherits host-load noise and swung the vs_baseline ratios
+    ~2x run-to-run (round-3 review weak #6); the median of three
+    independent runs pins the scorecard's denominator."""
+    vals = sorted(fn() for _ in range(n))
+    return vals[n // 2]
+
+
 def main():
     batch = _make_batch()
     frames = _frames_in_batch(batch)
     ours_sps, shared = bench_ours(batch)
     _, _, _, enet, eparams, estate = shared
-    base_sps = bench_torch_baseline(batch)
+    base_sps = _median_of(lambda: bench_torch_baseline(batch))
     print(json.dumps({
         "metric": ("siamese train throughput/chip: DTW-aligned frame pairs "
                    "through a full train step (align+fwd+bwd+update)"),
@@ -378,7 +387,7 @@ def main():
 
     embed_fps = bench_embed_ours("realistic", eparams, estate, enet,
                                  forward=embed_forward)
-    embed_base = bench_embed_torch()
+    embed_base = _median_of(bench_embed_torch)
     print(json.dumps({
         "metric": ("embedding-export throughput/chip: trained-tower "
                    "embeddings of a speech-like (temporally smooth) "
