@@ -47,15 +47,23 @@ __all__ = ["dtw_costs_pallas", "dtw_moves_pallas",
 
 _BIG = 1e30  # plain float: jnp constants cannot be captured by a kernel
 BLOCK_B = 8  # preferred block; the call picks the largest VMEM-fitting one
-# VMEM the kernel's per-pair buffers may claim: ~half of a v5e core's
-# 16 MiB, leaving headroom for Mosaic's own staging. Tests monkeypatch
-# this to force shrunk blocks through the interpret-mode parity check.
-VMEM_BUDGET = 8 * 1024 * 1024
+# VMEM the kernel's per-pair buffers may claim, measured in TILED bytes
+# (see _pick_block): ~11 of a v5e core's 16 MiB scoped limit, leaving
+# headroom for Mosaic's own staging. The value keeps every block choice
+# validated on hardware (T=96 -> 64, T=512/3buf -> 2) and keeps
+# rejecting the never-validated T>=1024 3-buffer shape. Tests
+# monkeypatch this to force shrunk blocks through the interpret-mode
+# parity check.
+VMEM_BUDGET = 11_534_336  # 11.0 MiB + 512 KiB
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
 
 
 def _pick_block(B: int, T1: int, T2: int,
                 vmem_budget: int = None,
-                n_buffers: int = 2):
+                n_buffers: int = 2, n_len_refs: int = 0):
     """TPU grid iterations run sequentially, so bigger batch blocks mean
     fewer sequential kernel bodies; cap by VMEM (n_buffers 4-byte
     (T1, T2) planes per pair: in + out, plus any scratch). Shrinks below
@@ -63,10 +71,21 @@ def _pick_block(B: int, T1: int, T2: int,
     VMEM; returns None when even a single pair does not fit — callers
     (ops.dtw dispatchers) then fall back to the XLA scan instead of
     handing Mosaic an uncompilable block (a T=2048 bucket is ~50 MB of
-    planes per pair: no block fits)."""
+    planes per pair: no block fits).
+
+    VMEM is counted in TILED bytes: Mosaic stores a ref's last two dims
+    in (8, 128) tiles, so a (block, T1, T2) f32 buffer occupies
+    block * ceil8(T1) * ceil128(T2) * 4 bytes regardless of the logical
+    shape. Round-4 hardware lesson: a (1024, 16, 16) f32 ref allocates
+    8.4 MB, not 1 MB — the logical-size accounting passed block=1024
+    and the kernel stack (3 buffers, 24.8 MB) blew the 16 MB scoped
+    limit at compile time. ``n_len_refs`` counts (block, 1, 1) length
+    refs (the fused path kernel carries two), 4 KB per pair each once
+    tiled."""
     if vmem_budget is None:
         vmem_budget = VMEM_BUDGET
-    per_pair = T1 * T2 * 4 * n_buffers
+    per_pair = _round_up(T1, 8) * _round_up(T2, 128) * 4 * n_buffers
+    per_pair += n_len_refs * 8 * 128 * 4
     if per_pair > vmem_budget:
         return None
     block = 1
@@ -79,8 +98,10 @@ def _pick_block(B: int, T1: int, T2: int,
 def fits_vmem(B: int, T1: int, T2: int, n_buffers: int = 3) -> bool:
     """True when some batch block of a (B, T1, T2) problem fits the
     kernel VMEM budget (n_buffers=3 covers the fused path kernel, the
-    largest consumer: dist in + mask out + move scratch)."""
-    return _pick_block(B, T1, T2, n_buffers=n_buffers) is not None
+    largest consumer: dist in + mask out + move scratch + its two
+    length refs)."""
+    return _pick_block(B, T1, T2, n_buffers=n_buffers,
+                       n_len_refs=2 if n_buffers >= 3 else 0) is not None
 
 
 def _shift_right(x, k, fill):
@@ -251,7 +272,8 @@ def dtw_path_pallas(dist: jnp.ndarray, n1: jnp.ndarray, n2: jnp.ndarray,
     fused forward+reverse Pallas kernel; A[b].sum() == path length.
     Same cells as ops.dtw.onpath_from_moves (tested equal)."""
     B, T1, T2 = dist.shape
-    block = _pick_block(B, T1, T2, n_buffers=3)  # in + out + move scratch
+    # in + out + move scratch, plus the two (block, 1, 1) length refs
+    block = _pick_block(B, T1, T2, n_buffers=3, n_len_refs=2)
     if block is None:
         raise ValueError(
             f"DTW shape (T1={T1}, T2={T2}) exceeds the Pallas VMEM "

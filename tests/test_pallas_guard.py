@@ -29,9 +29,9 @@ def test_pick_block_unchanged_for_train_shapes():
 
 
 def test_pick_block_shrinks_then_rejects():
-    # T=512, 3 buffers: 512*512*4*3 = 3 MB/pair -> block 2 fits 8 MB
+    # T=512, 3 buffers: 3 MB/pair tiled -> block 2 fits the budget
     assert _pick_block(64, 512, 512, n_buffers=3) == 2
-    # T=1024: 12 MB/pair -> nothing fits the 8 MB budget
+    # T=1024: 12 MB/pair tiled -> over the budget, nothing fits
     assert _pick_block(64, 1024, 1024, n_buffers=3) is None
     assert _pick_block(8, 2048, 2048, n_buffers=2) is None
     assert fits_vmem(64, 512, 512)
@@ -75,16 +75,17 @@ def test_shrunk_block_interpret_parity(monkeypatch):
     import jax
     want = np.asarray(onpath_from_moves(
         moves_from_costs(dtw_costs(dist)), n1, n2))
-    # 64*64*4*3 = 48 KB/pair; 100 KB budget -> block 2.
+    # tiled per-pair: 64 x 128 lanes x 4 B x 3 buffers = 96 KB
+    # (+8 KB of length refs in the kernel call); 220 KB budget -> block 2.
     # _pick_block runs at trace time, so the jit cache must be dropped
     # for the new budget to take effect on an already-traced shape.
-    monkeypatch.setattr(pallas_dtw, "VMEM_BUDGET", 100 * 1024)
+    monkeypatch.setattr(pallas_dtw, "VMEM_BUDGET", 220 * 1024)
     assert _pick_block(B, T, T, n_buffers=3) == 2
     jax.clear_caches()
     got = np.asarray(dtw_path_pallas(dist, n1, n2, interpret=True))
     np.testing.assert_array_equal(got, want)
     # block-1 path too (the last-resort block)
-    monkeypatch.setattr(pallas_dtw, "VMEM_BUDGET", 50 * 1024)
+    monkeypatch.setattr(pallas_dtw, "VMEM_BUDGET", 110 * 1024)
     assert _pick_block(B, T, T, n_buffers=3) == 1
     jax.clear_caches()
     got1 = np.asarray(dtw_path_pallas(dist, n1, n2, interpret=True))
