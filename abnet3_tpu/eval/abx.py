@@ -42,7 +42,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 __all__ = ["make_pair_distance_fn", "distance_matrix", "abx_error",
-           "evaluate", "main"]
+           "read_item_file", "evaluate", "main"]
 
 
 def _masked_mean_pool(f, n, T: int):
@@ -521,14 +521,66 @@ def abx_error(D: np.ndarray, labels: Sequence, speakers: Sequence,
             "n_triplets": int(n_triplets)}
 
 
+def read_item_file(path: str):
+    """ABXpy ``.item`` task-file reader — the ecosystem's interchange
+    format for phone-level ABX tasks (the reference defers scoring to
+    ABXpy over the exported h5features, reference README.md:3,
+    embedder.py:98-100). Format: a ``#file onset offset #col1 col2 ...``
+    header, then one token per line::
+
+        #file onset offset #phone prev-phone next-phone speaker
+        s0101a 0.3225 0.5225 ny ao dx s01
+
+    Returns ``(columns, rows)``: the attribute-name list (header names
+    after onset/offset, ``#`` markers stripped) and
+    ``(file, onset, offset, {attr: value})`` tuples. Feed the result to
+    :func:`evaluate` by passing the ``.item`` path as ``classes_path``
+    (``item_on`` picks the class attribute, default the first one —
+    e.g. ``phone``; ``item_speaker`` the speaker attribute, default
+    ``speaker``/``talker``)."""
+    columns = None
+    rows = []
+    with open(path) as fh:
+        for ln, line in enumerate(fh, 1):
+            parts = line.split()
+            if not parts or parts[0].startswith("#") and columns is None:
+                if parts and columns is None:
+                    names = [p.lstrip("#") for p in parts]
+                    if names[:3] != ["file", "onset", "offset"]:
+                        raise ValueError(
+                            f"{path}:{ln}: item header must start with "
+                            f"'#file onset offset', got {parts[:3]}")
+                    columns = names[3:]
+                continue
+            if columns is None:
+                raise ValueError(f"{path}:1: missing '#file onset "
+                                 "offset ...' header line")
+            if len(parts) != 3 + len(columns):
+                raise ValueError(
+                    f"{path}:{ln}: expected {3 + len(columns)} columns "
+                    f"({['file', 'onset', 'offset'] + columns}), got "
+                    f"{len(parts)}")
+            rows.append((parts[0], float(parts[1]), float(parts[2]),
+                         dict(zip(columns, parts[3:]))))
+    if columns is None:
+        raise ValueError(f"{path}: empty item file")
+    return columns, rows
+
+
 def evaluate(features_path: str, classes_path: str,
              spkid_file: Optional[str] = None, task: str = "across",
              distance: str = "dtw_cos", batch_size: int = 1024,
              max_frames: Optional[int] = None, mesh=None,
              out_dtype=np.float32,
-             checkpoint_path: Optional[str] = None) -> Dict:
-    """End-to-end ABX over an h5features file + .classes token inventory
-    (+ wav->speaker mapping, same file contracts as the sampler).
+             checkpoint_path: Optional[str] = None,
+             item_on: Optional[str] = None,
+             item_speaker: Optional[str] = None) -> Dict:
+    """End-to-end ABX over an h5features file + a token inventory: either
+    a ``.classes`` cluster file (+ optional wav->speaker mapping, same
+    file contracts as the sampler) or an ABXpy ``.item`` task file
+    (``classes_path`` ending in ``.item``; per-token class and speaker
+    come from its attribute columns — ``item_on``/``item_speaker``
+    select them).
 
     The corpus is STREAMED (io.h5f.iter_h5features): only the token
     slices named by the .classes inventory are retained, so host memory
@@ -540,15 +592,31 @@ def evaluate(features_path: str, classes_path: str,
     from abnet3_tpu.sampler import SamplerClusterSiamese
     from abnet3_tpu.utils import Features_Accessor, read_spkid_file
 
-    clusters = SamplerClusterSiamese().parse_input_file(classes_path)
     spkid = read_spkid_file(spkid_file) if spkid_file else None
-    # token specs in inventory order (the tid order the labels/speakers
-    # lists follow), grouped by file for the single streaming pass
-    specs = [(ci, f, on, off)
-             for ci, cluster in enumerate(clusters)
-             for f, on, off in cluster]
+    # token specs (label, file, on, off, speaker-or-None) in inventory
+    # order (the tid order the labels/speakers lists follow), grouped by
+    # file for the single streaming pass
+    if classes_path.endswith(".item"):
+        columns, rows = read_item_file(classes_path)
+        on_col = item_on if item_on is not None else columns[0]
+        spk_col = item_speaker
+        if spk_col is None:
+            spk_col = next((c for c in ("speaker", "talker")
+                            if c in columns), None)
+        for col, what in ((on_col, "item_on"), (spk_col, "item_speaker")):
+            if col not in columns:
+                raise ValueError(
+                    f"{classes_path}: no {what} column {col!r} among "
+                    f"{columns}")
+        specs = [(attrs[on_col], f, on, off, attrs[spk_col])
+                 for f, on, off, attrs in rows]
+    else:
+        clusters = SamplerClusterSiamese().parse_input_file(classes_path)
+        specs = [(ci, f, on, off, None)
+                 for ci, cluster in enumerate(clusters)
+                 for f, on, off in cluster]
     by_file: Dict[str, List[int]] = {}
-    for k, (_, f, _, _) in enumerate(specs):
+    for k, (_, f, _, _, _) in enumerate(specs):
         by_file.setdefault(f, []).append(k)
     feat_by_spec: Dict[int, np.ndarray] = {}
     missing = set(by_file)
@@ -558,7 +626,7 @@ def evaluate(features_path: str, classes_path: str,
             continue
         missing.discard(item)
         for k in ks:
-            _, _, on, off = specs[k]
+            _, _, on, off, _ = specs[k]
             seg = Features_Accessor.get_features_between(
                 feats, labs, on, off)
             if len(seg):
@@ -569,13 +637,15 @@ def evaluate(features_path: str, classes_path: str,
                           sorted(missing)[:5]))
     token_feats, labels, speakers = {}, [], []
     tid = 0
-    for k, (ci, f, _, _) in enumerate(specs):
+    for k, (label, f, _, _, spk) in enumerate(specs):
         feat = feat_by_spec.get(k)
         if feat is None:  # zero frames in [on, off]
             continue
         token_feats[tid] = feat
-        labels.append(ci)
-        speakers.append(spkid[f] if spkid else f)
+        labels.append(label)
+        if spk is None:
+            spk = spkid[f] if spkid else f
+        speakers.append(spk)
         tid += 1
     bank = TokenBank(token_feats, max_frames=max_frames)
     D = distance_matrix(bank, distance=distance, batch_size=batch_size,
@@ -584,7 +654,7 @@ def evaluate(features_path: str, classes_path: str,
                         checkpoint_path=checkpoint_path)
     out = abx_error(D, labels, speakers, task=task)
     out.update({"task": task, "distance": distance, "n_tokens": tid,
-                "n_classes": len(clusters)})
+                "n_classes": len(set(labels))})
     return out
 
 
@@ -592,10 +662,21 @@ def main():
     parser = argparse.ArgumentParser(
         description="TPU-native ABX discriminability evaluation")
     parser.add_argument("features", help="h5features file to score")
-    parser.add_argument("classes", help=".classes token inventory")
+    parser.add_argument("classes",
+                        help=".classes token inventory, or an ABXpy "
+                             ".item task file (per-token class/speaker "
+                             "from its attribute columns)")
     parser.add_argument("-s", "--spkid-file",
                         help="wav->speaker mapping (one 'file spk' per "
-                             "line); defaults to per-file speakers")
+                             "line); defaults to per-file speakers "
+                             "(.classes inventories only)")
+    parser.add_argument("--on", dest="item_on", default=None,
+                        help=".item files: attribute column holding the "
+                             "class label (default: the first one, e.g. "
+                             "phone)")
+    parser.add_argument("--speaker-col", dest="item_speaker", default=None,
+                        help=".item files: attribute column holding the "
+                             "speaker (default: speaker/talker)")
     parser.add_argument("-t", "--task", default="across",
                         choices=["across", "within"])
     parser.add_argument("-d", "--distance", default="dtw_cos",
@@ -619,7 +700,9 @@ def main():
                       distance=args.distance, batch_size=args.batch_size,
                       max_frames=args.max_frames,
                       out_dtype=np.float16 if args.f16 else np.float32,
-                      checkpoint_path=args.checkpoint)
+                      checkpoint_path=args.checkpoint,
+                      item_on=args.item_on,
+                      item_speaker=args.item_speaker)
     line = json.dumps(result)
     print(line)
     if args.output:

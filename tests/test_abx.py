@@ -515,3 +515,110 @@ def test_distance_matrix_checkpoint_resume(tmp_path):
     D5 = distance_matrix(bank, batch_size=8, strategy="tiles",
                          checkpoint_path=ck, out_dtype=np.float16)
     np.testing.assert_allclose(np.asarray(D5), D_ref, atol=2e-3)
+
+
+class TestItemFiles:
+    """ABXpy .item interchange surface (round-4): the ecosystem's
+    phone-level task files feed the same evaluator."""
+
+    def test_read_item_file(self, tmp_path):
+        from abnet3_tpu.eval.abx import read_item_file
+        p = str(tmp_path / "task.item")
+        with open(p, "w") as f:
+            f.write("#file onset offset #phone prev-phone next-phone "
+                    "speaker\n"
+                    "s0101a 0.3225 0.5225 ny ao dx s01\n"
+                    "s0101a 0.6 0.75 ao ny k s01\n"
+                    "\n"
+                    "s0102b 1.0 1.2 ny dx ao s02\n")
+        cols, rows = read_item_file(p)
+        assert cols == ["phone", "prev-phone", "next-phone", "speaker"]
+        assert len(rows) == 3
+        f0, on0, off0, a0 = rows[0]
+        assert (f0, on0, off0) == ("s0101a", 0.3225, 0.5225)
+        assert a0 == {"phone": "ny", "prev-phone": "ao",
+                      "next-phone": "dx", "speaker": "s01"}
+
+    @pytest.mark.parametrize("bad,match", [
+        ("#wrong onset offset #phone spk\nf 0 1 a s\n", "must start"),
+        ("f 0 1 a s\n", "header"),
+        ("#file onset offset #phone speaker\nf 0 1 a\n", "expected 5"),
+        ("", "empty"),
+    ])
+    def test_read_item_file_errors(self, tmp_path, bad, match):
+        from abnet3_tpu.eval.abx import read_item_file
+        p = str(tmp_path / "bad.item")
+        with open(p, "w") as f:
+            f.write(bad)
+        with pytest.raises(ValueError, match=match):
+            read_item_file(p)
+
+    def _corpus(self, tmp_path):
+        """Two-class corpus written both as .classes+spkid and as an
+        equivalent .item file."""
+        from abnet3_tpu.io import write_h5features
+        rng = np.random.RandomState(3)
+        d = 5
+        centers = {"ny": rng.randn(d) * 3, "ao": rng.randn(d) * 3}
+        items = ["fA", "fB", "fC"]
+        n_frames = 120
+        feats = [np.zeros((n_frames, d), np.float32) for _ in items]
+        times = [np.arange(n_frames) * 0.01 + 0.005 for _ in items]
+        classes_lines, item_lines = [], [
+            "#file onset offset #phone context speaker"]
+        for ci, (cname, center) in enumerate(centers.items()):
+            classes_lines.append(f"{ci} {cname}")
+            for fi, f in enumerate(items):
+                t0 = 10 + 30 * ci
+                feats[fi][t0:t0 + 20] = center + 0.1 * rng.randn(20, d)
+                on, off = t0 * 0.01, (t0 + 19) * 0.01
+                classes_lines.append(f"{f} {on:.2f} {off:.2f}")
+                item_lines.append(
+                    f"{f} {on:.2f} {off:.2f} {cname} ctx spk{fi}")
+            classes_lines.append("")
+        fpath = str(tmp_path / "feats.h5f")
+        write_h5features(fpath, "features", items, times, feats)
+        cpath = str(tmp_path / "tokens.classes")
+        with open(cpath, "w") as f:
+            f.write("\n".join(classes_lines) + "\n")
+        spath = str(tmp_path / "spk.txt")
+        with open(spath, "w") as f:
+            f.write("fA spk0\nfB spk1\nfC spk2\n")
+        ipath = str(tmp_path / "task.item")
+        with open(ipath, "w") as f:
+            f.write("\n".join(item_lines) + "\n")
+        return fpath, cpath, spath, ipath
+
+    def test_item_evaluate_matches_classes_path(self, tmp_path):
+        from abnet3_tpu.eval.abx import evaluate
+        fpath, cpath, spath, ipath = self._corpus(tmp_path)
+        ref = evaluate(fpath, cpath, spkid_file=spath, task="across",
+                       distance="mean_cos")
+        got = evaluate(fpath, ipath, task="across", distance="mean_cos")
+        assert got["error"] == ref["error"]
+        assert got["n_triplets"] == ref["n_triplets"]
+        assert got["n_cells"] == ref["n_cells"]
+        assert got["n_tokens"] == ref["n_tokens"] == 6
+        assert got["n_classes"] == 2
+
+    def test_item_column_selection_and_errors(self, tmp_path):
+        from abnet3_tpu.eval.abx import evaluate
+        fpath, _, _, ipath = self._corpus(tmp_path)
+        # explicit columns agree with the defaults
+        got = evaluate(fpath, ipath, task="across", distance="mean_cos",
+                       item_on="phone", item_speaker="speaker")
+        assert np.isfinite(got["error"])
+        with pytest.raises(ValueError, match="item_on"):
+            evaluate(fpath, ipath, item_on="nope")
+        with pytest.raises(ValueError, match="item_speaker"):
+            evaluate(fpath, ipath, item_speaker="nope")
+
+    def test_item_cli(self, tmp_path, monkeypatch, capsys):
+        from abnet3_tpu.eval.abx import main
+        fpath, _, _, ipath = self._corpus(tmp_path)
+        out = str(tmp_path / "abx.json")
+        monkeypatch.setattr(sys, "argv", [
+            "abnet3-abx", fpath, ipath, "-d", "mean_cos", "-o", out])
+        main()
+        result = json.loads(open(out).read())
+        assert result["n_tokens"] == 6 and np.isfinite(result["error"])
