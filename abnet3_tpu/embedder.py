@@ -129,8 +129,39 @@ class EmbedderBuilder:
                        in_shardings=(None, None) + (dp,) * n_modalities,
                        out_shardings=(head,) * n_heads)
 
+    def _pad_target(self, n: int) -> int:
+        """Padded row count for a tail chunk: the smallest rung of a /4
+        bucket ladder under batch_size (floored at 256 rows, rounded up
+        to the mesh data axis) that holds ``n``. Full chunks stay at
+        batch_size; the bounded ladder keeps the executable count at
+        <= 3-4 shapes while a short tail no longer ships a full
+        batch_size of padding (round-4: a 60-frame tail padded to 4096
+        rows is 4.6 MB of h2d for 67 KB of data)."""
+        n_data = self.mesh.shape["data"] if self.mesh is not None else 1
+        floor = max(256, n_data)
+        sizes = [self.batch_size]
+        while sizes[-1] // 4 >= floor:
+            sizes.append(-(-(sizes[-1] // 4) // n_data) * n_data)
+        for s in sorted(sizes):
+            if n <= s:
+                return s
+        return self.batch_size
+
     def _embed_corpus(self, forward, feats_list, n_outputs: int = 1):
         """Embed every file's frames through fixed-size padded chunks.
+
+        PACKED: all files' frames form one virtual stream and chunks are
+        cut from the stream across file boundaries, so the corpus costs
+        ``ceil(total_frames / batch_size)`` dispatches however the
+        frames are split into files (round-4: 1,152 ~60-frame files paid
+        1,152 padded 4096-row dispatches = 248 s of mostly-padding h2d
+        through the dev tunnel; packed, the same corpus is ~17). Safe
+        because every embed forward is row-independent in eval mode (MLP
+        towers, running-stats batch-norm, per-row multimodal attention).
+        The tail chunk pads to the _pad_target ladder by replicating the
+        last valid row (pad rows are discarded, but their outputs enter
+        the int8 codec's per-chunk min/max — zero rows would widen the
+        quantization range).
 
         Fully pipelined: all chunk forwards are dispatched asynchronously
         and device->host copies are started as results complete, so
@@ -148,49 +179,70 @@ class EmbedderBuilder:
         """
         bs = self.batch_size
         params, state = self.network.params, self.network.state
-        outputs = [[[] for _ in feats_list] for _ in range(n_outputs)]
+        mods_list = [feat if isinstance(feat, tuple) else (feat,)
+                     for feat in feats_list]
+        n_mod = len(mods_list[0]) if mods_list else 1
+        lens = []
+        for mods in mods_list:
+            assert all(len(m) == len(mods[0]) for m in mods), \
+                "modalities must have the same frame count per file"
+            lens.append(len(mods[0]))
+        offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+        total = int(offsets[-1])
+        if total == 0:
+            empty = [np.zeros((0, 0), np.float32) for _ in feats_list]
+            return empty if n_outputs == 1 else [list(empty)
+                                                 for _ in range(n_outputs)]
+        out_heads = [None] * n_outputs  # (total, d_h), sized on 1st drain
         window = 16  # in-flight chunks: keeps device memory O(window)
-        pending = []  # (file_idx, valid_rows, device_buffers)
+        pending = []  # (row_start, valid_rows, device_buffers)
 
         def drain_one():
-            fi, valid, embs = pending.pop(0)
+            c0, valid, embs = pending.pop(0)
             for h, head in enumerate(embs):
-                outputs[h][fi].append(decode_transfer(head)[:valid])
+                dec = decode_transfer(head)[:valid]
+                if out_heads[h] is None:
+                    out_heads[h] = np.empty((total, dec.shape[1]),
+                                            np.float32)
+                out_heads[h][c0:c0 + valid] = dec
 
-        for fi, feat in enumerate(feats_list):
-            mods = feat if isinstance(feat, tuple) else (feat,)
-            mods = [m.astype(np.float32) if m.dtype != np.float32 else m
-                    for m in mods]
-            n_frames = len(mods[0])
-            assert all(len(m) == n_frames for m in mods), \
-                "modalities must have the same frame count per file"
-            for c0 in range(0, n_frames, bs):
-                chunks = []
-                for m in mods:
-                    chunk = m[c0:c0 + bs]
-                    pad = bs - len(chunk)
-                    if pad:
-                        # replicate the last valid row (not zeros): pad
-                        # rows are discarded, but their embeddings enter
-                        # the int8 codec's per-chunk min/max — zero-row
-                        # outputs would widen the quantization range and
-                        # degrade the valid rows' precision
-                        chunk = np.vstack([chunk, np.repeat(
-                            chunk[-1:], pad, axis=0)])
-                    chunks.append(jnp.asarray(chunk))
-                embs = forward(params, state, *chunks)
-                for head in embs:
-                    for leaf in head:
-                        try:
-                            leaf.copy_to_host_async()
-                        except AttributeError:
-                            pass
-                pending.append((fi, min(bs, n_frames - c0), embs))
-                if len(pending) >= window:
-                    drain_one()
+        fi = 0
+        for c0 in range(0, total, bs):
+            valid = min(bs, total - c0)
+            target = bs if valid == bs else self._pad_target(valid)
+            pieces = [[] for _ in range(n_mod)]
+            got = 0
+            while got < valid:
+                while lens[fi] <= c0 + got - offsets[fi]:
+                    fi += 1  # skip exhausted / empty files
+                a = c0 + got - offsets[fi]
+                take = min(lens[fi] - a, valid - got)
+                for k in range(n_mod):
+                    pieces[k].append(np.asarray(
+                        mods_list[fi][k][a:a + take], np.float32))
+                got += take
+            chunks = []
+            for k in range(n_mod):
+                chunk = (pieces[k][0] if len(pieces[k]) == 1
+                         else np.concatenate(pieces[k]))
+                if target > valid:
+                    chunk = np.vstack([chunk, np.repeat(
+                        chunk[-1:], target - valid, axis=0)])
+                chunks.append(jnp.asarray(chunk))
+            embs = forward(params, state, *chunks)
+            for head in embs:
+                for leaf in head:
+                    try:
+                        leaf.copy_to_host_async()
+                    except AttributeError:
+                        pass
+            pending.append((c0, valid, embs))
+            if len(pending) >= window:
+                drain_one()
         while pending:
             drain_one()
-        corpora = [[np.vstack(chunks) for chunks in outputs[h]]
+        corpora = [[out_heads[h][offsets[i]:offsets[i + 1]]
+                    for i in range(len(feats_list))]
                    for h in range(n_outputs)]
         return corpora[0] if n_outputs == 1 else corpora
 
@@ -203,56 +255,92 @@ class EmbedderBuilder:
         """Streaming twin of :func:`_embed_corpus`: ``stream`` yields
         ``(item, labels, frames)``; each file's decoded embeddings are
         handed to ``on_file_done(item, labels, [per-head arrays])`` as
-        soon as its last chunk drains. Same async pipeline (dispatch
-        ahead, overlapped d2h through a bounded window); memory is
-        O(window + current file), never the whole corpus."""
+        soon as its last chunk drains. PACKED like the corpus path:
+        frames from consecutive files fill one chunk (a chunk records
+        its (file, rows) spans and splits on drain), so many short
+        files do not multiply the dispatch count. Same async pipeline
+        (dispatch ahead, overlapped d2h through a bounded window);
+        memory is O(window + current file), never the whole corpus."""
         bs = self.batch_size
         params, state = self.network.params, self.network.state
         window = 16
-        pending = []  # (file_seq, valid_rows, heads)
-        live = {}     # file_seq -> [item, labels, [chunks]*heads, n_left]
+        pending = []   # (spans, valid_rows, heads)
+        live = {}      # file_seq -> [item, labels, [parts]*heads, n_left]
+        buf = []       # [(file_seq, rows-array)] not yet dispatched
+        buf_rows = 0
+        empties = []   # 0-frame files, emitted once head dims are known
+        head_dims = [None] * n_outputs
 
         def drain_one():
-            seq, valid, heads = pending.pop(0)
-            rec = live[seq]
-            for h, head in enumerate(heads):
-                rec[2][h].append(decode_transfer(head)[:valid])
-            rec[3] -= 1
-            if rec[3] == 0:
-                item, labels, chunk_lists, _ = rec
-                del live[seq]
-                on_file_done(item, labels,
-                             [np.vstack(c) for c in chunk_lists])
+            spans, valid, heads = pending.pop(0)
+            decs = [decode_transfer(head)[:valid] for head in heads]
+            for h, d in enumerate(decs):
+                head_dims[h] = d.shape[1]
+            r = 0
+            for seq, k in spans:
+                rec = live[seq]
+                for h in range(n_outputs):
+                    rec[2][h].append(decs[h][r:r + k])
+                rec[3] -= k
+                r += k
+                if rec[3] == 0:
+                    item, labels, parts, _ = rec
+                    del live[seq]
+                    on_file_done(item, labels,
+                                 [p[0] if len(p) == 1 else np.vstack(p)
+                                  for p in parts])
+
+        def dispatch(valid):
+            nonlocal buf, buf_rows
+            spans, pieces, got = [], [], 0
+            while got < valid:
+                seq, rows = buf[0]
+                take = min(len(rows), valid - got)
+                spans.append((seq, take))
+                pieces.append(rows[:take])
+                if take == len(rows):
+                    buf.pop(0)
+                else:
+                    buf[0] = (seq, rows[take:])
+                got += take
+            buf_rows -= valid
+            chunk = pieces[0] if len(pieces) == 1 else np.vstack(pieces)
+            target = bs if valid == bs else self._pad_target(valid)
+            if target > valid:
+                # last-row replication (keeps the int8 codec's min/max
+                # on valid-row outputs)
+                chunk = np.vstack([chunk, np.repeat(
+                    chunk[-1:], target - valid, axis=0)])
+            heads = forward(params, state, jnp.asarray(chunk))
+            for head in heads:
+                for leaf in head:
+                    try:
+                        leaf.copy_to_host_async()
+                    except AttributeError:
+                        pass
+            pending.append((spans, valid, heads))
+            if len(pending) >= window:
+                drain_one()
 
         for seq, (item, labels, feat) in enumerate(stream):
             feat = np.asarray(feat, np.float32)
-            n_frames = len(feat)
-            n_chunks = max((n_frames + bs - 1) // bs, 1)
+            if len(feat) == 0:
+                empties.append((item, labels))
+                continue
             live[seq] = [item, labels,
-                         [[] for _ in range(n_outputs)], n_chunks]
-            for c0 in range(0, max(n_frames, 1), bs):
-                chunk = feat[c0:c0 + bs]
-                pad = bs - len(chunk)
-                if pad:
-                    # last-row replication, as in _embed_corpus (keeps
-                    # the int8 codec's min/max on valid-row outputs)
-                    fill = (np.repeat(chunk[-1:], pad, axis=0)
-                            if len(chunk) else
-                            np.zeros((pad, feat.shape[1]), np.float32))
-                    chunk = np.vstack([chunk, fill])
-                heads = forward(params, state, jnp.asarray(chunk))
-                for head in heads:
-                    for leaf in head:
-                        try:
-                            leaf.copy_to_host_async()
-                        except AttributeError:
-                            pass
-                pending.append((seq, min(bs, max(n_frames - c0, 0)),
-                                heads))
-                if len(pending) >= window:
-                    drain_one()
+                         [[] for _ in range(n_outputs)], len(feat)]
+            buf.append((seq, feat))
+            buf_rows += len(feat)
+            while buf_rows >= bs:
+                dispatch(bs)
+        if buf_rows:
+            dispatch(buf_rows)
         while pending:
             drain_one()
+        for item, labels in empties:
+            on_file_done(item, labels,
+                         [np.zeros((0, head_dims[h] or 0), np.float32)
+                          for h in range(n_outputs)])
 
     def embed(self):
         raise NotImplementedError("Unimplemented embed for class:",

@@ -165,11 +165,13 @@ def test_embedder_int8_transfer(feature_file, tmp_path):
                     batch_size=64, transfer_dtype="int8").embed()
     a = read_h5features(out32)
     b = read_h5features(out8)
+    # chunks PACK across file boundaries (round-4), so a chunk's
+    # quantization min/max — and with it the error bound — spans the
+    # corpus range, not any single file's
+    corpus = np.vstack(a.features())
+    rng_bound = (corpus.max() - corpus.min()) / 510 + 1e-6
     for fa, fb in zip(a.features(), b.features()):
         assert fb.dtype == np.float32
-        # per-chunk bound <= per-file bound: padding replicates the last
-        # valid row, so no chunk's min/max range exceeds the file's
-        rng_bound = (fa.max() - fa.min()) / 510 + 1e-6
         assert np.max(np.abs(fa - fb)) <= rng_bound
 
 
@@ -304,3 +306,67 @@ def test_transfer_codec_unit_properties():
     c = jnp.full((8, 3), 2.5)
     out = decode_transfer(encode_transfer(c, "int8"))
     np.testing.assert_allclose(out, 2.5, atol=1e-5)
+
+
+def test_embedder_packs_small_files(tmp_path):
+    """Round-4: chunks pack ACROSS file boundaries — a corpus of many
+    short files costs ceil(total/batch_size) dispatches (plus a
+    ladder-padded tail), not one per file; per-file outputs stay exactly
+    the per-file forward's. Empty files come back as (0, d)."""
+    rng = np.random.RandomState(0)
+    lens = [5, 0, 17, 64, 3, 30, 0, 11]  # 130 frames over 8 files
+    feats = [rng.randn(n, 6).astype(np.float32) for n in lens]
+    net = SiameseNetwork(input_dim=6, num_hidden_layers=1, hidden_dim=16,
+                         output_dim=7, p_dropout=0.0,
+                         activation_layer="sigmoid")
+    net.ensure_init(0)
+    emb = EmbedderSiamese(network=net, feature_path=None,
+                          output_path=None, batch_size=64)
+    calls = {"n": 0, "rows": []}
+    inner = emb._forward_fn()
+
+    def counting_forward(params, state, x):
+        calls["n"] += 1
+        calls["rows"].append(x.shape[0])
+        return inner(params, state, x)
+
+    out = emb._embed_corpus(counting_forward, feats)
+    # 130 frames / bs 64 -> chunks of 64, 64, 2(-> ladder-padded tail)
+    assert calls["n"] == 3
+    assert calls["rows"][:2] == [64, 64]
+    assert calls["rows"][2] <= 64  # tail padded to a ladder rung, not bs
+    ref_fwd = emb._forward_fn()
+    for n, f, e in zip(lens, feats, out):
+        assert e.shape == (n, 7)
+        if n:
+            import jax.numpy as jnp
+            from abnet3_tpu.embedder import decode_transfer
+            want = decode_transfer(
+                ref_fwd(net.params, net.state, jnp.asarray(f))[0])
+            np.testing.assert_allclose(e, want, rtol=0, atol=1e-6)
+
+
+def test_embedder_streaming_packs_and_handles_empties(tmp_path):
+    """The streaming path packs across files too and emits empty files
+    as (0, d) once head dims are known."""
+    rng = np.random.RandomState(1)
+    lens = [5, 0, 17, 40, 3]
+    items = [f"f{i}" for i in range(len(lens))]
+    feats = [rng.randn(n, 6).astype(np.float32) for n in lens]
+    times = [np.arange(n) * 0.01 for n in lens]
+    net = SiameseNetwork(input_dim=6, num_hidden_layers=1, hidden_dim=16,
+                         output_dim=7, p_dropout=0.0,
+                         activation_layer="sigmoid")
+    net.ensure_init(0)
+    emb = EmbedderSiamese(network=net, feature_path=None,
+                          output_path=None, batch_size=32)
+    done = {}
+    emb._embed_streaming(emb._forward_fn(),
+                         zip(items, times, feats),
+                         lambda item, labels, embs: done.__setitem__(
+                             item, embs[0]))
+    assert set(done) == set(items)
+    full = emb._embed_corpus(emb._forward_fn(), feats)
+    for item, n, e in zip(items, lens, full):
+        assert done[item].shape == (n, 7)
+        np.testing.assert_allclose(done[item], e, rtol=0, atol=1e-6)
