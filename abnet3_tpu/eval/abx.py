@@ -27,6 +27,10 @@ token B than to an other-class token X: error = mean of
   are (class_A, class_X) pairs.
 - ``task='within'``: A, B, X all from one speaker; cells are
   (class_A, class_X, speaker).
+- BY-conditioning (``abx_error(by=...)`` / ``evaluate(item_by=...)`` /
+  CLI ``--by``): ABXpy-style context matching — A, B and X must share
+  every conditioning attribute (e.g. prev/next phone), cells gain the
+  by-key.
 
 Triplet errors average hierarchically: triplets -> cell -> mean over
 non-empty cells (ABXpy's collapse order), so large classes don't
@@ -419,11 +423,18 @@ def _block_err(dab: np.ndarray, dax: np.ndarray,
 
 
 def abx_error(D: np.ndarray, labels: Sequence, speakers: Sequence,
-              task: str = "across") -> Dict:
+              task: str = "across", by: Optional[Sequence] = None) -> Dict:
     """Hierarchical ABX error from a precomputed distance matrix.
 
     Returns {"error", "n_cells", "n_triplets"}; error is the mean over
     non-empty cells of the per-cell triplet error (ties count 0.5).
+
+    ``by``: optional per-token group keys (ABXpy's BY-conditioning, e.g.
+    phonetic context tuples): A, B and X must all share the same key, so
+    cells become (by, ...) and the returned error is the uniform mean
+    over all cells of all groups — exactly the unconditioned enumeration
+    run inside each group. ABXpy task model: on/across/by columns
+    (docs in the task files the reference defers to, README.md:3).
 
     Vectorized per (cell, anchor-speaker) block: within one cell every
     anchor of one speaker shares the same B set (same class, other
@@ -437,6 +448,23 @@ def abx_error(D: np.ndarray, labels: Sequence, speakers: Sequence,
     speakers = np.asarray(speakers)
     N = len(labels)
     assert D.shape == (N, N) and len(speakers) == N
+    if by is not None:
+        assert len(by) == N
+        groups: Dict = {}
+        for i, b in enumerate(by):
+            groups.setdefault(b, []).append(i)
+        err_sum, n_cells, n_trip = 0.0, 0, 0
+        for key in sorted(groups):
+            idx = np.asarray(groups[key], dtype=np.int64)
+            sub = abx_error(D[np.ix_(idx, idx)], labels[idx],
+                            speakers[idx], task=task)
+            if sub["n_cells"]:
+                err_sum += sub["error"] * sub["n_cells"]
+                n_cells += sub["n_cells"]
+                n_trip += sub["n_triplets"]
+        return {"error": (err_sum / n_cells if n_cells
+                          else float("nan")),
+                "n_cells": n_cells, "n_triplets": n_trip}
     # no dtype upcast: > / == on float16 values give identical results
     # to comparing their exact float32 images, and a full-matrix astype
     # would allocate the 2x copy the --f16 flag exists to avoid
@@ -574,13 +602,16 @@ def evaluate(features_path: str, classes_path: str,
              out_dtype=np.float32,
              checkpoint_path: Optional[str] = None,
              item_on: Optional[str] = None,
-             item_speaker: Optional[str] = None) -> Dict:
+             item_speaker: Optional[str] = None,
+             item_by: Optional[Sequence[str]] = None) -> Dict:
     """End-to-end ABX over an h5features file + a token inventory: either
     a ``.classes`` cluster file (+ optional wav->speaker mapping, same
     file contracts as the sampler) or an ABXpy ``.item`` task file
     (``classes_path`` ending in ``.item``; per-token class and speaker
     come from its attribute columns — ``item_on``/``item_speaker``
-    select them).
+    select them; ``item_by`` names columns to condition on, ABXpy-style:
+    triplets only compare tokens sharing every ``by`` value, e.g.
+    ``["prev-phone", "next-phone"]`` for context-matched phone ABX).
 
     The corpus is STREAMED (io.h5f.iter_h5features): only the token
     slices named by the .classes inventory are retained, so host memory
@@ -608,15 +639,25 @@ def evaluate(features_path: str, classes_path: str,
                 raise ValueError(
                     f"{classes_path}: no {what} column {col!r} among "
                     f"{columns}")
-        specs = [(attrs[on_col], f, on, off, attrs[spk_col])
+        for col in (item_by or ()):
+            if col not in columns:
+                raise ValueError(
+                    f"{classes_path}: no item_by column {col!r} among "
+                    f"{columns}")
+        specs = [(attrs[on_col], f, on, off, attrs[spk_col],
+                  tuple(attrs[c] for c in item_by) if item_by else None)
                  for f, on, off, attrs in rows]
     else:
+        if item_by:
+            raise ValueError("item_by conditioning needs an ABXpy .item "
+                             "task file (no attribute columns in "
+                             ".classes inventories)")
         clusters = SamplerClusterSiamese().parse_input_file(classes_path)
-        specs = [(ci, f, on, off, None)
+        specs = [(ci, f, on, off, None, None)
                  for ci, cluster in enumerate(clusters)
                  for f, on, off in cluster]
     by_file: Dict[str, List[int]] = {}
-    for k, (_, f, _, _, _) in enumerate(specs):
+    for k, (_, f, *_rest) in enumerate(specs):
         by_file.setdefault(f, []).append(k)
     feat_by_spec: Dict[int, np.ndarray] = {}
     missing = set(by_file)
@@ -626,7 +667,7 @@ def evaluate(features_path: str, classes_path: str,
             continue
         missing.discard(item)
         for k in ks:
-            _, _, on, off, _ = specs[k]
+            on, off = specs[k][2], specs[k][3]
             seg = Features_Accessor.get_features_between(
                 feats, labs, on, off)
             if len(seg):
@@ -635,9 +676,9 @@ def evaluate(features_path: str, classes_path: str,
         raise KeyError("items named by %s but absent from %s: %s"
                        % (classes_path, features_path,
                           sorted(missing)[:5]))
-    token_feats, labels, speakers = {}, [], []
+    token_feats, labels, speakers, by_keys = {}, [], [], []
     tid = 0
-    for k, (label, f, _, _, spk) in enumerate(specs):
+    for k, (label, f, _, _, spk, bkey) in enumerate(specs):
         feat = feat_by_spec.get(k)
         if feat is None:  # zero frames in [on, off]
             continue
@@ -646,15 +687,19 @@ def evaluate(features_path: str, classes_path: str,
         if spk is None:
             spk = spkid[f] if spkid else f
         speakers.append(spk)
+        by_keys.append(bkey)
         tid += 1
     bank = TokenBank(token_feats, max_frames=max_frames)
     D = distance_matrix(bank, distance=distance, batch_size=batch_size,
                         mesh=mesh, max_frames=max_frames,
                         out_dtype=out_dtype,
                         checkpoint_path=checkpoint_path)
-    out = abx_error(D, labels, speakers, task=task)
+    out = abx_error(D, labels, speakers, task=task,
+                    by=by_keys if item_by else None)
     out.update({"task": task, "distance": distance, "n_tokens": tid,
                 "n_classes": len(set(labels))})
+    if item_by:
+        out["by"] = list(item_by)
     return out
 
 
@@ -677,6 +722,12 @@ def main():
     parser.add_argument("--speaker-col", dest="item_speaker", default=None,
                         help=".item files: attribute column holding the "
                              "speaker (default: speaker/talker)")
+    parser.add_argument("--by", dest="item_by", action="append",
+                        default=None, metavar="COL",
+                        help=".item files: condition triplets on this "
+                             "attribute column, ABXpy-style (repeatable; "
+                             "e.g. --by prev-phone --by next-phone for "
+                             "context-matched phone ABX)")
     parser.add_argument("-t", "--task", default="across",
                         choices=["across", "within"])
     parser.add_argument("-d", "--distance", default="dtw_cos",
@@ -702,7 +753,8 @@ def main():
                       out_dtype=np.float16 if args.f16 else np.float32,
                       checkpoint_path=args.checkpoint,
                       item_on=args.item_on,
-                      item_speaker=args.item_speaker)
+                      item_speaker=args.item_speaker,
+                      item_by=args.item_by)
     line = json.dumps(result)
     print(line)
     if args.output:

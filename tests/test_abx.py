@@ -622,3 +622,118 @@ class TestItemFiles:
         main()
         result = json.loads(open(out).read())
         assert result["n_tokens"] == 6 and np.isfinite(result["error"])
+
+
+class TestByConditioning:
+    """ABXpy-style BY-conditioning (round-4): triplets only compare
+    tokens sharing every conditioning attribute."""
+
+    def test_abx_error_by_equals_per_group_mean(self):
+        """by= partitions tokens; the conditioned score is the uniform
+        cell mean over all groups' unconditioned scores."""
+        from abnet3_tpu.eval.abx import abx_error
+        rng = np.random.RandomState(11)
+        N = 40
+        D = rng.rand(N, N).astype(np.float32)
+        D = (D + D.T) / 2
+        labels = rng.choice(["a", "b", "c"], N)
+        speakers = rng.choice(["s0", "s1", "s2"], N)
+        by = rng.choice(["ctx0", "ctx1"], N)
+        for task in ("across", "within"):
+            got = abx_error(D, labels, speakers, task=task, by=by)
+            err_sum = cells = trips = 0
+            for g in ("ctx0", "ctx1"):
+                idx = np.flatnonzero(by == g)
+                sub = abx_error(D[np.ix_(idx, idx)], labels[idx],
+                                speakers[idx], task=task)
+                if sub["n_cells"]:
+                    err_sum += sub["error"] * sub["n_cells"]
+                    cells += sub["n_cells"]
+                    trips += sub["n_triplets"]
+            assert got["n_cells"] == cells
+            assert got["n_triplets"] == trips
+            np.testing.assert_allclose(got["error"], err_sum / cells,
+                                       rtol=1e-12)
+
+    def test_abx_error_single_group_matches_unconditioned(self):
+        from abnet3_tpu.eval.abx import abx_error
+        rng = np.random.RandomState(5)
+        N = 24
+        D = rng.rand(N, N).astype(np.float32)
+        labels = rng.choice([0, 1], N)
+        speakers = rng.choice(["x", "y"], N)
+        ref = abx_error(D, labels, speakers, task="across")
+        got = abx_error(D, labels, speakers, task="across",
+                        by=[("same",)] * N)
+        assert got == ref
+
+    def test_evaluate_item_by(self, tmp_path):
+        """End-to-end: an item file whose context column splits the
+        tokens into two groups; conditioned evaluate() == the weighted
+        cell mean of evaluating each context's sub-file."""
+        from abnet3_tpu.eval.abx import evaluate
+        from abnet3_tpu.io import write_h5features
+        rng = np.random.RandomState(7)
+        d, n_frames = 4, 200
+        items = [f"w{i}" for i in range(4)]
+        feats = [rng.randn(n_frames, d).astype(np.float32)
+                 for _ in items]
+        times = [np.arange(n_frames) * 0.01 + 0.005 for _ in items]
+        fpath = str(tmp_path / "feats.h5f")
+        write_h5features(fpath, "features", items, times, feats)
+        header = "#file onset offset #phone context speaker"
+        lines = [header]
+        ctx_lines = {"cL": [header], "cR": [header]}
+        t = 0
+        for tok in range(24):
+            f = items[tok % len(items)]
+            on, off = 0.05 + (tok // 4) * 0.3, 0.05 + (tok // 4) * 0.3 + 0.15
+            phone = ["ny", "ao"][tok % 2]
+            ctx = ["cL", "cR"][(tok // 2) % 2]
+            spk = f"s{tok % 3}"
+            row = f"{f} {on:.2f} {off:.2f} {phone} {ctx} {spk}"
+            lines.append(row)
+            ctx_lines[ctx].append(row)
+            t += 1
+        ipath = str(tmp_path / "task.item")
+        with open(ipath, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+        got = evaluate(fpath, ipath, task="across", distance="mean_cos",
+                       item_by=["context"])
+        assert got["by"] == ["context"]
+        err_sum = cells = trips = 0
+        for ctx, rows in ctx_lines.items():
+            p = str(tmp_path / f"{ctx}.item")
+            with open(p, "w") as fh:
+                fh.write("\n".join(rows) + "\n")
+            sub = evaluate(fpath, p, task="across", distance="mean_cos")
+            if sub["n_cells"]:
+                err_sum += sub["error"] * sub["n_cells"]
+                cells += sub["n_cells"]
+                trips += sub["n_triplets"]
+        assert got["n_cells"] == cells and got["n_triplets"] == trips
+        np.testing.assert_allclose(got["error"], err_sum / cells,
+                                   rtol=1e-6)
+        # unconditioned scores more triplets (cross-context ones)
+        un = evaluate(fpath, ipath, task="across", distance="mean_cos")
+        assert un["n_triplets"] > got["n_triplets"]
+        assert "by" not in un
+
+    def test_item_by_errors(self, tmp_path):
+        from abnet3_tpu.eval.abx import evaluate
+        from abnet3_tpu.io import write_h5features
+        fpath = str(tmp_path / "f.h5f")
+        write_h5features(fpath, "features", ["a"],
+                         [np.arange(10) * 0.01],
+                         [np.ones((10, 3), np.float32)])
+        ipath = str(tmp_path / "t.item")
+        with open(ipath, "w") as fh:
+            fh.write("#file onset offset #phone speaker\n"
+                     "a 0.0 0.05 ny s0\n")
+        with pytest.raises(ValueError, match="item_by"):
+            evaluate(fpath, ipath, item_by=["nope"])
+        cpath = str(tmp_path / "t.classes")
+        with open(cpath, "w") as fh:
+            fh.write("0 c\na 0.00 0.05\n")
+        with pytest.raises(ValueError, match="item_by"):
+            evaluate(fpath, cpath, item_by=["context"])
