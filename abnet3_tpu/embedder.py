@@ -190,9 +190,22 @@ class EmbedderBuilder:
         offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
         total = int(offsets[-1])
         if total == 0:
-            empty = [np.zeros((0, 0), np.float32) for _ in feats_list]
-            return empty if n_outputs == 1 else [list(empty)
-                                                 for _ in range(n_outputs)]
+            # all-empty corpus: probe one ladder-rung zero forward so the
+            # (0, d) outputs still carry the heads' true dims (a (0, 0)
+            # feature set writes a malformed h5features container)
+            dims = ([int(m.shape[1]) for m in mods_list[0]]
+                    if mods_list and all(getattr(m, "ndim", 0) == 2
+                                         for m in mods_list[0]) else None)
+            if dims is None:
+                head_d = [0] * n_outputs
+            else:
+                t = self._pad_target(1)
+                embs = forward(params, state, *[
+                    jnp.zeros((t, d), jnp.float32) for d in dims])
+                head_d = [decode_transfer(h).shape[1] for h in embs]
+            out = [[np.zeros((0, head_d[h]), np.float32)
+                    for _ in feats_list] for h in range(n_outputs)]
+            return out[0] if n_outputs == 1 else out
         out_heads = [None] * n_outputs  # (total, d_h), sized on 1st drain
         window = 16  # in-flight chunks: keeps device memory O(window)
         pending = []  # (row_start, valid_rows, device_buffers)
@@ -260,7 +273,11 @@ class EmbedderBuilder:
         its (file, rows) spans and splits on drain), so many short
         files do not multiply the dispatch count. Same async pipeline
         (dispatch ahead, overlapped d2h through a bounded window);
-        memory is O(window + current file), never the whole corpus."""
+        memory is O(window + current file), never the whole corpus.
+        ``on_file_done`` fires strictly in stream order (h5features
+        appends positionally), including 0-frame files, which emit as
+        (0, d) arrays — if one precedes every forward, it waits for the
+        first drain (or an end-of-stream probe forward) to learn d."""
         bs = self.batch_size
         params, state = self.network.params, self.network.state
         window = 16
@@ -268,8 +285,28 @@ class EmbedderBuilder:
         live = {}      # file_seq -> [item, labels, [parts]*heads, n_left]
         buf = []       # [(file_seq, rows-array)] not yet dispatched
         buf_rows = 0
-        empties = []   # 0-frame files, emitted once head dims are known
         head_dims = [None] * n_outputs
+        in_dim = None  # feature dim, for the all-empty-stream probe
+
+        def emit_ready():
+            # emit completed files from the front of `live` (insertion =
+            # stream order): a later file never finishes a drain before
+            # an earlier one, so this preserves corpus order exactly
+            while live:
+                seq = next(iter(live))
+                item, labels, parts, n_left = live[seq]
+                if n_left != 0:
+                    return
+                if parts[0]:
+                    out = [p[0] if len(p) == 1 else np.vstack(p)
+                           for p in parts]
+                elif head_dims[0] is not None:
+                    out = [np.zeros((0, head_dims[h]), np.float32)
+                           for h in range(n_outputs)]
+                else:  # 0-frame file before any forward: dims unknown
+                    return
+                del live[seq]
+                on_file_done(item, labels, out)
 
         def drain_one():
             spans, valid, heads = pending.pop(0)
@@ -283,12 +320,7 @@ class EmbedderBuilder:
                     rec[2][h].append(decs[h][r:r + k])
                 rec[3] -= k
                 r += k
-                if rec[3] == 0:
-                    item, labels, parts, _ = rec
-                    del live[seq]
-                    on_file_done(item, labels,
-                                 [p[0] if len(p) == 1 else np.vstack(p)
-                                  for p in parts])
+            emit_ready()
 
         def dispatch(valid):
             nonlocal buf, buf_rows
@@ -324,11 +356,13 @@ class EmbedderBuilder:
 
         for seq, (item, labels, feat) in enumerate(stream):
             feat = np.asarray(feat, np.float32)
-            if len(feat) == 0:
-                empties.append((item, labels))
-                continue
+            if feat.ndim == 2:
+                in_dim = feat.shape[1]
             live[seq] = [item, labels,
                          [[] for _ in range(n_outputs)], len(feat)]
+            if len(feat) == 0:
+                emit_ready()
+                continue
             buf.append((seq, feat))
             buf_rows += len(feat)
             while buf_rows >= bs:
@@ -337,10 +371,19 @@ class EmbedderBuilder:
             dispatch(buf_rows)
         while pending:
             drain_one()
-        for item, labels in empties:
-            on_file_done(item, labels,
-                         [np.zeros((0, head_dims[h] or 0), np.float32)
-                          for h in range(n_outputs)])
+        if live:
+            # only 0-frame files can remain: the stream never ran a
+            # forward (all files empty), so probe one ladder-rung zero
+            # chunk for the head dims, as _embed_corpus does
+            if head_dims[0] is None and in_dim is not None:
+                heads = forward(params, state, jnp.zeros(
+                    (self._pad_target(1), in_dim), jnp.float32))
+                for h, head in enumerate(heads):
+                    head_dims[h] = decode_transfer(head).shape[1]
+            if head_dims[0] is None:
+                head_dims = [0] * n_outputs
+            emit_ready()
+        assert not live
 
     def embed(self):
         raise NotImplementedError("Unimplemented embed for class:",

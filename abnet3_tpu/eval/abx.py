@@ -571,17 +571,18 @@ def read_item_file(path: str):
     with open(path) as fh:
         for ln, line in enumerate(fh, 1):
             parts = line.split()
-            if not parts or parts[0].startswith("#") and columns is None:
-                if parts and columns is None:
-                    names = [p.lstrip("#") for p in parts]
-                    if names[:3] != ["file", "onset", "offset"]:
-                        raise ValueError(
-                            f"{path}:{ln}: item header must start with "
-                            f"'#file onset offset', got {parts[:3]}")
+            if not parts:
+                continue
+            if parts[0].startswith("#"):
+                names = [p.lstrip("#") for p in parts]
+                if columns is None and names[:3] == ["file", "onset",
+                                                     "offset"]:
                     columns = names[3:]
+                # any other '#' line (before or after the header) is a
+                # comment — real .item files carry generator banners
                 continue
             if columns is None:
-                raise ValueError(f"{path}:1: missing '#file onset "
+                raise ValueError(f"{path}:{ln}: missing '#file onset "
                                  "offset ...' header line")
             if len(parts) != 3 + len(columns):
                 raise ValueError(
@@ -647,6 +648,7 @@ def evaluate(features_path: str, classes_path: str,
         specs = [(attrs[on_col], f, on, off, attrs[spk_col],
                   tuple(attrs[c] for c in item_by) if item_by else None)
                  for f, on, off, attrs in rows]
+        n_inventory_classes = len({s[0] for s in specs})
     else:
         if item_by:
             raise ValueError("item_by conditioning needs an ABXpy .item "
@@ -656,6 +658,7 @@ def evaluate(features_path: str, classes_path: str,
         specs = [(ci, f, on, off, None, None)
                  for ci, cluster in enumerate(clusters)
                  for f, on, off in cluster]
+        n_inventory_classes = len(clusters)
     by_file: Dict[str, List[int]] = {}
     for k, (_, f, *_rest) in enumerate(specs):
         by_file.setdefault(f, []).append(k)
@@ -696,8 +699,10 @@ def evaluate(features_path: str, classes_path: str,
                         checkpoint_path=checkpoint_path)
     out = abx_error(D, labels, speakers, task=task,
                     by=by_keys if item_by else None)
+    # n_classes reports the INVENTORY's class count (stable metadata even
+    # when a class's tokens all resolve to empty feature segments)
     out.update({"task": task, "distance": distance, "n_tokens": tid,
-                "n_classes": len(set(labels))})
+                "n_classes": n_inventory_classes})
     if item_by:
         out["by"] = list(item_by)
     return out

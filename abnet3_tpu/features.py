@@ -209,6 +209,11 @@ class FeaturesGenerator:
         buckets = {}       # (srate, padlen, dtype) -> [(fi, sound, nf)]
         batch_of = {}      # bucket key -> fixed files-per-dispatch
         pending = []       # [(entries, device_feats)]
+        # decoded-results bound: if the in-order writer stalls this long
+        # behind a file stuck in a part-filled bucket, force-dispatch
+        # that bucket (padded — no fresh shapes) so `results` can't grow
+        # toward the corpus size on heterogeneous-duration corpora
+        mem_cap = getattr(self, "_wav_mem_cap", 2 * write_batch)
 
         def flush(force=False):
             nonlocal next_flush
@@ -263,41 +268,69 @@ class FeaturesGenerator:
                 drain_one()
 
         wav_q = queue.Queue(maxsize=64)
+        stop = threading.Event()  # unblocks the reader if we raise
+
+        def q_put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    wav_q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def reader():
             for fi, f in enumerate(files):
+                if stop.is_set():
+                    return
                 try:
                     srate, sound = self._read_wav_raw(f)
                 except Exception as exc:  # re-raised on the main thread
-                    wav_q.put((fi, exc, None))
+                    q_put((fi, exc, None))
                     return
-                wav_q.put((fi, srate, sound))
-            wav_q.put(None)
+                if not q_put((fi, srate, sound)):
+                    return
+            q_put(None)
 
         t = threading.Thread(target=reader, daemon=True)
         t.start()
-        while True:
-            msg = wav_q.get()
-            if msg is None:
-                break
-            fi, srate, sound = msg
-            if isinstance(srate, Exception):
-                raise srate
-            nf = dsp.num_frames(len(sound), srate)
-            padlen = int(np.ceil(max(len(sound), srate) / srate)) * srate
-            key = (int(srate), padlen, sound.dtype)
-            if key not in batch_of:
-                batch_of[key] = self._bucket_batch_size(
-                    dsp.num_frames(padlen, srate), method)
-            buckets.setdefault(key, []).append((fi, sound, nf))
-            if len(buckets[key]) == batch_of[key]:
+        try:
+            while True:
+                msg = wav_q.get()
+                if msg is None:
+                    break
+                fi, srate, sound = msg
+                if isinstance(srate, Exception):
+                    raise srate
+                nf = dsp.num_frames(len(sound), srate)
+                padlen = (int(np.ceil(max(len(sound), srate) / srate))
+                          * srate)
+                key = (int(srate), padlen, sound.dtype)
+                if key not in batch_of:
+                    batch_of[key] = self._bucket_batch_size(
+                        dsp.num_frames(padlen, srate), method)
+                buckets.setdefault(key, []).append((fi, sound, nf))
+                if len(buckets[key]) == batch_of[key]:
+                    dispatch(key, buckets.pop(key))
+                if len(results) >= mem_cap:
+                    # writer stalled: the file at next_flush sits in a
+                    # part-filled bucket (if it were in `pending`, the
+                    # window would drain it) — dispatch that bucket now
+                    # and drain everything ahead of it so flush advances
+                    for key, entries in list(buckets.items()):
+                        if any(e[0] == next_flush for e in entries):
+                            dispatch(key, buckets.pop(key))
+                            while pending:
+                                drain_one()
+                            break
+            for key in sorted(buckets, key=str):
                 dispatch(key, buckets.pop(key))
-        for key in sorted(buckets, key=str):
-            dispatch(key, buckets.pop(key))
-        while pending:
-            drain_one()
-        flush(force=True)
-        t.join()
+            while pending:
+                drain_one()
+            flush(force=True)
+        finally:
+            stop.set()  # bounded wait: the reader polls stop on put()
+            t.join(timeout=5)
 
     # -- normalization ----------------------------------------------------
 

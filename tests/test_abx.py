@@ -539,8 +539,23 @@ class TestItemFiles:
         assert a0 == {"phone": "ny", "prev-phone": "ao",
                       "next-phone": "dx", "speaker": "s01"}
 
+    def test_read_item_file_tolerates_comments(self, tmp_path):
+        """'#' lines before or after the header are comments (real .item
+        files carry generator banners), not parse errors."""
+        from abnet3_tpu.eval.abx import read_item_file
+        p = str(tmp_path / "task.item")
+        with open(p, "w") as f:
+            f.write("# generated by abkhazia 2021-03-01\n"
+                    "#file onset offset #phone speaker\n"
+                    "s01 0.1 0.2 ny s01\n"
+                    "# mid-file annotation\n"
+                    "s02 0.3 0.4 ao s02\n")
+        cols, rows = read_item_file(p)
+        assert cols == ["phone", "speaker"]
+        assert [r[0] for r in rows] == ["s01", "s02"]
+
     @pytest.mark.parametrize("bad,match", [
-        ("#wrong onset offset #phone spk\nf 0 1 a s\n", "must start"),
+        ("#wrong onset offset #phone spk\nf 0 1 a s\n", "header"),
         ("f 0 1 a s\n", "header"),
         ("#file onset offset #phone speaker\nf 0 1 a\n", "expected 5"),
         ("", "empty"),
@@ -737,3 +752,26 @@ class TestByConditioning:
             fh.write("0 c\na 0.00 0.05\n")
         with pytest.raises(ValueError, match="item_by"):
             evaluate(fpath, cpath, item_by=["context"])
+
+
+def test_evaluate_n_classes_counts_inventory(tmp_path):
+    """n_classes reports the inventory's class count even when one
+    class's tokens all resolve to empty feature segments (stable
+    metadata across corpus variations)."""
+    from abnet3_tpu.eval.abx import evaluate
+    from abnet3_tpu.io import write_h5features
+    rng = np.random.RandomState(9)
+    items = ["fA", "fB"]
+    feats = [rng.randn(100, 4).astype(np.float32) for _ in items]
+    times = [np.arange(100) * 0.01 + 0.005 for _ in items]
+    fpath = str(tmp_path / "f.h5f")
+    write_h5features(fpath, "features", items, times, feats)
+    cpath = str(tmp_path / "t.classes")
+    with open(cpath, "w") as f:
+        # cluster 2's tokens sit beyond the 1 s files -> zero frames
+        f.write("0 a\nfA 0.10 0.30\nfB 0.10 0.30\n\n"
+                "1 b\nfA 0.50 0.70\nfB 0.50 0.70\n\n"
+                "2 ghost\nfA 5.00 5.10\nfB 5.00 5.10\n")
+    out = evaluate(fpath, cpath, distance="mean_cos")
+    assert out["n_classes"] == 3
+    assert out["n_tokens"] == 4

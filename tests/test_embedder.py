@@ -347,10 +347,12 @@ def test_embedder_packs_small_files(tmp_path):
 
 
 def test_embedder_streaming_packs_and_handles_empties(tmp_path):
-    """The streaming path packs across files too and emits empty files
-    as (0, d) once head dims are known."""
+    """The streaming path packs across files too, emits empty files as
+    (0, d) with the real head dim, and fires on_file_done strictly in
+    stream order (h5features appends positionally) — including a
+    0-frame FIRST file, whose dims only a later drain can supply."""
     rng = np.random.RandomState(1)
-    lens = [5, 0, 17, 40, 3]
+    lens = [0, 5, 0, 17, 40, 3]
     items = [f"f{i}" for i in range(len(lens))]
     feats = [rng.randn(n, 6).astype(np.float32) for n in lens]
     times = [np.arange(n) * 0.01 for n in lens]
@@ -361,12 +363,37 @@ def test_embedder_streaming_packs_and_handles_empties(tmp_path):
     emb = EmbedderSiamese(network=net, feature_path=None,
                           output_path=None, batch_size=32)
     done = {}
+    order = []
     emb._embed_streaming(emb._forward_fn(),
                          zip(items, times, feats),
-                         lambda item, labels, embs: done.__setitem__(
-                             item, embs[0]))
-    assert set(done) == set(items)
+                         lambda item, labels, embs: (
+                             done.__setitem__(item, embs[0]),
+                             order.append(item)))
+    assert order == items  # stream order preserved, empties included
     full = emb._embed_corpus(emb._forward_fn(), feats)
     for item, n, e in zip(items, lens, full):
         assert done[item].shape == (n, 7)
         np.testing.assert_allclose(done[item], e, rtol=0, atol=1e-6)
+
+
+def test_embedder_all_empty_corpus_keeps_head_dims():
+    """All-empty corpora/streams still report the network's output dim
+    (a (0, 0) feature set writes a malformed h5features container)."""
+    net = SiameseNetwork(input_dim=6, num_hidden_layers=1, hidden_dim=16,
+                         output_dim=7, p_dropout=0.0,
+                         activation_layer="sigmoid")
+    net.ensure_init(0)
+    emb = EmbedderSiamese(network=net, feature_path=None,
+                          output_path=None, batch_size=32)
+    feats = [np.zeros((0, 6), np.float32) for _ in range(3)]
+    out = emb._embed_corpus(emb._forward_fn(), feats)
+    assert [e.shape for e in out] == [(0, 7)] * 3
+    done = {}
+    order = []
+    emb._embed_streaming(emb._forward_fn(),
+                         zip(["a", "b"], [None, None], feats[:2]),
+                         lambda item, labels, embs: (
+                             done.__setitem__(item, embs[0]),
+                             order.append(item)))
+    assert order == ["a", "b"]
+    assert all(d.shape == (0, 7) for d in done.values())

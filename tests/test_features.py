@@ -359,6 +359,84 @@ class TestBatchedWavPipeline:
             fg.h5features_compute([str(tmp_path / "missing.wav")],
                                   str(tmp_path / "out.h5f"))
 
+    def test_stalled_bucket_force_dispatch(self, tmp_path):
+        """A file whose length bucket never fills must not stall the
+        in-order writer into buffering the rest of the corpus: once
+        `results` passes the memory cap, its bucket force-dispatches
+        (padded) instead of waiting for end-of-stream."""
+        from scipy.io import wavfile
+
+        from abnet3_tpu.ops import dsp
+        rng = np.random.RandomState(4)
+        paths = []
+        p0 = str(tmp_path / "w00.wav")  # lone 2 s file: rare bucket
+        wavfile.write(p0, 16000,
+                      (rng.randn(32000) * 500).astype(np.int16))
+        paths.append(p0)
+        for i in range(1, 25):  # 24 files in the common 1 s bucket
+            p = str(tmp_path / f"w{i:02d}.wav")
+            wavfile.write(p, 16000,
+                          (rng.randn(8000) * 500).astype(np.int16))
+            paths.append(p)
+        fg = FeaturesGenerator(normalization=False, norm_per_file=False,
+                               stack=False)
+        fg._bucket_batch_size = lambda nf, method: 2
+        fg._wav_mem_cap = 4
+        spy = []
+        real = dsp.spectral_frames_batch
+
+        def spying(wavs, srate, **kw):
+            spy.append(wavs.shape)
+            return real(wavs, srate, **kw)
+
+        orig = dsp.spectral_frames_batch
+        dsp.spectral_frames_batch = spying
+        try:
+            out = str(tmp_path / "out.h5f")
+            fg.h5features_compute(paths, out)
+        finally:
+            dsp.spectral_frames_batch = orig
+        # the 2 s bucket dispatched mid-stream (forced by the memory
+        # cap), not in the end-of-stream flush
+        two_s = [i for i, s in enumerate(spy) if s[1] == 32000]
+        assert two_s and two_s[0] <= len(spy) - 3, spy
+        data = read_h5features(out)
+        assert data.items() == [f"w{i:02d}" for i in range(25)]
+        np.testing.assert_allclose(data.features()[0], fg.do_fbank(p0),
+                                   rtol=0, atol=1e-5)
+
+    def test_reader_thread_exits_on_pipeline_error(self, tmp_path):
+        """If a dispatch raises mid-pipeline, the prefetch reader thread
+        must unblock from the bounded queue and exit (it polls a stop
+        event on put) instead of leaking with buffered waveforms."""
+        import threading
+        import time as _time
+
+        from abnet3_tpu.ops import dsp
+        fg = FeaturesGenerator(normalization=False, norm_per_file=False,
+                               stack=False)
+        fg._bucket_batch_size = lambda nf, method: 1
+        # synthetic reads: plenty of files so the reader outruns the
+        # consumer and blocks on the full queue when the main loop dies
+        wav = (np.zeros(8000)).astype(np.int16)
+        fg._read_wav_raw = lambda f: (16000, wav)
+        orig = dsp.spectral_frames_batch
+        dsp.spectral_frames_batch = \
+            lambda *a, **k: (_ for _ in ()).throw(RuntimeError("boom"))
+        base = set(threading.enumerate())
+        try:
+            with pytest.raises(RuntimeError, match="boom"):
+                fg.h5features_compute(
+                    [f"fake{i}.wav" for i in range(200)],
+                    str(tmp_path / "out.h5f"))
+        finally:
+            dsp.spectral_frames_batch = orig
+        deadline = _time.time() + 5
+        while (_time.time() < deadline
+               and set(threading.enumerate()) - base):
+            _time.sleep(0.05)
+        assert not (set(threading.enumerate()) - base)
+
     def test_stack_np_matches_device(self):
         from abnet3_tpu.ops import dsp
         rng = np.random.RandomState(1)
