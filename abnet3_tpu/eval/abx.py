@@ -13,6 +13,10 @@ Distances
 ---------
 - ``dtw_cos`` (default): mean angular cosine frame distance along the
   optimal DTW path — ABXpy's standard dtw_cosine token distance.
+- ``dtw_kl``: mean symmetrised KL divergence along the DTW path —
+  ABXpy's dtw_kl metric for posteriorgram features (rows are clipped
+  + renormalized to distributions; tiles ship raw float32 since KL is
+  unbounded).
 - ``mean_cos``: angular cosine distance of masked mean-pooled tokens
   (one MXU matmul for the whole matrix; no DTW).
 
@@ -66,9 +70,10 @@ def make_pair_distance_fn(bank, distance: str = "dtw_cos",
     import jax
     import jax.numpy as jnp
     from abnet3_tpu.ops.dtw import (dtw_path_from_dist,
-                                    pairwise_angular_distance)
+                                    pairwise_angular_distance,
+                                    pairwise_kl_distance)
 
-    assert distance in ("dtw_cos", "mean_cos")
+    assert distance in ("dtw_cos", "dtw_kl", "mean_cos")
     T = max_frames if max_frames is not None else bank.max_len
 
     def impl(ids1, ids2):
@@ -79,7 +84,9 @@ def make_pair_distance_fn(bank, distance: str = "dtw_cos",
             v2 = _masked_mean_pool(f2, n2, T)
             return pairwise_angular_distance(
                 v1[:, None, :], v2[:, None, :])[:, 0, 0]
-        dist = pairwise_angular_distance(f1, f2)
+        frame_dist = (pairwise_kl_distance if distance == "dtw_kl"
+                      else pairwise_angular_distance)
+        dist = frame_dist(f1, f2)
         # mean distance along the optimal path = sum(dist * A) / sum(A)
         # with A the on-path mask — no backtrace walk, no gathers (the
         # same matrix-alignment contract the train steps use)
@@ -255,9 +262,10 @@ def distance_matrix(bank, distance: str = "dtw_cos",
     import jax
     import jax.numpy as jnp
     from abnet3_tpu.ops.dtw import (dtw_path_from_dist,
-                                    pairwise_angular_distance)
+                                    pairwise_angular_distance,
+                                    pairwise_kl_distance)
 
-    assert distance in ("dtw_cos", "mean_cos")
+    assert distance in ("dtw_cos", "dtw_kl", "mean_cos")
     assert strategy in ("auto", "pairs", "tiles")
     N = len(bank)
     if checkpoint_path is not None and strategy != "tiles":
@@ -267,7 +275,7 @@ def distance_matrix(bank, distance: str = "dtw_cos",
                              "granularity to resume at)")
         strategy = "tiles"  # auto: checkpointing implies tiles
     if strategy == "pairs" or (strategy == "auto"
-                               and distance == "dtw_cos"
+                               and distance != "mean_cos"
                                and N < _TILE_MIN_TOKENS):
         # mean_cos always tiles: its tile is one matmul, no scan, so the
         # compile-cost argument doesn't apply
@@ -275,7 +283,14 @@ def distance_matrix(bank, distance: str = "dtw_cos",
                                       max_frames, out_dtype)
     T = max_frames if max_frames is not None else bank.max_len
     n_data = mesh.shape["data"] if mesh is not None else 1
-    block = _auto_block(N, T, batch_size, n_data=n_data)  # u16 wire
+    # KL divergences are unbounded, so dtw_kl tiles ship raw float32
+    # (the u16 codec's [0, 1] fixed point only fits the angular metrics)
+    u16_wire = distance != "dtw_kl"
+    block = _auto_block(N, T, batch_size, n_data=n_data,
+                        itemsize=2 if u16_wire else 4)
+    encode = _encode_tile_u16 if u16_wire else (lambda d: d)
+    decode = (_decode_tile_u16 if u16_wire
+              else lambda q, dt: np.asarray(q, dtype=dt))
     pooled = (_pooled_token_vectors(bank, max_frames)
               if distance == "mean_cos" else None)
 
@@ -285,8 +300,11 @@ def distance_matrix(bank, distance: str = "dtw_cos",
             v1 = pooled[ids_i]
             v2 = pooled[ids_j]
             d = pairwise_angular_distance(v1[None], v2[None])[0]
-            return _encode_tile_u16(d)
+            return encode(d)
     else:
+        frame_dist = (pairwise_kl_distance if distance == "dtw_kl"
+                      else pairwise_angular_distance)
+
         @jax.jit
         def tile(ids_i, ids_j):
             fj, nj = bank.take(ids_j, T)
@@ -295,14 +313,14 @@ def distance_matrix(bank, distance: str = "dtw_cos",
                 fi, ni = bank.take(id_i[None], T)
                 f1 = jnp.broadcast_to(fi, fj.shape)
                 n1 = jnp.broadcast_to(ni, nj.shape)
-                dist = pairwise_angular_distance(f1, fj)
+                dist = frame_dist(f1, fj)
                 A = dtw_path_from_dist(dist, n1, nj, mesh=mesh)
                 plen = jnp.sum(A, axis=(1, 2))
                 return None, (jnp.sum(dist * A, axis=(1, 2))
                               / jnp.maximum(plen, 1.0))
 
             _, rows = jax.lax.scan(row, None, ids_i)
-            return _encode_tile_u16(rows)
+            return encode(rows)
 
     n_tiles = (N + block - 1) // block
     starts = [t * block for t in range(n_tiles)]
@@ -318,7 +336,8 @@ def distance_matrix(bank, distance: str = "dtw_cos",
     done: set = set()
     meta = {"N": N, "block": block, "dtype": np.dtype(out_dtype).name,
             "distance": distance, "max_frames": max_frames, "T": T,
-            "wire": "u16"}  # discards pre-codec (float-wire) checkpoints
+            # codec changes invalidate old checkpoints' numerics
+            "wire": "u16" if u16_wire else "f32"}
     if checkpoint_path is not None:
         import json as _json
         import os as _os
@@ -365,7 +384,7 @@ def distance_matrix(bank, distance: str = "dtw_cos",
         i0, j0 = starts[ti], starts[tj]
         ni = min(block, N - i0)
         nj = min(block, N - j0)
-        vals = _decode_tile_u16(np.asarray(out)[:ni, :nj], out_dtype)
+        vals = decode(np.asarray(out)[:ni, :nj], out_dtype)
         D[i0:i0 + ni, j0:j0 + nj] = vals
         if tj != ti:
             D[j0:j0 + nj, i0:i0 + ni] = vals.T
@@ -736,7 +755,9 @@ def main():
     parser.add_argument("-t", "--task", default="across",
                         choices=["across", "within"])
     parser.add_argument("-d", "--distance", default="dtw_cos",
-                        choices=["dtw_cos", "mean_cos"])
+                        choices=["dtw_cos", "dtw_kl", "mean_cos"],
+                        help="dtw_kl is the posteriorgram metric "
+                             "(symmetrised KL along the DTW path)")
     parser.add_argument("-b", "--batch-size", type=int, default=1024)
     parser.add_argument("--max-frames", type=int, default=None)
     parser.add_argument("--f16", action="store_true",

@@ -78,6 +78,34 @@ def pairwise_angular_distance(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     return d
 
 
+def pairwise_kl_distance(x: jnp.ndarray, y: jnp.ndarray,
+                         eps: float = 1e-10) -> jnp.ndarray:
+    """Batched symmetrised KL divergence between posteriorgram frames.
+
+    x: (B, T1, d), y: (B, T2, d) -> (B, T1, T2) with
+    d[i, j] = 0.5 * (KL(p_i || q_j) + KL(q_j || p_i)) — ABXpy's
+    ``dtw_kl`` frame metric for posteriorgram features. Rows are clipped
+    at ``eps`` and renormalized to distributions first, so zero padding
+    rows become uniform (their distances are discarded by the DTW path
+    mask anyway) and the logs are finite. Two MXU matmuls per direction:
+    KL(p_i||q_j) = sum_k p_ik log p_ik - p_i . log q_j."""
+    p = jnp.clip(x.astype(jnp.float32), eps, None)
+    q = jnp.clip(y.astype(jnp.float32), eps, None)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    q = q / jnp.sum(q, axis=-1, keepdims=True)
+    logp = jnp.log(p)
+    logq = jnp.log(q)
+    self_p = jnp.sum(p * logp, axis=-1)             # (B, T1)
+    self_q = jnp.sum(q * logq, axis=-1)             # (B, T2)
+    cross_pq = jnp.einsum("bik,bjk->bij", p, logq,
+                          preferred_element_type=jnp.float32)
+    cross_qp = jnp.einsum("bik,bjk->bij", logp, q,
+                          preferred_element_type=jnp.float32)
+    kl_pq = self_p[:, :, None] - cross_pq
+    kl_qp = self_q[:, None, :] - cross_qp
+    return 0.5 * (kl_pq + kl_qp)
+
+
 def dtw_costs(dist: jnp.ndarray) -> jnp.ndarray:
     """Full DP cost tensor D for batched DTW.
 

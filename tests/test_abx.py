@@ -775,3 +775,105 @@ def test_evaluate_n_classes_counts_inventory(tmp_path):
     out = evaluate(fpath, cpath, distance="mean_cos")
     assert out["n_classes"] == 3
     assert out["n_tokens"] == 4
+
+
+class TestDtwKL:
+    """dtw_kl: ABXpy's posteriorgram metric — symmetrised KL along the
+    DTW path (unbounded, so tiles ship raw float32, not uint16)."""
+
+    def _post_tokens(self, n=10, d=5, seed=0):
+        rng = np.random.RandomState(seed)
+        out = {}
+        for i in range(n):
+            x = rng.rand(rng.randint(5, 14), d).astype(np.float32) + 0.05
+            out[i] = (x / x.sum(1, keepdims=True)).astype(np.float32)
+        return out
+
+    @staticmethod
+    def _sym_kl_np(p, q, eps=1e-10):
+        p = np.clip(p, eps, None)
+        q = np.clip(q, eps, None)
+        p = p / p.sum(-1, keepdims=True)
+        q = q / q.sum(-1, keepdims=True)
+        kl_pq = (p[:, None, :] * (np.log(p)[:, None, :]
+                                  - np.log(q)[None, :, :])).sum(-1)
+        kl_qp = (q[None, :, :] * (np.log(q)[None, :, :]
+                                  - np.log(p)[:, None, :])).sum(-1)
+        return 0.5 * (kl_pq + kl_qp)
+
+    def test_pairwise_kl_matches_numpy(self):
+        import jax.numpy as jnp
+
+        from abnet3_tpu.ops.dtw import pairwise_kl_distance
+        rng = np.random.RandomState(1)
+        p = rng.rand(2, 7, 5).astype(np.float32) + 0.01
+        q = rng.rand(2, 9, 5).astype(np.float32) + 0.01
+        got = np.asarray(pairwise_kl_distance(jnp.asarray(p),
+                                              jnp.asarray(q)))
+        for b in range(2):
+            np.testing.assert_allclose(got[b],
+                                       self._sym_kl_np(p[b], q[b]),
+                                       rtol=1e-4, atol=1e-6)
+        # symmetry: d(p, q) == d(q, p).T, zero diagonal on self
+        self_d = np.asarray(pairwise_kl_distance(jnp.asarray(p),
+                                                 jnp.asarray(p)))
+        np.testing.assert_allclose(np.diagonal(self_d, axis1=1, axis2=2),
+                                   0.0, atol=1e-5)
+
+    def test_dtw_kl_pair_distance_matches_host_oracle(self):
+        """Token distance == mean symmetric KL along the DTW path the
+        host oracle computes on the SAME KL matrix."""
+        from abnet3_tpu.eval.abx import make_pair_distance_fn
+        from abnet3_tpu.utils import dtw_numpy
+        feats = self._post_tokens()
+        bank = TokenBank(feats)
+        fn = make_pair_distance_fn(bank, distance="dtw_kl")
+        ids1 = np.asarray([0, 2, 4], np.int32)
+        ids2 = np.asarray([1, 3, 5], np.int32)
+        got = np.asarray(fn(ids1, ids2))
+        for k, (i, j) in enumerate(zip(ids1, ids2)):
+            dist = self._sym_kl_np(feats[int(i)], feats[int(j)])
+            _, p1, p2 = dtw_numpy(dist)
+            want = float(np.mean(dist[p1, p2]))
+            assert got[k] == pytest.approx(want, rel=1e-4, abs=1e-6)
+
+    def test_dtw_kl_strategies_agree(self, tmp_path):
+        from abnet3_tpu.eval.abx import distance_matrix
+        feats = self._post_tokens(n=12, seed=3)
+        bank = TokenBank(feats)
+        Dp = distance_matrix(bank, distance="dtw_kl", batch_size=8,
+                             strategy="pairs")
+        Dt = distance_matrix(bank, distance="dtw_kl", batch_size=8,
+                             strategy="tiles")
+        np.testing.assert_allclose(Dp, Dt, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(Dt, Dt.T, atol=1e-6)
+        assert (Dt >= 0).all() and Dt.max() > 1e-3
+        # f32 wire + checkpoint roundtrip (u16 meta would be stale)
+        ck = str(tmp_path / "kl_ck")
+        Dc = distance_matrix(bank, distance="dtw_kl", batch_size=8,
+                             strategy="tiles", checkpoint_path=ck)
+        np.testing.assert_allclose(Dc, Dt, rtol=0, atol=0)
+        Dr = distance_matrix(bank, distance="dtw_kl", batch_size=8,
+                             strategy="tiles", checkpoint_path=ck)
+        np.testing.assert_array_equal(np.asarray(Dr), np.asarray(Dc))
+
+    def test_dtw_kl_discriminates_posteriorgrams(self):
+        """Class-peaked posteriorgrams ABX-score near 0 under dtw_kl."""
+        from abnet3_tpu.eval.abx import distance_matrix
+        rng = np.random.RandomState(5)
+        d, n_cls, per = 6, 3, 5
+        feats, labels, speakers = {}, [], []
+        tid = 0
+        for c in range(n_cls):
+            for k in range(per):
+                T = rng.randint(5, 12)
+                x = rng.rand(T, d).astype(np.float32) * 0.1
+                x[:, c] += 3.0  # peak on the class dimension
+                feats[tid] = x / x.sum(1, keepdims=True)
+                labels.append(c)
+                speakers.append(f"s{k % 3}")
+                tid += 1
+        D = distance_matrix(TokenBank(feats), distance="dtw_kl",
+                            batch_size=32)
+        got = abx_error(D, labels, speakers, task="across")
+        assert got["error"] < 0.05
