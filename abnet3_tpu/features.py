@@ -195,7 +195,18 @@ class FeaturesGenerator:
         original file order (the `_embed_corpus` pipeline pattern,
         embedder.py:132-195). Exactly one compile per (srate, padlen,
         dtype) bucket: partial final buckets pad by replicating the last
-        waveform, so no fresh shapes appear at flush time."""
+        waveform, so no fresh shapes appear at flush time.
+
+        Two compile-cost controls (round-4: a demo corpus spent 315 s in
+        this stage, nearly all remote compiles over ~2 s of warm
+        compute): padlen buckets are power-of-2 SECONDS, so a 0.3-30 s
+        corpus compiles <= 6 batch executables instead of up to 30 (the
+        <= 2x zero-padding is value-exact — results slice to each file's
+        true frame count — and costs microseconds of MXU time against
+        minutes of compile); and each newly-discovered bucket's
+        executable prewarms on a background thread with a zero batch,
+        overlapping its compile with wav streaming and with the other
+        buckets' compiles."""
         import jax.numpy as jnp
         import queue
         import threading
@@ -267,6 +278,38 @@ class FeaturesGenerator:
             while len(pending) >= window:
                 drain_one()
 
+        warmers = []
+
+        def prewarm(key):
+            """Compile a new bucket's executable on a background thread
+            (zero batch, result discarded): the jit cache serves the
+            real dispatch, and concurrent buckets' remote compiles
+            overlap instead of serializing at first-dispatch time.
+            Measured (300 files, 0.4-6 s durations -> 4 ladder buckets,
+            cold process, two runs per arm): 18.9 / 93.5 s with prewarm
+            vs 128.6 / 190.4 s without — the remote compile service's
+            run-to-run variance is large, but the four compiles overlap
+            instead of serializing at first-dispatch time in both
+            pairings. ABNET3_WAV_PREWARM=0 opts out."""
+            if os.environ.get("ABNET3_WAV_PREWARM", "1") == "0":
+                return
+            srate, padlen, dtype = key
+            z = jnp.asarray(np.zeros((batch_of[key], padlen), dtype))
+
+            def run():
+                try:
+                    out = dsp.spectral_frames_batch(
+                        z, int(srate), method=method,
+                        nfilt=self.n_filters, deltas=bool(self.deltas),
+                        deltasdeltas=bool(self.deltasdeltas))
+                    out.block_until_ready()
+                except Exception:
+                    pass  # the real dispatch surfaces any error
+
+            th = threading.Thread(target=run, daemon=True)
+            th.start()
+            warmers.append(th)
+
         wav_q = queue.Queue(maxsize=64)
         stop = threading.Event()  # unblocks the reader if we raise
 
@@ -303,12 +346,14 @@ class FeaturesGenerator:
                 if isinstance(srate, Exception):
                     raise srate
                 nf = dsp.num_frames(len(sound), srate)
-                padlen = (int(np.ceil(max(len(sound), srate) / srate))
-                          * srate)
+                secs = int(np.ceil(max(len(sound), srate) / srate))
+                secs = 1 << (secs - 1).bit_length()  # power-of-2 ladder
+                padlen = secs * srate
                 key = (int(srate), padlen, sound.dtype)
                 if key not in batch_of:
                     batch_of[key] = self._bucket_batch_size(
                         dsp.num_frames(padlen, srate), method)
+                    prewarm(key)
                 buckets.setdefault(key, []).append((fi, sound, nf))
                 if len(buckets[key]) == batch_of[key]:
                     dispatch(key, buckets.pop(key))
@@ -331,6 +376,8 @@ class FeaturesGenerator:
         finally:
             stop.set()  # bounded wait: the reader polls stop on put()
             t.join(timeout=5)
+            for th in warmers:  # fast: their compiles already served
+                th.join(timeout=5)
 
     # -- normalization ----------------------------------------------------
 

@@ -386,7 +386,8 @@ class TestBatchedWavPipeline:
         real = dsp.spectral_frames_batch
 
         def spying(wavs, srate, **kw):
-            spy.append(wavs.shape)
+            if np.any(np.asarray(wavs)):  # skip prewarm zero batches
+                spy.append(wavs.shape)
             return real(wavs, srate, **kw)
 
         orig = dsp.spectral_frames_batch
@@ -404,6 +405,46 @@ class TestBatchedWavPipeline:
         assert data.items() == [f"w{i:02d}" for i in range(25)]
         np.testing.assert_allclose(data.features()[0], fg.do_fbank(p0),
                                    rtol=0, atol=1e-5)
+
+    def test_power_of_two_bucket_ladder(self, tmp_path):
+        """Padlen buckets are power-of-2 seconds: a duration spread of
+        0.5-5 s lands in ladder buckets {1, 2, 4, 8}s — 4 executables
+        where ceil-to-1s bucketing would compile 5 — and stays parity-
+        exact (results slice to each file's true frame count)."""
+        from scipy.io import wavfile
+
+        from abnet3_tpu.ops import dsp
+        rng = np.random.RandomState(6)
+        paths = []
+        for i, dur in enumerate([0.5, 1.5, 2.5, 3.5, 5.0]):
+            p = str(tmp_path / f"w{i}.wav")
+            wavfile.write(p, 16000, (rng.randn(int(16000 * dur))
+                                     * 500).astype(np.int16))
+            paths.append(p)
+        fg = FeaturesGenerator(normalization=False, norm_per_file=False,
+                               stack=False)
+        fg._bucket_batch_size = lambda nf, method: 2
+        spy = []
+        real = dsp.spectral_frames_batch
+
+        def spying(wavs, srate, **kw):
+            spy.append(wavs.shape)
+            return real(wavs, srate, **kw)
+
+        orig = dsp.spectral_frames_batch
+        dsp.spectral_frames_batch = spying
+        try:
+            out = str(tmp_path / "out.h5f")
+            fg.h5features_compute(paths, out)
+        finally:
+            dsp.spectral_frames_batch = orig
+        secs = {s[1] // 16000 for s in spy}
+        assert secs == {1, 2, 4, 8}, spy
+        assert all(v & (v - 1) == 0 for v in secs)
+        data = read_h5features(out)
+        for p, feats in zip(paths, data.features()):
+            np.testing.assert_allclose(feats, fg.do_fbank(p),
+                                       rtol=0, atol=1e-5)
 
     def test_reader_thread_exits_on_pipeline_error(self, tmp_path):
         """If a dispatch raises mid-pipeline, the prefetch reader thread
