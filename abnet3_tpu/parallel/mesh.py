@@ -78,6 +78,51 @@ def param_shardings(params, mesh: Mesh):
         params)
 
 
+def mirror_shardings(tree, mesh: Mesh):
+    """Steady-state layout for optimizer / batch-norm state trees:
+    leaves shaped like a param matrix or bias follow the params' TP rule
+    (optimizer moments stay co-located with the params they update — no
+    per-step resharding); anything else (step counts, linesearch
+    scalars, stacked LBFGS history) replicates."""
+    n_model = mesh.shape["model"]
+
+    def spec(leaf):
+        shape = getattr(leaf, "shape", ())
+        if len(shape) == 2 and shape[-1] % n_model == 0:
+            return P(None, "model")
+        if len(shape) == 1 and shape[0] and shape[0] % n_model == 0:
+            return P("model")
+        return P()
+
+    return jax.tree_util.tree_map(
+        lambda leaf: NamedSharding(mesh, spec(leaf)), tree)
+
+
+def _steady_place(cache, mesh, params, state, opt_state=None):
+    """device_put the training-state trees onto their steady shardings
+    (shardings cached across calls; the puts are no-ops once placed).
+
+    Without this every step executable compiles TWICE: the first
+    dispatch sees freshly-initialised UNCOMMITTED trees, while every
+    later dispatch sees the previous step's outputs, committed to the
+    mesh by out_shardings — jax keys its jit cache on the argument's
+    committed mesh axes ('explain_cache_misses' shows the key differing
+    only in ``f32[...]({Auto: ('data','model')})`` vs ``f32[...]({})``),
+    and through the remote compile service each extra compile costs
+    50-140 s. Placing the trees up front gives both cases one key, and
+    lets a prewarm call warm the SAME executable the loop then uses."""
+    if "p_shard" not in cache:
+        cache["p_shard"] = param_shardings(params, mesh)
+        cache["s_shard"] = mirror_shardings(state, mesh)
+    out = (jax.device_put(params, cache["p_shard"]),
+           jax.device_put(state, cache["s_shard"]))
+    if opt_state is None:
+        return out
+    if "o_shard" not in cache:
+        cache["o_shard"] = mirror_shardings(opt_state, mesh)
+    return out + (jax.device_put(opt_state, cache["o_shard"]),)
+
+
 def opt_update(optimizer, grads, opt_state, params, value, value_fn):
     """optimizer.update with the closure extra-args every step factory
     provides: optax's LBFGS zoom linesearch consumes
@@ -136,7 +181,16 @@ def _chain_steps(one_step, eval_step, mesh: Mesh, n_batch_args: int,
     opt_state, value); eval_step(params, state, *args) -> value;
     fill_for(i) -> pad constant for batch arg i (ids 0, labels 1.0,
     weights 0.0). With K > 1 every batch array carries a leading K axis;
-    the eval twin scans K losses and returns the (K,) values."""
+    the eval twin scans K losses and returns the (K,) values.
+
+    With K > 1 the train step also accepts ``valid=<(K,) float mask>``
+    (default all-ones): steps with valid[k] == 0 run but their
+    params/state/opt-state updates are discarded and their loss is
+    excluded from the returned mean. Partial buffers at pass end pad to
+    K with repeated batches + a zero mask and reuse the SAME executable
+    — a K=1 flush variant would cost a fresh remote compile (~30-100 s
+    through the tunnel's compile service) to process a handful of
+    leftover batches."""
     dp = NamedSharding(mesh, P("data"))
     rep = NamedSharding(mesh, P())
     assert K >= 1, "steps_per_call must be >= 1"
@@ -147,17 +201,26 @@ def _chain_steps(one_step, eval_step, mesh: Mesh, n_batch_args: int,
         eval_fn = eval_step
         dp_step = dp
     else:
-        def step(params, state, opt_state, rng, *stacked):
+        def step(params, state, opt_state, rng, valid, *stacked):
             def body(carry, inp):
                 p, s, o = carry
-                k, args = inp[0], inp[1:]
-                p, s, o, v = one_step(p, s, o,
-                                      jax.random.fold_in(rng, k), args)
-                return (p, s, o), v
+                k, v, args = inp[0], inp[1], inp[2:]
+                p2, s2, o2, val = one_step(p, s, o,
+                                           jax.random.fold_in(rng, k),
+                                           args)
+                keep = v > 0
+
+                def sel(a, b):
+                    return jnp.where(keep, a, b)
+                p = jax.tree_util.tree_map(sel, p2, p)
+                s = jax.tree_util.tree_map(sel, s2, s)
+                o = jax.tree_util.tree_map(sel, o2, o)
+                return (p, s, o), jnp.where(keep, val, 0.0)
             (params, state, opt_state), values = jax.lax.scan(
                 body, (params, state, opt_state),
-                (jnp.arange(K),) + stacked)
-            return params, state, opt_state, jnp.mean(values)
+                (jnp.arange(K), valid) + stacked)
+            return params, state, opt_state, (
+                jnp.sum(values) / jnp.maximum(jnp.sum(valid), 1.0))
 
         def eval_fn(params, state, *stacked):
             def body(_, args):
@@ -185,22 +248,34 @@ def _chain_steps(one_step, eval_step, mesh: Mesh, n_batch_args: int,
             out.append(a)
         return tuple(out)
 
-    def compiled(params, state, opt_state, rng, *batch):
+    def compiled(params, state, opt_state, rng, *batch, valid=None):
+        params, state, opt_state = _steady_place(cache, mesh, params,
+                                                 state, opt_state)
         if "jit" not in cache:
-            p_shard = param_shardings(params, mesh)
+            extra = () if K == 1 else (rep,)
             cache["jit"] = jax.jit(
                 step,
-                in_shardings=(p_shard, None, None, rep)
+                in_shardings=(cache["p_shard"], cache["s_shard"],
+                              cache["o_shard"], rep) + extra
                 + (dp_step,) * n_batch_args,
-                out_shardings=(p_shard, None, None, None))
-        return cache["jit"](params, state, opt_state, rng, *_pad(batch))
+                out_shardings=(cache["p_shard"], cache["s_shard"],
+                               cache["o_shard"], None))
+        if K == 1:
+            assert valid is None, "valid masks need steps_per_call > 1"
+            return cache["jit"](params, state, opt_state, rng,
+                                *_pad(batch))
+        if valid is None:
+            valid = jnp.ones(K, jnp.float32)
+        return cache["jit"](params, state, opt_state, rng,
+                            jnp.asarray(valid, jnp.float32), *_pad(batch))
 
     def compiled_eval(params, state, *batch):
+        params, state = _steady_place(cache, mesh, params, state)
         if "ejit" not in cache:
-            p_shard = param_shardings(params, mesh)
             cache["ejit"] = jax.jit(
                 eval_fn,
-                in_shardings=(p_shard, None) + (dp_step,) * n_batch_args)
+                in_shardings=(cache["p_shard"], cache["s_shard"])
+                + (dp_step,) * n_batch_args)
         return cache["ejit"](params, state, *_pad(batch))
 
     return compiled, compiled_eval
@@ -799,11 +874,14 @@ def make_sampled_train_step(network, loss, optimizer, bank, sampler,
     cache = {}
 
     def compiled(params, state, opt_state, rng):
+        params, state, opt_state = _steady_place(cache, mesh, params,
+                                                 state, opt_state)
         if "jit" not in cache:
-            p_shard = param_shardings(params, mesh)
             cache["jit"] = jax.jit(
-                step, in_shardings=(p_shard, None, None, rep),
-                out_shardings=(p_shard, None, None, None))
+                step, in_shardings=(cache["p_shard"], cache["s_shard"],
+                                    cache["o_shard"], rep),
+                out_shardings=(cache["p_shard"], cache["s_shard"],
+                               cache["o_shard"], None))
         return cache["jit"](params, state, opt_state, rng)
 
     return compiled
@@ -852,10 +930,11 @@ def make_sampled_eval_step(network, loss, bank, sampler, mesh: Mesh,
     cache = {}
 
     def compiled(params, state, rng):
+        params, state = _steady_place(cache, mesh, params, state)
         if "jit" not in cache:
-            p_shard = param_shardings(params, mesh)
             cache["jit"] = jax.jit(
-                step, in_shardings=(p_shard, None, rep))
+                step, in_shardings=(cache["p_shard"], cache["s_shard"],
+                                    rep))
         return cache["jit"](params, state, rng)
 
     return compiled
@@ -1138,25 +1217,23 @@ def make_fused_train_step(network, loss, optimizer, mesh: Mesh,
         return optax.apply_updates(params, updates), new_state, new_opt, \
             value
 
-    # params carry an explicit TP sharding; state/opt_state shardings are
-    # inferred from the arguments (optimizer moments inherit the param
-    # layout when opt_state is initialised from sharded params); batch
-    # arrays are annotated data-parallel. out_shardings pin the updated
-    # params to the same layout so the step is placement-stable across
-    # iterations (no per-step resharding).
+    # params carry an explicit TP sharding; optimizer moments mirror the
+    # param layout (mirror_shardings); batch arrays are annotated
+    # data-parallel. in/out shardings pin the training state to one
+    # placement so the step is placement-stable across iterations (no
+    # per-step resharding, one jit cache key — see _steady_place).
     cache = {}
 
     def compiled(params, state, opt_state, rng, *batch):
+        params, state, opt_state = _steady_place(cache, mesh, params,
+                                                 state, opt_state)
         if "jit" not in cache:
-            p_shard = param_shardings(params, mesh)
             cache["jit"] = jax.jit(
                 step,
-                in_shardings=(p_shard, None, None, rep) + (dp,) * 8,
-                out_shardings=(p_shard, None, None, None))
-            # place the initial params once; afterwards the step's outputs
-            # already carry the right sharding
-            cache["placed"] = jax.device_put(params, p_shard)
-            params = cache["placed"]
+                in_shardings=(cache["p_shard"], cache["s_shard"],
+                              cache["o_shard"], rep) + (dp,) * 8,
+                out_shardings=(cache["p_shard"], cache["s_shard"],
+                               cache["o_shard"], None))
         return cache["jit"](params, state, opt_state, rng, *batch)
 
     return compiled

@@ -173,6 +173,10 @@ class TrainerBuilder:
         raise NotImplementedError("Unimplemented optimize_model for class:",
                                   self.__class__.__name__)
 
+    def _prewarm_chain_steps(self):
+        """Subclasses with chained bank/frame steps overlap their
+        per-bucket executable compiles here; base: nothing to warm."""
+
     # -- checkpoint / resume ----------------------------------------------
     # The reference only saves best-network weights (no resume, reference
     # trainer.py:154-162); here the full training state (params, batch-norm
@@ -254,6 +258,7 @@ class TrainerBuilder:
         start_epoch = 0
 
         self.network.ensure_init(self.seed)
+        self._prewarm_chain_steps()
 
         train_writer = MetricsWriter(str(self.log_dir / "train_loss"))
         dev_writer = MetricsWriter(str(self.log_dir / "dev_loss"))
@@ -486,12 +491,28 @@ class TrainerSiamese(TrainerBuilder):
         return tuple(np.stack([np.asarray(args[i]) for args in per_batch])
                      for i in range(len(per_batch[0])))
 
+    def _pad_chunk(self, chunk):
+        """Pad a partial chunk to K with repeats of its last batch;
+        returns (padded_chunk, n_real, valid) — valid is None for full
+        chunks. The repeated batches run under a zero valid mask in the
+        K-chained executable, so leftovers never need a K=1 compile
+        variant (each costs a fresh ~30-100 s remote compile)."""
+        K = self._bank_steps_per_call
+        n = len(chunk)
+        if n >= K:
+            return chunk, n, None
+        valid = np.zeros(K, np.float32)
+        valid[:n] = 1.0
+        return chunk + [chunk[-1]] * (K - n), n, valid
+
     def _dispatch_chunk(self, chunk, rng):
-        """Dispatch K buffered same-bucket batches as one scanned call."""
+        """Dispatch K buffered same-bucket batches as one scanned call
+        (partial chunks pad to K under a valid mask)."""
+        chunk, _, valid = self._pad_chunk(chunk)
         train_step, _ = self._steps_for(chunk[0], len(chunk))
         params, state, opt, value = train_step(
             self.network.params, self.network.state, self._opt_state,
-            rng, *self._stack_args(chunk))
+            rng, *self._stack_args(chunk), valid=valid)
         self.network.params = params
         self.network.state = state
         self._opt_state = opt
@@ -499,34 +520,34 @@ class TrainerSiamese(TrainerBuilder):
 
     def _dispatch_eval_chunk(self, chunk):
         """Dispatch K buffered same-bucket dev batches as one scanned
-        eval call; returns the mean of the K per-batch losses."""
+        eval call; returns the mean of the real per-batch losses
+        (padded repeats are dropped host-side)."""
+        chunk, n, _ = self._pad_chunk(chunk)
         _, eval_step = self._steps_for(chunk[0], len(chunk))
         values = eval_step(self.network.params, self.network.state,
                            *self._stack_args(chunk))
-        return jnp.mean(values)
+        return jnp.mean(values[:n])
 
     def _flush_split_buffers(self, rng):
-        # leftovers run single-step: a chained variant per partial chunk
-        # size would trigger a fresh compile each epoch
-        vals = []
-        j = 0  # running index: distinct dropout rng per flushed batch
-        for key, chunk in list(self._split_buf.items()):
-            for b in chunk:
-                vals.append(self._give_single(
-                    b, True, jax.random.fold_in(rng, j)))
-                j += 1
+        """Flush partial train buffers at pass end as padded K-chains;
+        yields (mean-loss-over-chunk, n_real_batches) pairs."""
+        out = []
+        chunks = [c for c in self._split_buf.values() if c]
+        for j, chunk in enumerate(chunks):
+            out.append((self._dispatch_chunk(
+                chunk, jax.random.fold_in(rng, j)), len(chunk)))
         self._split_buf = {}
-        return vals
+        return out
 
     def _flush_split_eval_buffers(self):
-        """Flush partial eval buffers single-step at pass end."""
-        vals = []
-        for key, chunk in list(
-                getattr(self, "_split_eval_buf", {}).items()):
-            for b in chunk:
-                vals.append(self._give_single(b, False, None))
+        """Flush partial eval buffers at pass end as padded K-chains;
+        yields (mean-loss-over-chunk, n_real_batches) pairs."""
+        out = []
+        for chunk in getattr(self, "_split_eval_buf", {}).values():
+            if chunk:
+                out.append((self._dispatch_eval_chunk(chunk), len(chunk)))
         self._split_eval_buf = {}
-        return vals
+        return out
 
     def _split_bank_args(self, b):
         args = (b.ids1s, b.ids2s, b.ws, b.ids1d, b.ids2d, b.wd)
@@ -561,6 +582,93 @@ class TrainerSiamese(TrainerBuilder):
             return value
         return eval_step(self.network.params, self.network.state,
                          *self._args_for(b))
+
+    def _prewarm_chain_steps(self):
+        """Compile every (bucket, kind) chained-step executable the
+        epoch streams will need on background threads, BEFORE the first
+        pass — concurrent remote compiles overlap instead of
+        serializing at first-dispatch time (the wav front end's prewarm
+        pattern, features.py). Through the tunnel's compile service each
+        executable costs 30-100 s; a 2-bucket run compiles 4 of them
+        (train+eval per bucket), so the first epoch pays minutes of
+        serial compile without this. Outputs are discarded; trainer
+        state is untouched. The peek at the batch streams
+        snapshots/restores the loader RNG and statistics so epoch-0
+        batch composition is identical with and without prewarm.
+
+        ABNET3_TRAIN_PREWARM: "0" off, "1" force-on, unset = on unless
+        the backend is cpu (local compiles are fast; tests stay lean)."""
+        import threading
+        from collections import defaultdict
+        flag = os.environ.get("ABNET3_TRAIN_PREWARM", "")
+        if flag == "0":
+            return
+        if flag != "1" and jax.default_backend() == "cpu":
+            return
+        dl = self.dataloader
+        if hasattr(dl, "sampler_for") or not hasattr(dl, "batch_iterator"):
+            return
+        from abnet3_tpu.dataloader import (BankBatch, FrameBankBatch,
+                                           SplitBankBatch)
+        K = self._bank_steps_per_call
+        reps = {}
+        for train_mode in (True, False):
+            rng_state = (dl._rng.get_state()
+                         if hasattr(dl, "_rng") else None)
+            stats = dict(getattr(dl, "statistics_training", {}) or {})
+            try:
+                for seen, b in enumerate(
+                        dl.batch_iterator(train_mode=train_mode)):
+                    if not isinstance(b, (BankBatch, FrameBankBatch,
+                                          SplitBankBatch)):
+                        return  # padded/host stream: fused step, no chain
+                    key = (type(b).__name__, getattr(b, "bucket", None),
+                           getattr(b, "mode", None))
+                    chunk = reps.setdefault(key, [])
+                    if len(chunk) < K:
+                        chunk.append(b)
+                    if seen >= 256:  # bucket census, not a full epoch
+                        break
+            finally:
+                if rng_state is not None:
+                    dl._rng.set_state(rng_state)
+                if hasattr(dl, "statistics_training"):
+                    dl.statistics_training = defaultdict(
+                        int, stats)
+        if not reps:
+            return
+        params, state = self.network.params, self.network.state
+        if self._opt_state is None:
+            self._opt_state = self._checkpoint_optimizer().init(params)
+        opt_state = self._opt_state
+        rng = jax.random.PRNGKey(self.seed)
+
+        def run(fn, fargs, fkw):
+            try:
+                jax.block_until_ready(fn(*fargs, **fkw))
+            except Exception:
+                pass  # the real dispatch surfaces any error
+
+        threads = []
+        for chunk in reps.values():
+            chunk, _, valid = self._pad_chunk(list(chunk))
+            train_fn, eval_fn = self._steps_for(chunk[0], len(chunk))
+            if K > 1:
+                args = self._stack_args(chunk)
+                jobs = [(train_fn, (params, state, opt_state, rng) + args,
+                         {"valid": valid}),
+                        (eval_fn, (params, state) + args, {})]
+            else:
+                args = self._args_for(chunk[0])
+                jobs = [(train_fn,
+                         (params, state, opt_state, rng) + tuple(args), {}),
+                        (eval_fn, (params, state) + tuple(args), {})]
+            for job in jobs:
+                th = threading.Thread(target=run, args=job, daemon=True)
+                th.start()
+                threads.append(th)
+        for th in threads:
+            th.join()
 
     def _give_buffered_batch(self, b, do_training, rng):
         """Bank batches (mixed or split) accumulate into per-(kind,
@@ -740,13 +848,13 @@ class TrainerSiamese(TrainerBuilder):
         # train iterator through the eval buffers)
         if do_training and getattr(self, "_split_buf", None):
             flush_rng = jax.random.fold_in(base_rng, 1 << 20)
-            for value in self._flush_split_buffers(flush_rng):
-                losses.append((value, 1))
-                num_batches_train += 1
+            for value, count in self._flush_split_buffers(flush_rng):
+                losses.append((value, count))
+                num_batches_train += count
         if getattr(self, "_split_eval_buf", None):
-            for value in self._flush_split_eval_buffers():
-                losses.append((value, 1))
-                num_batches_train += 1
+            for value, count in self._flush_split_eval_buffers():
+                losses.append((value, count))
+                num_batches_train += count
         train_loss = float(np.sum(
             [np.asarray(v) * c for v, c in losses])) if losses else 0.0
 
@@ -765,9 +873,9 @@ class TrainerSiamese(TrainerBuilder):
             losses.append((value, count))
             num_batches_dev += count
         if getattr(self, "_split_eval_buf", None):
-            for value in self._flush_split_eval_buffers():
-                losses.append((value, 1))
-                num_batches_dev += 1
+            for value, count in self._flush_split_eval_buffers():
+                losses.append((value, count))
+                num_batches_dev += count
         dev_loss = float(np.sum([np.asarray(v) * c for v, c in losses])) \
             if losses else 0.0
 

@@ -269,12 +269,19 @@ def test_chained_steps_match_single(tmp_path):
     d3 = tmp_path / "k3"
     d3.mkdir()
     p3, losses3 = run(3, d3)
-    for a, b in zip(jax.tree_util.tree_leaves(p1),
-                    jax.tree_util.tree_leaves(p3)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-5, atol=1e-6)
-    # per-epoch mean losses also agree (chunk means of the same values)
-    assert losses1[-1] == pytest.approx(losses3[-1], rel=1e-4)
+    # k=2: 3 train batches = one full chunk + one PARTIAL flush chunk,
+    # which pads to K with a zero valid mask and reuses the K-chained
+    # executable — updates must still match the single-step run exactly
+    d2 = tmp_path / "k2"
+    d2.mkdir()
+    p2, losses2 = run(2, d2)
+    for pk, lossesk in ((p3, losses3), (p2, losses2)):
+        for a, b in zip(jax.tree_util.tree_leaves(p1),
+                        jax.tree_util.tree_leaves(pk)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+        # per-epoch mean losses agree (chunk means of the same values)
+        assert losses1[-1] == pytest.approx(lossesk[-1], rel=1e-4)
 
 
 def test_chained_dev_evals_match_single(tmp_path):
@@ -404,3 +411,40 @@ def test_lbfgs_converges_through_bank_loader(corpus, tmp_path, matrix):  # noqa:
     trainer.train()
     assert all(np.isfinite(trainer.train_losses))
     assert trainer.train_losses[-1] < 0.8 * trainer.train_losses[0]
+
+
+def test_prewarm_preserves_training_trajectory(corpus, tmp_path,  # noqa: F811
+                                               monkeypatch):
+    """The compile prewarm (background-thread warm calls of every
+    (bucket, kind) chained executable before the first pass) must not
+    change anything observable: the peek at the batch streams restores
+    the loader RNG/statistics, and the warm dispatches discard their
+    outputs — losses and final params match a run without prewarm."""
+    feats_path, pairs_path, _ = corpus
+
+    def run(prewarm, outdir):
+        monkeypatch.setenv("ABNET3_TRAIN_PREWARM", "1" if prewarm else "0")
+        net = _network(outdir)
+        dl = OriginalDataLoader(pairs_path, feats_path, batch_size=2,
+                                num_max_minibatches=3, seed=0,
+                                shuffle_between_epochs=True,
+                                align_backend="bank", steps_per_call=2)
+        tr = TrainerSiamese(network=net, loss=coscos2(), dataloader=dl,
+                            optimizer_type="adam", lr=0.01, num_epochs=2,
+                            patience=5, log_dir=str(outdir / "logs"),
+                            seed=0)
+        tr.train()
+        return net.params, tr.train_losses, tr.dev_losses
+
+    d_off = tmp_path / "off"
+    d_off.mkdir()
+    p_off, tl_off, dl_off = run(False, d_off)
+    d_on = tmp_path / "on"
+    d_on.mkdir()
+    p_on, tl_on, dl_on = run(True, d_on)
+    assert tl_on == pytest.approx(tl_off, rel=1e-6)
+    assert dl_on == pytest.approx(dl_off, rel=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p_off),
+                    jax.tree_util.tree_leaves(p_on)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
