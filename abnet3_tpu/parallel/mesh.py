@@ -32,10 +32,13 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 import os
+import threading
 
 from abnet3_tpu.ops.dtw import (align_diff_batch, dtw_align_from_dist,
                                 dtw_path_from_dist, gather_aligned,
                                 pairwise_angular_distance)
+
+_INIT_LOCK = threading.Lock()
 
 __all__ = ["make_mesh", "param_shardings", "shard_array",
            "make_fused_train_step", "make_frame_train_step",
@@ -78,16 +81,29 @@ def param_shardings(params, mesh: Mesh):
         params)
 
 
-def mirror_shardings(tree, mesh: Mesh):
+def mirror_shardings(tree, mesh: Mesh, like=None):
     """Steady-state layout for optimizer / batch-norm state trees:
     leaves shaped like a param matrix or bias follow the params' TP rule
     (optimizer moments stay co-located with the params they update — no
     per-step resharding); anything else (step counts, linesearch
-    scalars, stacked LBFGS history) replicates."""
+    scalars, stacked LBFGS history) replicates.
+
+    ``like`` (normally the param tree) supplies the shape inventory:
+    only leaves whose full shape matches some param leaf's shape take
+    the TP rule. Without it a bare divisibility heuristic applies,
+    which can misfile non-param-shaped leaves — e.g. an optax LBFGS
+    history-weight vector of length m with m % n_model == 0 would get
+    P('model') and be resharded every step."""
     n_model = mesh.shape["model"]
+    shapes = None
+    if like is not None:
+        shapes = {tuple(getattr(l, "shape", ()))
+                  for l in jax.tree_util.tree_leaves(like)}
 
     def spec(leaf):
-        shape = getattr(leaf, "shape", ())
+        shape = tuple(getattr(leaf, "shape", ()))
+        if shapes is not None and shape not in shapes:
+            return P()
         if len(shape) == 2 and shape[-1] % n_model == 0:
             return P(None, "model")
         if len(shape) == 1 and shape[0] and shape[0] % n_model == 0:
@@ -110,17 +126,43 @@ def _steady_place(cache, mesh, params, state, opt_state=None):
     only in ``f32[...]({Auto: ('data','model')})`` vs ``f32[...]({})``),
     and through the remote compile service each extra compile costs
     50-140 s. Placing the trees up front gives both cases one key, and
-    lets a prewarm call warm the SAME executable the loop then uses."""
-    if "p_shard" not in cache:
-        cache["p_shard"] = param_shardings(params, mesh)
-        cache["s_shard"] = mirror_shardings(state, mesh)
+    lets a prewarm call warm the SAME executable the loop then uses.
+
+    Factory caches are shared between a factory's train/eval closures
+    and touched concurrently by the trainer's prewarm threads, so the
+    lazy init is double-checked under a lock (a half-initialised cache
+    — 'p_shard' present, 's_shard' not yet — would KeyError in the
+    sibling thread and silently skip that prewarm)."""
+    if "p_shard" not in cache or "s_shard" not in cache:
+        with _INIT_LOCK:
+            if "p_shard" not in cache:
+                cache["p_shard"] = param_shardings(params, mesh)
+            if "s_shard" not in cache:
+                cache["s_shard"] = mirror_shardings(state, mesh,
+                                                    like=params)
     out = (jax.device_put(params, cache["p_shard"]),
            jax.device_put(state, cache["s_shard"]))
     if opt_state is None:
         return out
     if "o_shard" not in cache:
-        cache["o_shard"] = mirror_shardings(opt_state, mesh)
+        with _INIT_LOCK:
+            if "o_shard" not in cache:
+                cache["o_shard"] = mirror_shardings(opt_state, mesh,
+                                                    like=params)
     return out + (jax.device_put(opt_state, cache["o_shard"]),)
+
+
+def _cached_jit(cache, key, make):
+    """Create-once jit wrapper under the init lock: two prewarm threads
+    racing past ``key not in cache`` would otherwise each build a
+    jax.jit instance, one overwriting the other — and the loser's
+    compile (the whole point of prewarming) is thrown away, so the
+    first real dispatch recompiles."""
+    if key not in cache:
+        with _INIT_LOCK:
+            if key not in cache:
+                cache[key] = make()
+    return cache[key]
 
 
 def opt_update(optimizer, grads, opt_state, params, value, value_fn):
@@ -251,32 +293,29 @@ def _chain_steps(one_step, eval_step, mesh: Mesh, n_batch_args: int,
     def compiled(params, state, opt_state, rng, *batch, valid=None):
         params, state, opt_state = _steady_place(cache, mesh, params,
                                                  state, opt_state)
-        if "jit" not in cache:
-            extra = () if K == 1 else (rep,)
-            cache["jit"] = jax.jit(
-                step,
-                in_shardings=(cache["p_shard"], cache["s_shard"],
-                              cache["o_shard"], rep) + extra
-                + (dp_step,) * n_batch_args,
-                out_shardings=(cache["p_shard"], cache["s_shard"],
-                               cache["o_shard"], None))
+        extra = () if K == 1 else (rep,)
+        fn = _cached_jit(cache, "jit", lambda: jax.jit(
+            step,
+            in_shardings=(cache["p_shard"], cache["s_shard"],
+                          cache["o_shard"], rep) + extra
+            + (dp_step,) * n_batch_args,
+            out_shardings=(cache["p_shard"], cache["s_shard"],
+                           cache["o_shard"], None)))
         if K == 1:
             assert valid is None, "valid masks need steps_per_call > 1"
-            return cache["jit"](params, state, opt_state, rng,
-                                *_pad(batch))
+            return fn(params, state, opt_state, rng, *_pad(batch))
         if valid is None:
             valid = jnp.ones(K, jnp.float32)
-        return cache["jit"](params, state, opt_state, rng,
-                            jnp.asarray(valid, jnp.float32), *_pad(batch))
+        return fn(params, state, opt_state, rng,
+                  jnp.asarray(valid, jnp.float32), *_pad(batch))
 
     def compiled_eval(params, state, *batch):
         params, state = _steady_place(cache, mesh, params, state)
-        if "ejit" not in cache:
-            cache["ejit"] = jax.jit(
-                eval_fn,
-                in_shardings=(cache["p_shard"], cache["s_shard"])
-                + (dp_step,) * n_batch_args)
-        return cache["ejit"](params, state, *_pad(batch))
+        fn = _cached_jit(cache, "ejit", lambda: jax.jit(
+            eval_fn,
+            in_shardings=(cache["p_shard"], cache["s_shard"])
+            + (dp_step,) * n_batch_args))
+        return fn(params, state, *_pad(batch))
 
     return compiled, compiled_eval
 
@@ -876,13 +915,12 @@ def make_sampled_train_step(network, loss, optimizer, bank, sampler,
     def compiled(params, state, opt_state, rng):
         params, state, opt_state = _steady_place(cache, mesh, params,
                                                  state, opt_state)
-        if "jit" not in cache:
-            cache["jit"] = jax.jit(
-                step, in_shardings=(cache["p_shard"], cache["s_shard"],
-                                    cache["o_shard"], rep),
-                out_shardings=(cache["p_shard"], cache["s_shard"],
-                               cache["o_shard"], None))
-        return cache["jit"](params, state, opt_state, rng)
+        fn = _cached_jit(cache, "jit", lambda: jax.jit(
+            step, in_shardings=(cache["p_shard"], cache["s_shard"],
+                                cache["o_shard"], rep),
+            out_shardings=(cache["p_shard"], cache["s_shard"],
+                           cache["o_shard"], None)))
+        return fn(params, state, opt_state, rng)
 
     return compiled
 
@@ -931,11 +969,10 @@ def make_sampled_eval_step(network, loss, bank, sampler, mesh: Mesh,
 
     def compiled(params, state, rng):
         params, state = _steady_place(cache, mesh, params, state)
-        if "jit" not in cache:
-            cache["jit"] = jax.jit(
-                step, in_shardings=(cache["p_shard"], cache["s_shard"],
-                                    rep))
-        return cache["jit"](params, state, rng)
+        fn = _cached_jit(cache, "jit", lambda: jax.jit(
+            step, in_shardings=(cache["p_shard"], cache["s_shard"],
+                                rep)))
+        return fn(params, state, rng)
 
     return compiled
 
@@ -1227,13 +1264,12 @@ def make_fused_train_step(network, loss, optimizer, mesh: Mesh,
     def compiled(params, state, opt_state, rng, *batch):
         params, state, opt_state = _steady_place(cache, mesh, params,
                                                  state, opt_state)
-        if "jit" not in cache:
-            cache["jit"] = jax.jit(
-                step,
-                in_shardings=(cache["p_shard"], cache["s_shard"],
-                              cache["o_shard"], rep) + (dp,) * 8,
-                out_shardings=(cache["p_shard"], cache["s_shard"],
-                               cache["o_shard"], None))
-        return cache["jit"](params, state, opt_state, rng, *batch)
+        fn = _cached_jit(cache, "jit", lambda: jax.jit(
+            step,
+            in_shardings=(cache["p_shard"], cache["s_shard"],
+                          cache["o_shard"], rep) + (dp,) * 8,
+            out_shardings=(cache["p_shard"], cache["s_shard"],
+                           cache["o_shard"], None)))
+        return fn(params, state, opt_state, rng, *batch)
 
     return compiled

@@ -44,7 +44,14 @@ def build_optimizer(optimizer_type: str, lr: float, momentum: float = 0.9):
     (parallel.mesh.opt_update), which the linesearch consumes and every
     other optax transform ignores. ``linesearch=None`` is NOT a
     substitute: it diverges on the siamese losses (measured flat at
-    chance loss where zoom-LBFGS beats adam)."""
+    chance loss where zoom-LBFGS beats adam).
+
+    LBFGS is wrapped in optax.apply_if_finite: a degenerate step (zero
+    curvature / flat zoom linesearch once a tiny objective is nearly
+    minimized) can emit NaN updates, which would silently poison the
+    params AND the L-BFGS history for the rest of the run — the wrapper
+    drops the step and keeps the previous inner state instead (torch's
+    LBFGS guards the same divisions internally)."""
     assert optimizer_type in ("sgd", "adadelta", "adam", "adagrad",
                               "RMSprop", "LBFGS")
     if optimizer_type == "sgd":
@@ -57,7 +64,8 @@ def build_optimizer(optimizer_type: str, lr: float, momentum: float = 0.9):
         return optax.adagrad(lr)
     if optimizer_type == "RMSprop":
         return optax.rmsprop(lr)
-    return optax.lbfgs(lr)
+    return optax.apply_if_finite(optax.lbfgs(lr),
+                                 max_consecutive_errors=8)
 
 
 class MetricsWriter:
@@ -593,11 +601,19 @@ class TrainerSiamese(TrainerBuilder):
         (train+eval per bucket), so the first epoch pays minutes of
         serial compile without this. Outputs are discarded; trainer
         state is untouched. The peek at the batch streams
-        snapshots/restores the loader RNG and statistics so epoch-0
-        batch composition is identical with and without prewarm.
+        snapshots/restores ALL mutable iteration state — the loader
+        RNG, the global `random` module state (the pairs/tcl loaders
+        draw from it), `batch_position`, the in-place-shuffled
+        `frame_pairs` order, and statistics — so epoch-0 batch
+        composition is identical with and without prewarm. Keys seen
+        only in the dev stream compile only their eval executable
+        (training never dispatches on dev batches); train-stream keys
+        compile both (the epoch-0 eval pass routes the train iterator
+        through the eval step).
 
         ABNET3_TRAIN_PREWARM: "0" off, "1" force-on, unset = on unless
         the backend is cpu (local compiles are fast; tests stay lean)."""
+        import random as pyrandom
         import threading
         from collections import defaultdict
         flag = os.environ.get("ABNET3_TRAIN_PREWARM", "")
@@ -611,12 +627,28 @@ class TrainerSiamese(TrainerBuilder):
         from abnet3_tpu.dataloader import (BankBatch, FrameBankBatch,
                                            SplitBankBatch)
         K = self._bank_steps_per_call
+        if hasattr(dl, "load_data"):
+            # build lazy state (tables, frame_pairs) BEFORE snapshotting:
+            # restoring a pre-build None over built state would leave
+            # load_data's cache check satisfied but the data gone
+            dl.load_data()
         reps = {}
-        for train_mode in (True, False):
-            rng_state = (dl._rng.get_state()
-                         if hasattr(dl, "_rng") else None)
-            stats = dict(getattr(dl, "statistics_training", {}) or {})
-            try:
+        modes_seen = {}
+        rng_state = dl._rng.get_state() if hasattr(dl, "_rng") else None
+        py_state = pyrandom.getstate()
+        stats = dict(getattr(dl, "statistics_training", {}) or {})
+        pos = getattr(dl, "batch_position", None)
+        frame_pairs = getattr(dl, "frame_pairs", None)
+        fp_snap = None
+        if isinstance(frame_pairs, dict):
+            # FramesDataLoader shuffles these arrays IN PLACE per epoch;
+            # restoring the RNG alone would leave the extra shuffle
+            # behind (shuffle-of-shuffle != shuffle), changing every
+            # later epoch's batch composition vs a no-prewarm run
+            fp_snap = {m: (v.copy() if hasattr(v, "copy") else v)
+                       for m, v in frame_pairs.items()}
+        try:
+            for train_mode in (True, False):
                 for seen, b in enumerate(
                         dl.batch_iterator(train_mode=train_mode)):
                     if not isinstance(b, (BankBatch, FrameBankBatch,
@@ -625,16 +657,21 @@ class TrainerSiamese(TrainerBuilder):
                     key = (type(b).__name__, getattr(b, "bucket", None),
                            getattr(b, "mode", None))
                     chunk = reps.setdefault(key, [])
+                    modes_seen.setdefault(key, set()).add(train_mode)
                     if len(chunk) < K:
                         chunk.append(b)
                     if seen >= 256:  # bucket census, not a full epoch
                         break
-            finally:
-                if rng_state is not None:
-                    dl._rng.set_state(rng_state)
-                if hasattr(dl, "statistics_training"):
-                    dl.statistics_training = defaultdict(
-                        int, stats)
+        finally:
+            if rng_state is not None:
+                dl._rng.set_state(rng_state)
+            pyrandom.setstate(py_state)
+            if hasattr(dl, "statistics_training"):
+                dl.statistics_training = defaultdict(int, stats)
+            if pos is not None:
+                dl.batch_position = pos
+            if fp_snap is not None:
+                dl.frame_pairs = fp_snap
         if not reps:
             return
         params, state = self.network.params, self.network.state
@@ -650,19 +687,27 @@ class TrainerSiamese(TrainerBuilder):
                 pass  # the real dispatch surfaces any error
 
         threads = []
-        for chunk in reps.values():
+        for key, chunk in reps.items():
             chunk, _, valid = self._pad_chunk(list(chunk))
             train_fn, eval_fn = self._steps_for(chunk[0], len(chunk))
+            # dev-only keys (e.g. FrameBankBatch mode='dev') never see a
+            # train dispatch — compiling one would waste a 30-100 s
+            # remote compile and stall the th.join() below on it
+            want_train = True in modes_seen.get(key, {True})
             if K > 1:
                 args = self._stack_args(chunk)
-                jobs = [(train_fn, (params, state, opt_state, rng) + args,
-                         {"valid": valid}),
-                        (eval_fn, (params, state) + args, {})]
+                jobs = [(eval_fn, (params, state) + args, {})]
+                if want_train:
+                    jobs.append((train_fn,
+                                 (params, state, opt_state, rng) + args,
+                                 {"valid": valid}))
             else:
-                args = self._args_for(chunk[0])
-                jobs = [(train_fn,
-                         (params, state, opt_state, rng) + tuple(args), {}),
-                        (eval_fn, (params, state) + tuple(args), {})]
+                args = tuple(self._args_for(chunk[0]))
+                jobs = [(eval_fn, (params, state) + args, {})]
+                if want_train:
+                    jobs.append((train_fn,
+                                 (params, state, opt_state, rng) + args,
+                                 {}))
             for job in jobs:
                 th = threading.Thread(target=run, args=job, daemon=True)
                 th.start()
@@ -674,8 +719,9 @@ class TrainerSiamese(TrainerBuilder):
         """Bank batches (mixed or split) accumulate into per-(kind,
         bucket) buffers of K and get dispatched as one scanned call
         (returns None while buffering) — train AND eval passes both
-        amortize the per-dispatch latency; partial buffers flush
-        single-step at pass end."""
+        amortize the per-dispatch latency; partial buffers flush at
+        pass end as padded K-chains under a valid mask (_pad_chunk), so
+        no single-step executable variant ever compiles."""
         K = self._bank_steps_per_call
         if K == 1:
             return self._give_single(b, do_training, rng)

@@ -118,3 +118,28 @@ def test_sharded_embedding_forward():
     emb = fwd(params, xs)
     ref, _ = net.forward_once(params, state, jnp.asarray(x), train=False)
     np.testing.assert_allclose(np.asarray(emb), np.asarray(ref), rtol=1e-5)
+
+
+def test_mirror_shardings_param_shape_inventory():
+    """mirror_shardings only TP-shards leaves whose full shape matches a
+    param leaf's shape (review finding: a bare divisibility heuristic
+    misfiled an optax LBFGS (m,) history-weight vector with
+    m % n_model == 0 onto P('model'), resharding it every step instead
+    of the replication the docstring promises)."""
+    from abnet3_tpu.parallel.mesh import mirror_shardings
+    mesh = make_mesh(n_data=4, n_model=2)
+    params = {"w": jnp.zeros((16, 32)), "b": jnp.zeros((32,))}
+    state = {"mu_w": jnp.zeros((16, 32)),       # param-shaped: TP rule
+             "mu_b": jnp.zeros((32,)),          # bias-shaped: TP rule
+             "history": jnp.zeros((10,)),       # 10 % 2 == 0, NOT a param
+             "stacked": jnp.zeros((10, 32)),    # stacked history
+             "count": jnp.zeros(())}
+    sh = mirror_shardings(state, mesh, like=params)
+    assert sh["mu_w"].spec == P(None, "model")
+    assert sh["mu_b"].spec == P("model")
+    assert sh["history"].spec == P()
+    assert sh["stacked"].spec == P()
+    assert sh["count"].spec == P()
+    # without an inventory the old heuristic applies (back-compat)
+    sh = mirror_shardings(state, mesh)
+    assert sh["history"].spec == P("model")

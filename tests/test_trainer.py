@@ -448,3 +448,142 @@ def test_prewarm_preserves_training_trajectory(corpus, tmp_path,  # noqa: F811
                     jax.tree_util.tree_leaves(p_on)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_prewarm_peek_restores_frames_loader_state(corpus, tmp_path,  # noqa: F811
+                                                   monkeypatch):
+    """The prewarm peek must restore ALL mutable iteration state, not
+    just the RNG: FramesDataLoader's _epoch_batch_ids shuffles
+    frame_pairs IN PLACE and advances batch_position (review finding —
+    restoring the RNG alone leaves an extra shuffle behind and skips
+    the first max_batches_per_epoch window of epoch 0)."""
+    import random as pyrandom
+    feats_path, pairs_path, _ = corpus
+    from abnet3_tpu.dataloader import FramesDataLoader
+    monkeypatch.setenv("ABNET3_TRAIN_PREWARM", "1")
+    net = _network(tmp_path)
+    dl = FramesDataLoader(pairs_path, feats_path, batch_size=8,
+                          randomize_dataset=True, max_batches_per_epoch=2,
+                          align_backend="device", steps_per_call=2)
+    dl._rng = np.random.RandomState(0)
+    tr = TrainerSiamese(network=net, loss=coscos2(), dataloader=dl,
+                        optimizer_type="adam", lr=0.01, num_epochs=1,
+                        patience=5, log_dir=str(tmp_path / "logs"), seed=0)
+    tr.network.ensure_init(tr.seed)
+    dl.load_data()
+    fp_before = {m: v.copy() for m, v in dl.frame_pairs.items()}
+    pos_before = dl.batch_position
+    rng_before = dl._rng.get_state()
+    py_before = pyrandom.getstate()
+    tr._prewarm_chain_steps()
+    assert dl.batch_position == pos_before
+    for m in fp_before:
+        np.testing.assert_array_equal(dl.frame_pairs[m], fp_before[m])
+    after = dl._rng.get_state()
+    assert after[0] == rng_before[0]
+    np.testing.assert_array_equal(after[1], rng_before[1])
+    assert after[2:] == rng_before[2:]
+    assert pyrandom.getstate() == py_before
+
+
+def test_prewarm_skips_train_compile_for_dev_only_keys(corpus, tmp_path,  # noqa: F811
+                                                       monkeypatch):
+    """Keys seen only in the dev stream (FrameBankBatch mode='dev')
+    never see a train dispatch, so prewarm must not compile (and block
+    on) a train executable for them — only train-stream keys warm both
+    (the epoch-0 eval routes the train iterator through the eval step)."""
+    feats_path, pairs_path, _ = corpus
+    from abnet3_tpu.dataloader import FramesDataLoader
+    monkeypatch.setenv("ABNET3_TRAIN_PREWARM", "1")
+    net = _network(tmp_path)
+    dl = FramesDataLoader(pairs_path, feats_path, batch_size=8,
+                          randomize_dataset=False,
+                          align_backend="device", steps_per_call=2)
+    dl._rng = np.random.RandomState(0)
+    tr = TrainerSiamese(network=net, loss=coscos2(), dataloader=dl,
+                        optimizer_type="adam", lr=0.01, num_epochs=1,
+                        patience=5, log_dir=str(tmp_path / "logs"), seed=0)
+    tr.network.ensure_init(tr.seed)
+    calls = []
+
+    def fake_steps_for(b, k):
+        mode = getattr(b, "mode", None)
+
+        def train_fn(*a, **kw):
+            calls.append(("train", mode))
+            return (tr.network.params, tr.network.state,
+                    tr._opt_state, jnp.zeros(()))
+
+        def eval_fn(*a, **kw):
+            calls.append(("eval", mode))
+            return jnp.zeros((k,))
+
+        return train_fn, eval_fn
+
+    monkeypatch.setattr(tr, "_steps_for", fake_steps_for)
+    tr._prewarm_chain_steps()
+    assert ("eval", "train") in calls
+    assert ("eval", "dev") in calls
+    assert ("train", "train") in calls
+    assert ("train", "dev") not in calls
+
+
+def test_prewarm_preserves_frames_loader_trajectory(corpus, tmp_path,  # noqa: F811
+                                                    monkeypatch):
+    """End-to-end twin of test_prewarm_preserves_training_trajectory for
+    the loader whose iteration state the peek mutates most (in-place
+    epoch shuffles + batch_position): losses and params match a
+    no-prewarm run exactly."""
+    feats_path, pairs_path, _ = corpus
+    from abnet3_tpu.dataloader import FramesDataLoader
+
+    def run(prewarm, outdir):
+        monkeypatch.setenv("ABNET3_TRAIN_PREWARM", "1" if prewarm else "0")
+        net = _network(outdir)
+        dl = FramesDataLoader(pairs_path, feats_path, batch_size=8,
+                              randomize_dataset=True,
+                              max_batches_per_epoch=2,
+                              align_backend="device", steps_per_call=2)
+        dl._rng = np.random.RandomState(0)
+        tr = TrainerSiamese(network=net, loss=coscos2(), dataloader=dl,
+                            optimizer_type="adam", lr=0.01, num_epochs=3,
+                            patience=5, log_dir=str(outdir / "logs"),
+                            seed=0)
+        tr.train()
+        return net.params, tr.train_losses, tr.dev_losses
+
+    d_off = tmp_path / "off"
+    d_off.mkdir()
+    p_off, tl_off, dl_off = run(False, d_off)
+    d_on = tmp_path / "on"
+    d_on.mkdir()
+    p_on, tl_on, dl_on = run(True, d_on)
+    assert tl_on == pytest.approx(tl_off, rel=1e-6)
+    assert dl_on == pytest.approx(dl_off, rel=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p_off),
+                    jax.tree_util.tree_leaves(p_on)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_lbfgs_degenerate_step_does_not_poison_params(corpus, tmp_path):  # noqa: F811
+    """Once a tiny objective is nearly minimized, LBFGS's zoom
+    linesearch can emit a NaN step (zero curvature); unguarded, that
+    silently poisons the params and the L-BFGS history for the rest of
+    the run (observed: finite train losses, then dev loss = nan).
+    build_optimizer wraps LBFGS in optax.apply_if_finite, which drops
+    the nonfinite step and keeps the previous inner state."""
+    feats_path, pairs_path, _ = corpus
+    net = _network(tmp_path)
+    dl = OriginalDataLoader(pairs_path, feats_path, batch_size=2,
+                            num_max_minibatches=3, seed=0,
+                            shuffle_between_epochs=True,
+                            align_backend="bank", steps_per_call=2)
+    tr = TrainerSiamese(network=net, loss=coscos2(), dataloader=dl,
+                        optimizer_type="LBFGS", lr=1.0, num_epochs=2,
+                        patience=5, log_dir=str(tmp_path / "logs"), seed=0)
+    tr.train()
+    assert all(np.isfinite(tr.train_losses)), tr.train_losses
+    assert all(np.isfinite(tr.dev_losses)), tr.dev_losses
+    for leaf in jax.tree_util.tree_leaves(net.params):
+        assert np.isfinite(np.asarray(leaf)).all()
