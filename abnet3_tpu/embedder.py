@@ -498,6 +498,10 @@ class MultimodalEmbedder(EmbedderBuilder):
         jit that state only ever holds the stale tracer from trace time.
         """
         self._load()
+        if self.streaming:
+            print("WARNING: streaming=True is not supported by "
+                  "MultimodalEmbedder (modalities must be joined per "
+                  "item); loading the full corpora instead")
         datasets = [read_h5features(p, "features")
                     for p in self.feature_path]
         items = datasets[0].items()
@@ -528,8 +532,23 @@ class MultimodalEmbedder(EmbedderBuilder):
             forward_impl, n_heads=2 if want_attention else 1,
             n_modalities=len(datasets))
 
-        feats_list = [tuple(fs)
-                      for fs in zip(*(d.features() for d in datasets))]
+        # join modalities BY ITEM NAME, not file position: feature files
+        # regenerated with different enumeration orders would otherwise
+        # silently pair modality-1 of one utterance with modality-2 of
+        # another (a positional zip only fails later, and only if the
+        # item counts happen to differ)
+        cols = [datasets[0].features()]
+        for p, d in zip(self.feature_path[1:], datasets[1:]):
+            idx = {it: i for i, it in enumerate(d.items())}
+            absent = [it for it in items if it not in idx]
+            if absent:
+                raise KeyError("items in %s missing from modality file "
+                               "%s: %s" % (self.feature_path[0], p,
+                                           absent[:5]))
+            fs = d.features()
+            cols.append([fs[idx[it]] for it in items])
+        feats_list = [tuple(col[i] for col in cols)
+                      for i in range(len(items))]
         n_outputs = 2 if want_attention else 1
         result = self._embed_corpus(forward, feats_list,
                                     n_outputs=n_outputs)

@@ -74,7 +74,11 @@ def make_pair_distance_fn(bank, distance: str = "dtw_cos",
                                     pairwise_kl_distance)
 
     assert distance in ("dtw_cos", "dtw_kl", "mean_cos")
-    T = max_frames if max_frames is not None else bank.max_len
+    # clamp: bank.take caps the time axis at bank.max_len, so a larger
+    # max_frames would desync the (B, T) pooling mask from the (B,
+    # max_len, d) frames it masks
+    T = (min(max_frames, bank.max_len) if max_frames is not None
+         else bank.max_len)
 
     def impl(ids1, ids2):
         f1, n1 = bank.take(ids1, T)
@@ -105,7 +109,8 @@ def _pooled_token_vectors(bank, max_frames=None, chunk: int = 2048):
     import jax
     import jax.numpy as jnp
 
-    T = max_frames if max_frames is not None else bank.max_len
+    T = (min(max_frames, bank.max_len) if max_frames is not None
+         else bank.max_len)  # see make_pair_distance_fn: take caps at max_len
     N = len(bank)
 
     @jax.jit
@@ -181,6 +186,12 @@ def _pairs_distance_matrix(bank, distance, batch_size, mesh, max_frames,
     import jax
 
     N = len(bank)
+    if mesh is not None and mesh.size > 1:
+        # the DTW path rides shard_map over the mesh 'data' axis, which
+        # requires the pair-batch dim to divide it (the tiles strategy
+        # gets this from _auto_block; mirror it here)
+        n_data = mesh.shape["data"]
+        batch_size = max(n_data, (batch_size // n_data) * n_data)
     fn = make_pair_distance_fn(bank, distance=distance,
                                max_frames=max_frames, mesh=mesh)
     iu = np.triu_indices(N, k=1)
@@ -711,6 +722,12 @@ def evaluate(features_path: str, classes_path: str,
         speakers.append(spk)
         by_keys.append(bkey)
         tid += 1
+    if not token_feats:
+        raise ValueError(
+            "no usable tokens: every [on, off] window in %s selected "
+            "zero frames of %s — check that the task times use the same "
+            "unit/offset as the feature time labels"
+            % (classes_path, features_path))
     bank = TokenBank(token_feats, max_frames=max_frames)
     D = distance_matrix(bank, distance=distance, batch_size=batch_size,
                         mesh=mesh, max_frames=max_frames,

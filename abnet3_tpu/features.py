@@ -358,16 +358,22 @@ class FeaturesGenerator:
                 if len(buckets[key]) == batch_of[key]:
                     dispatch(key, buckets.pop(key))
                 if len(results) >= mem_cap:
-                    # writer stalled: the file at next_flush sits in a
-                    # part-filled bucket (if it were in `pending`, the
-                    # window would drain it) — dispatch that bucket now
-                    # and drain everything ahead of it so flush advances
+                    # writer stalled. flush() holds partial (<write_batch)
+                    # runs mid-stream, so next_flush itself is usually
+                    # already IN results — the stalled file is the first
+                    # index NOT yet decoded; it sits in a part-filled
+                    # bucket or in the in-flight window. Dispatch its
+                    # bucket (padded — no fresh shapes) and drain so
+                    # flush can advance past the gap.
+                    stalled = next_flush
+                    while stalled in results:
+                        stalled += 1
                     for key, entries in list(buckets.items()):
-                        if any(e[0] == next_flush for e in entries):
+                        if any(e[0] == stalled for e in entries):
                             dispatch(key, buckets.pop(key))
-                            while pending:
-                                drain_one()
                             break
+                    while pending:
+                        drain_one()
             for key in sorted(buckets, key=str):
                 dispatch(key, buckets.pop(key))
             while pending:
@@ -431,6 +437,10 @@ class FeaturesGenerator:
         """Per-file CMVN (reference features.py:268-297)."""
         axis = 0 if self.norm_per_channel else None
         vad_data = read_vad_file(vad_file) if vad_file is not None else None
+        if os.path.exists(mvn_h5f):
+            # write_h5features appends; a stale output would end up with
+            # every item duplicated (the global-CMVN path removes too)
+            os.remove(mvn_h5f)
         means_vars = []
         for f in read_h5features_index(h5f):
             times, features = read_h5features_item(h5f, f)
@@ -454,14 +464,24 @@ class FeaturesGenerator:
         # host-numpy stacking (bit-identical to the device op, see
         # ops/dsp.py stack_frames_np): the data already lives on the host
         # after normalization and stacking is a pure memory op — a device
-        # round trip per file would be all latency, no compute
+        # round trip per file would be all latency, no compute.
+        # featfunc and timefunc run back-to-back on the same item in the
+        # generic h5features_compute loop; the one-item cache halves the
+        # HDF5 opens+reads of the pass
+        last = {}
+
+        def _read(f):
+            if last.get("key") != f:
+                last["key"] = f
+                last["val"] = read_h5features_item(fb_h5f, f)
+            return last["val"]
+
         def aux(f):
-            return dsp.stack_frames_np(
-                np.asarray(read_h5features_item(fb_h5f, f)[1]),
-                nframes=nframes)
+            return dsp.stack_frames_np(np.asarray(_read(f)[1]),
+                                       nframes=nframes)
 
         def time_f(f):
-            return read_h5features_item(fb_h5f, f)[0]
+            return _read(f)[0]
 
         self.h5features_compute(files, stackedfb_h5f, featfunc=aux,
                                 timefunc=time_f)
@@ -509,14 +529,13 @@ class FeaturesGenerator:
         f = functions[self.method]
 
         from abnet3_tpu.profiling import stage_trace
-        self._stage_trace = stage_trace
         tempdir = os.path.join(
             os.path.dirname(os.path.abspath(self.output_path)), "tmp")
         os.makedirs(tempdir, exist_ok=True)
         try:
             h5_temp1 = os.path.join(tempdir, "temp1")
             print("Spectral transforming with %s" % self.method)
-            with self._stage_trace("features-spectral"):
+            with stage_trace("features-spectral"):
                 self.h5features_compute(self.files, h5_temp1, featfunc=f)
             if self.normalization:
                 h5_temp2 = os.path.join(tempdir, "temp2")

@@ -877,3 +877,59 @@ class TestDtwKL:
                             batch_size=32)
         got = abx_error(D, labels, speakers, task="across")
         assert got["error"] < 0.05
+
+
+def test_mean_cos_max_frames_exceeds_bank_max_len():
+    """max_frames above the corpus's longest token must clamp to the
+    bank's bucketed max_len (review finding: bank.take caps the time
+    axis, so the (B, T) pooling mask desynced from the (B, max_len, d)
+    frames — trace-time broadcast error in both strategies)."""
+    feats = _tokens(n=6)
+    bank = TokenBank(feats)
+    assert bank.max_len < 200
+    fn = make_pair_distance_fn(bank, distance="mean_cos", max_frames=200)
+    ref = make_pair_distance_fn(bank, distance="mean_cos")
+    ids1 = np.asarray([0, 2, 4], np.int32)
+    ids2 = np.asarray([1, 3, 5], np.int32)
+    np.testing.assert_allclose(np.asarray(fn(ids1, ids2)),
+                               np.asarray(ref(ids1, ids2)), atol=1e-7)
+    from abnet3_tpu.eval.abx import _pooled_token_vectors
+    v = np.asarray(_pooled_token_vectors(bank, max_frames=200))
+    v0 = np.asarray(_pooled_token_vectors(bank))
+    assert v.shape == v0.shape
+    np.testing.assert_allclose(v, v0, atol=1e-7)
+
+
+def test_pairs_strategy_rounds_batch_size_to_mesh():
+    """The pairs strategy ships (batch_size,) pair batches through the
+    shard_mapped DTW path on multi-device meshes, so batch_size must
+    round to the mesh data axis (review finding: the tiles strategy got
+    this from _auto_block, pairs crashed on non-divisible sizes). The
+    crashing arm is TPU-only (shard_map Pallas; CPU falls back to the
+    XLA scan) — this asserts the rounded path stays mesh-agnostic."""
+    import jax
+    from abnet3_tpu.parallel import make_mesh
+    feats = _tokens(n=10)
+    bank = TokenBank(feats)
+    mesh = make_mesh(n_data=len(jax.devices()), n_model=1)
+    D = distance_matrix(bank, batch_size=10, mesh=mesh)  # 10 % 8 != 0
+    D0 = distance_matrix(bank, batch_size=10)
+    np.testing.assert_allclose(D, D0, atol=1e-5)
+
+
+def test_evaluate_raises_on_all_empty_windows(tmp_path):
+    """Every [on, off] window selecting zero frames must raise a clear
+    diagnostic, not max()-of-empty-sequence from TokenBank."""
+    from abnet3_tpu.io import write_h5features
+    rng = np.random.RandomState(0)
+    items = ["fA", "fB"]
+    n_frames = 50
+    feats = [rng.randn(n_frames, 4).astype(np.float32) for _ in items]
+    times = [np.arange(n_frames) * 0.01 + 0.005 for _ in items]
+    fpath = str(tmp_path / "feats.h5f")
+    write_h5features(fpath, "features", items, times, feats)
+    cpath = str(tmp_path / "bad.classes")
+    with open(cpath, "w") as f:  # times in ms-like units: way outside
+        f.write("0 classA\nfA 100.0 120.0\nfB 200.0 220.0\n")
+    with pytest.raises(ValueError, match="no usable tokens"):
+        evaluate(fpath, cpath)

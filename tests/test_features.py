@@ -85,6 +85,21 @@ class TestNormalization:
             assert np.std(data.dict_features()[f]) == pytest.approx(
                 1, abs=1e-4)
 
+    def test_normalization_per_file_rerun_overwrites(self, tmp_path):
+        """Re-running per-file CMVN onto an existing output must replace
+        it, not append duplicate items (review finding: write_h5features
+        appends; only the global-CMVN path removed stale output)."""
+        h5f = str(tmp_path / "h5.features")
+        f1 = np.random.RandomState(0).randn(60, 8).astype(np.float32)
+        _write_corpus(h5f, [f1], ["file1"])
+        out = str(tmp_path / "h5-norm.features")
+        fg = FeaturesGenerator(norm_per_file=True, norm_per_channel=False)
+        fg.mean_var_norm_per_file(h5f, out)
+        fg.mean_var_norm_per_file(h5f, out)  # rerun onto existing file
+        data = read_h5features(out)
+        assert data.items() == ["file1"]
+        assert len(data.features()) == 1
+
     def test_normalization_with_vad(self, tmp_path):
         """VAD restricts stats for listed files only; normalization still
         applies to all frames (reference test_features VAD case)."""
@@ -404,6 +419,50 @@ class TestBatchedWavPipeline:
         data = read_h5features(out)
         assert data.items() == [f"w{i:02d}" for i in range(25)]
         np.testing.assert_allclose(data.features()[0], fg.do_fbank(p0),
+                                   rtol=0, atol=1e-5)
+
+    def test_stalled_bucket_force_dispatch_midstream(self, tmp_path):
+        """Twin of test_stalled_bucket_force_dispatch with the rare file
+        in the MIDDLE of the stream (review finding: flush() holds
+        partial runs mid-stream, so next_flush itself is usually already
+        decoded — the probe must hunt the first index NOT in `results`,
+        not next_flush, or the cap never fires and `results` buffers the
+        rest of the corpus)."""
+        from scipy.io import wavfile
+
+        from abnet3_tpu.ops import dsp
+        rng = np.random.RandomState(5)
+        paths = []
+        for i in range(25):
+            p = str(tmp_path / f"w{i:02d}.wav")
+            nsamp = 32000 if i == 3 else 8000  # lone 2 s file at index 3
+            wavfile.write(p, 16000,
+                          (rng.randn(nsamp) * 500).astype(np.int16))
+            paths.append(p)
+        fg = FeaturesGenerator(normalization=False, norm_per_file=False,
+                               stack=False)
+        fg._bucket_batch_size = lambda nf, method: 2
+        fg._wav_mem_cap = 4
+        spy = []
+        real = dsp.spectral_frames_batch
+
+        def spying(wavs, srate, **kw):
+            if np.any(np.asarray(wavs)):  # skip prewarm zero batches
+                spy.append(wavs.shape)
+            return real(wavs, srate, **kw)
+
+        dsp.spectral_frames_batch = spying
+        try:
+            out = str(tmp_path / "out.h5f")
+            fg.h5features_compute(paths, out)
+        finally:
+            dsp.spectral_frames_batch = real
+        two_s = [i for i, s in enumerate(spy) if s[1] == 32000]
+        assert two_s and two_s[0] <= len(spy) - 3, spy
+        data = read_h5features(out)
+        assert data.items() == [f"w{i:02d}" for i in range(25)]
+        np.testing.assert_allclose(data.features()[3],
+                                   fg.do_fbank(paths[3]),
                                    rtol=0, atol=1e-5)
 
     def test_power_of_two_bucket_ladder(self, tmp_path):

@@ -416,3 +416,66 @@ def test_multimodal_embedder_compiles_once(tmp_path, monkeypatch):
     att = read_h5features(
         str(tmp_path / "emb") + "attention_weights.features")
     assert att.features()[0].shape == (80, 1)
+
+
+def test_multimodal_embedder_aligns_modalities_by_item(tmp_path):
+    """Modality feature files whose items are stored in different orders
+    must join BY ITEM NAME (review finding: a positional zip silently
+    paired modality-1 of one utterance with modality-2 of another when
+    files were regenerated with different enumeration orders)."""
+    from abnet3_tpu.embedder import MultimodalEmbedder
+    from abnet3_tpu.io import read_h5features, write_h5features
+
+    rng = np.random.RandomState(0)
+    items = ["a", "b", "c"]
+    lengths = {"a": 9, "b": 12, "c": 7}
+    per_item = {m: {it: rng.randn(lengths[it], d).astype(np.float32)
+                    for it in items}
+                for m, d in enumerate((4, 5))}
+    paths = []
+    for m, order in enumerate((items, ["c", "a", "b"])):  # scrambled m1
+        p = str(tmp_path / f"m{m}.h5f")
+        write_h5features(
+            p, "features", list(order),
+            [np.arange(lengths[it]) * 0.01 + 0.0025 for it in order],
+            [per_item[m][it] for it in order])
+        paths.append(p)
+
+    unit = BiWeightedFixed(weight_value=0.5)
+    net = MultimodalSiameseNetwork(
+        integration_unit=unit,
+        pre_integration_net_params=[[4, 6], [5, 6]],
+        post_integration_net_params=[6, 3],
+        p_dropout=0.0, activation_layer="sigmoid",
+        output_path=str(tmp_path / "net"))
+    net.ensure_init(0)
+    net.save_network()
+
+    emb = MultimodalEmbedder(network=net, feature_path=paths,
+                             network_path=str(tmp_path / "net.pth"),
+                             output_path=str(tmp_path / "out"),
+                             batch_size=16)
+    emb.embed()
+    data = read_h5features(str(tmp_path / "out") + "embedded.features")
+    assert data.items() == items
+    for i, it in enumerate(items):
+        x_list = [jnp.asarray(per_item[m][it]) for m in range(2)]
+        eager, _ = net.forward_once(net.params, net.state, x_list,
+                                    train=False)
+        np.testing.assert_allclose(data.features()[i], np.asarray(eager),
+                                   rtol=1e-5, atol=1e-6)
+
+    # an item missing from a modality file is a clear KeyError, not a
+    # silent mispairing or a late length-assert
+    p_bad = str(tmp_path / "m1_short.h5f")
+    write_h5features(p_bad, "features", ["a", "b"],
+                     [np.arange(lengths[it]) * 0.01 + 0.0025
+                      for it in ("a", "b")],
+                     [per_item[1][it] for it in ("a", "b")])
+    emb_bad = MultimodalEmbedder(network=net,
+                                 feature_path=[paths[0], p_bad],
+                                 network_path=str(tmp_path / "net.pth"),
+                                 output_path=str(tmp_path / "out2"),
+                                 batch_size=16)
+    with pytest.raises(KeyError):
+        emb_bad.embed()
