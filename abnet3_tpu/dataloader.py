@@ -122,29 +122,49 @@ class FrameBankBatch(NamedTuple):
 
 def prefetch_iterator(iterator, size: int = 2):
     """Run `iterator` in a background thread, keeping `size` batches ready
-    (replaces the reference's serial batch-build/step interleaving)."""
+    (replaces the reference's serial batch-build/step interleaving).
+
+    The worker's puts poll a stop flag so an abandoned consumer (e.g. a
+    step raising mid-epoch closes this generator) unblocks the thread
+    instead of leaving it parked forever on a full queue, pinning up to
+    `size` batches and the source iterator across retries."""
     q: queue_mod.Queue = queue_mod.Queue(maxsize=size)
     sentinel = object()
     err: List[BaseException] = []
+    stop = threading.Event()
+
+    def q_put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue_mod.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in iterator:
-                q.put(item)
+                if not q_put(item):
+                    return
         except BaseException as e:  # propagate into the consumer
             err.append(e)
         finally:
-            q.put(sentinel)
+            q_put(sentinel)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
+        t.join(timeout=5)
 
 
 from abnet3_tpu.utils import pow2_bucket as _bucket  # noqa: E402
@@ -283,7 +303,11 @@ class OriginalDataLoader(DataLoader):
         if self.pairs["dev"] is None:
             self.pairs["dev"] = read_dataset(
                 os.path.join(self.pairs_path, "dev_pairs/dataset"))
-        self.train_files = list(
+        # sorted: set iteration order varies with string-hash
+        # randomization across processes; frame_bank layout and tcl file
+        # draws index into this list, so an unsorted order would defeat
+        # fixed-seed reproducibility run-to-run
+        self.train_files = sorted(
             {p[0] for p in self.pairs["train"]}
             | {p[3] for p in self.pairs["train"]})
         if self.align_backend == "bank" and self.token_bank is None:
@@ -333,11 +357,15 @@ class OriginalDataLoader(DataLoader):
             pair_len = np.maximum(lens[ids1], lens[ids2])
             order = np.argsort(pair_len, kind="stable")
             # per-pair length buckets are epoch-invariant: precompute
-            # once (vectorized over the coarse power-of-two ladder)
+            # once (vectorized over the coarse power-of-two ladder).
+            # max_len joins the probe set: tokens longer than the last
+            # power-of-two probe would searchsorted past the ladder end
             ladder = np.asarray(sorted({self.token_bank.bucket_for(b)
                                         for b in (1, 16, 32, 64, 128,
                                                   256, 512, 1024, 2048,
-                                                  4096)}))
+                                                  4096,
+                                                  self.token_bank
+                                                  .max_len)}))
             buckets = ladder[np.searchsorted(ladder,
                                              pair_len[order])]
             self._bank_pairs[m] = (

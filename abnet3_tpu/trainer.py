@@ -33,6 +33,42 @@ __all__ = ["TrainerBuilder", "TrainerSiamese", "TrainerSiameseMultitask",
            "MultimodalTrainer", "build_optimizer", "MetricsWriter"]
 
 
+def _finite_step_guard(inner):
+    """Drop optimizer steps that PRODUCE nonfinite updates or state.
+
+    optax.apply_if_finite only checks the INCOMING grads, but LBFGS's
+    zoom linesearch can turn finite grads into NaN updates (degenerate
+    curvature once a small objective is nearly minimized), silently
+    poisoning the params and the L-BFGS history for the rest of the run.
+    This wrapper runs the inner update, checks finiteness of everything
+    it produced, and on failure returns zero updates and the PREVIOUS
+    state. The state tree is the inner's own — no extra leaves — so
+    checkpoints stay structure-compatible with the bare optimizer.
+    Rejection keeps the old state, so a transient NaN (one bad batch /
+    linesearch) costs one skipped step; a persistently-NaN objective
+    plateaus and trips early stopping instead of training on garbage."""
+    inner = optax.with_extra_args_support(inner)
+
+    def init(params):
+        return inner.init(params)
+
+    def update(grads, state, params=None, **extra):
+        updates, new_state = inner.update(grads, state, params, **extra)
+        leaves = [jnp.asarray(l) for l in
+                  jax.tree_util.tree_leaves((updates, new_state))]
+        checks = [jnp.all(jnp.isfinite(l)) for l in leaves
+                  if jnp.issubdtype(l.dtype, jnp.floating)]
+        ok = jnp.all(jnp.stack(checks)) if checks \
+            else jnp.asarray(True)
+        safe_updates = jax.tree_util.tree_map(
+            lambda u: jnp.where(ok, u, jnp.zeros_like(u)), updates)
+        safe_state = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(ok, n, o), new_state, state)
+        return safe_updates, safe_state
+
+    return optax.GradientTransformationExtraArgs(init, update)
+
+
 def build_optimizer(optimizer_type: str, lr: float, momentum: float = 0.9):
     """The reference's optimizer zoo via optax
     (reference trainer.py:68-87).
@@ -46,12 +82,15 @@ def build_optimizer(optimizer_type: str, lr: float, momentum: float = 0.9):
     substitute: it diverges on the siamese losses (measured flat at
     chance loss where zoom-LBFGS beats adam).
 
-    LBFGS is wrapped in optax.apply_if_finite: a degenerate step (zero
+    LBFGS is wrapped in _finite_step_guard: a degenerate step (zero
     curvature / flat zoom linesearch once a tiny objective is nearly
-    minimized) can emit NaN updates, which would silently poison the
-    params AND the L-BFGS history for the rest of the run — the wrapper
-    drops the step and keeps the previous inner state instead (torch's
-    LBFGS guards the same divisions internally)."""
+    minimized) can emit NaN grads or NaN updates, which would silently
+    poison the params AND the L-BFGS history for the rest of the run —
+    the guard checks what the update PRODUCED (optax.apply_if_finite
+    only checks the incoming grads) and drops the step, keeping the
+    previous state (torch's LBFGS guards the same divisions
+    internally). The guard adds no state leaves, so LBFGS checkpoints
+    resume across builds with and without it."""
     assert optimizer_type in ("sgd", "adadelta", "adam", "adagrad",
                               "RMSprop", "LBFGS")
     if optimizer_type == "sgd":
@@ -64,8 +103,7 @@ def build_optimizer(optimizer_type: str, lr: float, momentum: float = 0.9):
         return optax.adagrad(lr)
     if optimizer_type == "RMSprop":
         return optax.rmsprop(lr)
-    return optax.apply_if_finite(optax.lbfgs(lr),
-                                 max_consecutive_errors=8)
+    return _finite_step_guard(optax.lbfgs(lr))
 
 
 class MetricsWriter:
@@ -266,15 +304,21 @@ class TrainerBuilder:
         start_epoch = 0
 
         self.network.ensure_init(self.seed)
-        self._prewarm_chain_steps()
 
         train_writer = MetricsWriter(str(self.log_dir / "train_loss"))
         dev_writer = MetricsWriter(str(self.log_dir / "dev_loss"))
 
-        if resume and os.path.exists(self._ckpt_path):
+        resumed = resume and os.path.exists(self._ckpt_path)
+        if resumed:
+            # restore BEFORE prewarm: the warm calls cache step closures
+            # built from the current optimizer config (e.g. the
+            # multimodal headstart's frozen-main multi_transform, which
+            # load_checkpoint restores via _restore_extra_meta) — warming
+            # pre-restore closures would leave stale fns in _step_fns
             start_epoch = self.load_checkpoint()
             print(f"Resumed from checkpoint at epoch {start_epoch}")
-        else:
+        self._prewarm_chain_steps()
+        if not resumed:
             self.network.save_network()
             _ = self.optimize_model(do_training=False)
             train_writer.add_scalar("loss", self.train_losses[-1], 0)
@@ -306,6 +350,10 @@ class TrainerBuilder:
             else:
                 self.patience_dev += 1
                 if self.patience_dev > self.patience:
+                    # persist the stopping epoch's counters too: a later
+                    # resume would otherwise restore patience just below
+                    # threshold and re-run an epoch this run discarded
+                    self.save_checkpoint(epoch)
                     print("early stop: dev loss flat for {} epochs"
                           .format(self.patience))
                     print("training finished")
@@ -340,11 +388,6 @@ class TrainerBuilder:
 
 class TrainerSiamese(TrainerBuilder):
     """Siamese trainer: fused jitted step (reference trainer.py:203-256)."""
-
-    def __init__(self, *args, **kwargs):
-        super().__init__(*args, **kwargs)
-        self._train_step_cache = {}
-        self._eval_step_cache = {}
 
     # -- jitted steps -------------------------------------------------------
 
@@ -653,7 +696,11 @@ class TrainerSiamese(TrainerBuilder):
                         dl.batch_iterator(train_mode=train_mode)):
                     if not isinstance(b, (BankBatch, FrameBankBatch,
                                           SplitBankBatch)):
-                        return  # padded/host stream: fused step, no chain
+                        # padded/host stream: fused step, nothing to
+                        # chain HERE — but keep keys collected from the
+                        # other stream (e.g. tcl: chained train batches
+                        # + padded dev word-pair batches)
+                        break
                     key = (type(b).__name__, getattr(b, "bucket", None),
                            getattr(b, "mode", None))
                     chunk = reps.setdefault(key, [])

@@ -555,3 +555,34 @@ def test_tcl_bank_multidevice_mesh(corpus):
     _, _, _, v = tr(net.params, net.state, opt.init(net.params),
                     jax.random.PRNGKey(0), *args)
     assert np.isfinite(float(v))
+
+
+def test_bank_ladder_handles_tokens_longer_than_4096(tmp_path):
+    """Tokens longer than the last power-of-two ladder probe must land
+    in the max_len bucket instead of indexing past the ladder end
+    (review finding: np.searchsorted returned len(ladder) and
+    _build_token_bank crashed with IndexError on any such corpus)."""
+    rng = np.random.RandomState(0)
+    d = 2
+    n_frames = 4200  # > 4096, the old ladder's last probe
+    feats_path = str(tmp_path / "feats.h5f")
+    items = ["f0", "f1"]
+    feats = [rng.randn(n_frames, d).astype(np.float32) for _ in items]
+    times = [np.arange(n_frames) * 0.01 + 0.0025 for _ in items]
+    write_h5features(feats_path, "features", items, times, feats)
+    pairs_path = str(tmp_path / "pairs")
+    os.makedirs(os.path.join(pairs_path, "train_pairs"))
+    os.makedirs(os.path.join(pairs_path, "dev_pairs"))
+    long_tok = f"0.00 {n_frames * 0.01:.2f}"
+    with open(os.path.join(pairs_path, "train_pairs/dataset"), "w") as f:
+        f.write(f"f0 {long_tok} f1 {long_tok} same\n"
+                f"f0 0.00 0.50 f1 0.00 0.50 diff\n")
+    with open(os.path.join(pairs_path, "dev_pairs/dataset"), "w") as f:
+        f.write("f0 0.10 0.40 f1 0.10 0.40 same\n")
+    dl = OriginalDataLoader(pairs_path, feats_path, batch_size=2,
+                            num_max_minibatches=1, seed=0,
+                            align_backend="bank", bank_split=False)
+    dl.load_data()  # crashed here before the fix
+    _, _, _, _, buckets = dl._bank_pairs["train"]
+    assert buckets.max() == dl.token_bank.max_len
+    assert dl.token_bank.max_len >= n_frames

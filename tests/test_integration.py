@@ -479,3 +479,71 @@ def test_multimodal_embedder_aligns_modalities_by_item(tmp_path):
                                  batch_size=16)
     with pytest.raises(KeyError):
         emb_bad.embed()
+
+
+def test_multimodal_resume_after_headstart_with_prewarm(tmp_path,
+                                                        monkeypatch):
+    """Resuming a post-headstart checkpoint with compile prewarm on must
+    restore BEFORE warming (review finding: train() prewarmed first, so
+    _ensure_frame_steps cached step closures built with the pre-restore
+    unfrozen optimizer; the restored frozen-main opt_state then
+    mismatched the cached closure at the first real dispatch)."""
+    import os
+    from abnet3_tpu.dataloader import MultimodalDataLoader
+    from abnet3_tpu.io import write_h5features
+    from abnet3_tpu.loss import coscos2
+    from abnet3_tpu.trainer import MultimodalTrainer
+
+    monkeypatch.setenv("ABNET3_TRAIN_PREWARM", "1")
+    rng = np.random.RandomState(0)
+    items = [f"f{i}" for i in range(4)]
+    paths = []
+    for m, d in enumerate((4, 5)):
+        p = str(tmp_path / f"feats{m}.h5f")
+        feats = [rng.randn(80, d).astype(np.float32) for _ in items]
+        times = [np.arange(80) * 0.01 + 0.0025 for _ in items]
+        write_h5features(p, "features", items, times, feats)
+        paths.append(p)
+
+    def tok(i, a, b):
+        return f"f{i} {a:.2f} {b:.2f}"
+
+    pairs_path = str(tmp_path / "pairs")
+    os.makedirs(os.path.join(pairs_path, "train_pairs"))
+    os.makedirs(os.path.join(pairs_path, "dev_pairs"))
+    with open(os.path.join(pairs_path, "train_pairs/dataset"), "w") as f:
+        f.write(f"{tok(0, 0.0, 0.12)} {tok(1, 0.3, 0.39)} same\n"
+                f"{tok(2, 0.3, 0.5)} {tok(3, 0.0, 0.08)} diff\n")
+    with open(os.path.join(pairs_path, "dev_pairs/dataset"), "w") as f:
+        f.write(f"{tok(0, 0.1, 0.2)} {tok(2, 0.4, 0.52)} same\n")
+
+    def build(outdir):
+        unit = BiWeightedDeepLearnt(net_params=[[6, 1], [6, 1]],
+                                    integration_mode="sum",
+                                    output_path=str(outdir / "int"))
+        net = MultimodalSiameseNetwork(
+            integration_unit=unit,
+            pre_integration_net_params=[[4, 6], [5, 6]],
+            post_integration_net_params=[6, 3],
+            p_dropout=0.0, activation_layer="sigmoid",
+            output_path=str(outdir / "net"))
+        dl = MultimodalDataLoader(pairs_path, paths, batch_size=8,
+                                  steps_per_call=2)
+        return MultimodalTrainer(network=net, loss=coscos2(),
+                                 dataloader=dl, optimizer_type="adam",
+                                 lr=0.01, num_epochs=3, patience=5,
+                                 log_dir=str(outdir / "logs"), seed=0,
+                                 headstart=(1, False, 0.5))
+
+    d = tmp_path / "run"
+    d.mkdir()
+    tr = build(d)
+    tr.train()  # headstart ends mid-run -> _frozen_main True, ckpt saved
+    assert getattr(tr, "_frozen_main", False)
+
+    tr2 = build(d)
+    tr2.num_epochs = 5
+    tr2.train(resume=True)  # prewarm must run with the RESTORED config
+    assert getattr(tr2, "_frozen_main", False)
+    assert len(tr2.train_losses) >= 4
+    assert all(np.isfinite(tr2.train_losses))

@@ -2,6 +2,7 @@
 
 import os
 import pickle
+import time
 
 import numpy as np
 import pytest
@@ -587,3 +588,81 @@ def test_lbfgs_degenerate_step_does_not_poison_params(corpus, tmp_path):  # noqa
     assert all(np.isfinite(tr.dev_losses)), tr.dev_losses
     for leaf in jax.tree_util.tree_leaves(net.params):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_finite_step_guard_drops_nan_producing_step():
+    """_finite_step_guard must reject steps whose PRODUCED updates/state
+    are nonfinite even when the incoming grads are finite (review
+    finding: optax.apply_if_finite only checks the incoming grads, so a
+    degenerate LBFGS linesearch NaN passed straight through), and must
+    add no state leaves so checkpoints stay structure-compatible."""
+    import optax
+    from abnet3_tpu.trainer import _finite_step_guard
+
+    def init(p):
+        return {"mem": jnp.zeros(3)}
+
+    def bad_update(g, s, p=None):
+        return (jax.tree_util.tree_map(lambda x: x * jnp.nan, g),
+                {"mem": s["mem"] + jnp.inf})
+
+    tx = _finite_step_guard(optax.GradientTransformation(init, bad_update))
+    params = {"w": jnp.ones(3)}
+    s = tx.init(params)
+    grads = {"w": jnp.full(3, 0.5)}  # finite grads in
+    u, s2 = tx.update(grads, s, params)
+    np.testing.assert_array_equal(np.asarray(u["w"]), 0.0)  # dropped
+    np.testing.assert_array_equal(np.asarray(s2["mem"]),
+                                  np.asarray(s["mem"]))  # state kept
+
+    def good_update(g, s, p=None):
+        return g, {"mem": s["mem"] + 1.0}
+
+    tx = _finite_step_guard(optax.GradientTransformation(init, good_update))
+    u, s2 = tx.update(grads, tx.init(params), params)
+    np.testing.assert_array_equal(np.asarray(u["w"]), 0.5)  # pass-through
+    np.testing.assert_array_equal(np.asarray(s2["mem"]), 1.0)
+
+    # no extra state leaves vs the bare inner optimizer
+    bare = optax.lbfgs(1.0).init(params)
+    wrapped = build_optimizer("LBFGS", 1.0).init(params)
+    assert (jax.tree_util.tree_structure(bare)
+            == jax.tree_util.tree_structure(wrapped))
+
+
+def test_early_stop_persists_stopping_epoch_counters(corpus, tmp_path):  # noqa: F811
+    """The early-stop break must checkpoint the stopping epoch's
+    counters (review finding: breaking before save_checkpoint left the
+    newest checkpoint one epoch behind, so a resume re-ran an epoch the
+    first run had already discarded)."""
+    feats_path, pairs_path, _ = corpus
+    net = _network(tmp_path)
+    dl = OriginalDataLoader(pairs_path, feats_path, batch_size=6,
+                            num_max_minibatches=1, seed=0)
+    tr = TrainerSiamese(network=net, loss=coscos2(), dataloader=dl,
+                        optimizer_type="sgd", lr=0.0, momentum=0.0,
+                        num_epochs=50, patience=0,
+                        log_dir=str(tmp_path / "logs"), seed=0)
+    tr.train()  # lr=0: dev loss flat -> early stop
+    assert tr.patience_dev > tr.patience
+    from abnet3_tpu.serialize import load_pytree
+    _tree, meta = load_pytree(tr._ckpt_path)
+    assert meta["patience_dev"] == tr.patience_dev
+    assert meta["epoch"] == len(tr.train_losses) - 2  # stopping epoch
+
+
+def test_prefetch_iterator_unblocks_worker_on_abandon():
+    """An abandoned consumer must unblock the prefetch worker (review
+    finding: the worker parked forever on q.put into a full queue,
+    pinning batches across retried epochs)."""
+    import threading as _threading
+    from abnet3_tpu.dataloader import prefetch_iterator
+    alive_before = _threading.active_count()
+    it = prefetch_iterator(iter(range(100)), size=2)
+    assert next(it) == 0
+    it.close()  # GeneratorExit -> stop flag -> worker exits
+    deadline = time.time() + 6
+    while _threading.active_count() > alive_before and \
+            time.time() < deadline:
+        time.sleep(0.05)
+    assert _threading.active_count() <= alive_before
