@@ -41,8 +41,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = [
-    "pairwise_angular_distance", "dtw_costs", "dtw_backtrace",
-    "moves_from_costs", "walk_moves", "dtw_moves_auto",
+    "pairwise_angular_distance", "pairwise_kl_distance", "dtw_costs",
+    "dtw_backtrace", "moves_from_costs", "walk_moves", "dtw_moves_auto",
     "dtw_align_from_dist", "onpath_from_moves", "dtw_path_from_dist",
     "dtw_align_batch", "align_diff_batch", "gather_aligned",
 ]
@@ -168,8 +168,7 @@ def moves_from_costs(D: jnp.ndarray) -> jnp.ndarray:
     take_diag = (diag <= up) & (diag <= left)
     take_up = (~take_diag) & (up <= left)
     di = jnp.where(take_diag | take_up, 1, 0).astype(jnp.int32)
-    dj = jnp.where(take_diag | (~take_diag & ~take_up), 1, 0).astype(
-        jnp.int32)
+    dj = jnp.where(take_diag | ~take_up, 1, 0).astype(jnp.int32)
     return (di * 2 + dj).astype(jnp.int8)
 
 
@@ -276,14 +275,22 @@ def _pallas_available() -> bool:
         if jax.default_backend() != "cpu":
             try:
                 from abnet3_tpu.ops.pallas_dtw import (dtw_costs_pallas,
-                                                       dtw_moves_pallas)
+                                                       dtw_moves_pallas,
+                                                       dtw_path_pallas)
                 probe = jnp.zeros((1, 8, 128), jnp.float32)
-                # probe both kernels: the align/path dispatchers run
-                # the fused move/path kernels, dtw_costs_pallas the DP
+                ones = jnp.ones((1,), jnp.int32)
+                # probe ALL three kernels: the align dispatcher runs the
+                # fused move kernel, dtw_costs_pallas the DP, and the
+                # matrix-loss default runs the fused path kernel (whose
+                # scratch_shapes/(block,1,1)-ref constructs can fail to
+                # compile on Mosaic versions where the others succeed)
                 jax.block_until_ready(dtw_moves_pallas(probe))
                 jax.block_until_ready(dtw_costs_pallas(probe))
+                jax.block_until_ready(dtw_path_pallas(probe, ones, ones))
                 _PALLAS_OK = True
-            except Exception:
+            except Exception as exc:
+                print("Pallas DTW kernels unavailable "
+                      "(falling back to the XLA scan): %r" % (exc,))
                 _PALLAS_OK = False
     return _PALLAS_OK
 

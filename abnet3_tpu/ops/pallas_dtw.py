@@ -54,7 +54,7 @@ BLOCK_B = 8  # preferred block; the call picks the largest VMEM-fitting one
 # rejecting the never-validated T>=1024 3-buffer shape. Tests
 # monkeypatch this to force shrunk blocks through the interpret-mode
 # parity check.
-VMEM_BUDGET = 11_534_336  # 11.0 MiB + 512 KiB
+VMEM_BUDGET = 11_534_336  # exactly 11.0 MiB
 
 
 def _round_up(x: int, m: int) -> int:
@@ -95,13 +95,19 @@ def _pick_block(B: int, T1: int, T2: int,
     return block
 
 
-def fits_vmem(B: int, T1: int, T2: int, n_buffers: int = 3) -> bool:
+def fits_vmem(B: int, T1: int, T2: int, n_buffers: int = 3,
+              n_len_refs: int = None) -> bool:
     """True when some batch block of a (B, T1, T2) problem fits the
     kernel VMEM budget (n_buffers=3 covers the fused path kernel, the
     largest consumer: dist in + mask out + move scratch + its two
-    length refs)."""
+    length refs). ``n_len_refs`` defaults to the probed kernels' actual
+    counts (path kernel: 2; move/DP kernels: 0) — pass it explicitly
+    for kernels with other layouts so the guard and the kernel's own
+    _pick_block stay in lockstep."""
+    if n_len_refs is None:
+        n_len_refs = 2 if n_buffers >= 3 else 0
     return _pick_block(B, T1, T2, n_buffers=n_buffers,
-                       n_len_refs=2 if n_buffers >= 3 else 0) is not None
+                       n_len_refs=n_len_refs) is not None
 
 
 def _shift_right(x, k, fill):
@@ -151,7 +157,7 @@ def _dp_move_row(c, prev):
     take_diag = (diag <= prev) & (diag <= left)
     take_up = (~take_diag) & (prev <= left)
     di = jnp.where(take_diag | take_up, 1, 0)
-    dj = jnp.where(take_diag | (~take_diag & ~take_up), 1, 0)
+    dj = jnp.where(take_diag | ~take_up, 1, 0)
     return x, di * 2 + dj
 
 
@@ -161,7 +167,6 @@ def _dtw_kernel(dist_ref, out_ref):
     fori_loop inside ONE kernel body (multi-step Pallas grids cost ~ms per
     step through this runtime, see module docstring)."""
     T1 = dist_ref.shape[1]
-    B = dist_ref.shape[0]
 
     row0 = _prefix_sum(dist_ref[:, 0, :])
     out_ref[:, 0, :] = row0
