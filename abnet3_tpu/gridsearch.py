@@ -95,7 +95,8 @@ class GridSearch:
             now = self.date
 
         for submodule, submodule_params in grid_params.items():
-            for param, values in submodule_params["arguments"].items():
+            for param, values in (submodule_params.get("arguments")
+                                  or {}).items():
                 for value in values:
                     if isinstance(values, dict):
                         name = value
@@ -122,21 +123,21 @@ class GridSearch:
         features_prop = single_experiment["features"]
         features_class = getattr(abnet3_tpu.features,
                                  features_prop["class"])
-        arguments = dict(features_prop["arguments"])
+        arguments = dict(features_prop["arguments"] or {})
         arguments.setdefault("output_path",
                              os.path.join(exp_path, "features"))
         features = features_class(**arguments)
 
         sampler_prop = single_experiment["sampler"]
         sampler_class = getattr(abnet3_tpu.sampler, sampler_prop["class"])
-        arguments = dict(sampler_prop["arguments"])
+        arguments = dict(sampler_prop["arguments"] or {})
         arguments.setdefault("directory_output",
                              os.path.join(exp_path, "pairs"))
         sampler = sampler_class(**arguments)
 
         model_prop = single_experiment["model"]
         model_class = getattr(abnet3_tpu.model, model_prop["class"])
-        arguments = dict(model_prop["arguments"])
+        arguments = dict(model_prop["arguments"] or {})
         arguments["output_path"] = os.path.join(exp_path, "network")
         model = model_class(**arguments)
 
@@ -156,14 +157,14 @@ class GridSearch:
         dataloader_prop = single_experiment["dataloader"]
         dataloader_class = getattr(abnet3_tpu.dataloader,
                                    dataloader_prop["class"])
-        arguments = dict(dataloader_prop["arguments"])
+        arguments = dict(dataloader_prop["arguments"] or {})
         arguments.setdefault("pairs_path", sampler.directory_output)
         arguments["features_path"] = features.output_path
         dataloader = dataloader_class(**arguments)
 
         trainer_prop = single_experiment["trainer"]
         trainer_class = getattr(abnet3_tpu.trainer, trainer_prop["class"])
-        arguments = dict(trainer_prop["arguments"])
+        arguments = dict(trainer_prop["arguments"] or {})
         arguments["network"] = model
         arguments["loss"] = loss
         arguments["dataloader"] = dataloader
@@ -173,7 +174,7 @@ class GridSearch:
         embedder_prop = single_experiment["embedder"]
         embedder_class = getattr(abnet3_tpu.embedder,
                                  embedder_prop["class"])
-        arguments = dict(embedder_prop["arguments"])
+        arguments = dict(embedder_prop["arguments"] or {})
         arguments["network"] = model
         arguments.setdefault("output_path",
                              os.path.join(exp_path, "embeddings.h5f"))
@@ -182,6 +183,21 @@ class GridSearch:
         embedder = embedder_class(**arguments)
 
         return features, sampler, model, loss, dataloader, trainer, embedder
+
+    @staticmethod
+    def _sample_fresh(sampler):
+        """sampler.sample() refuses to overwrite its output directory
+        (parity with the reference's bare os.makedirs) — but gridsearch
+        explicitly supports re-running an experiment (main() warns about
+        overwriting and proceeds on 'y'), so a stale pairs directory
+        from the previous run is removed first."""
+        import shutil
+        if sampler.directory_output and \
+                os.path.isdir(sampler.directory_output):
+            print("Removing stale pairs directory %s"
+                  % sampler.directory_output)
+            shutil.rmtree(sampler.directory_output)
+        sampler.sample()
 
     def _prerun_once_stages(self, single_experiment):
         """Execute run='once' features/sampler stages serially (used
@@ -192,7 +208,7 @@ class GridSearch:
             features.generate()
             self.features_run = True
         if sampler.run == "once":
-            sampler.sample()
+            self._sample_fresh(sampler)
             self.sampler_run = True
 
     def run_single_experiment(self, single_experiment=None, gpu_id=0):
@@ -230,10 +246,10 @@ class GridSearch:
             if sampler.run == "never":
                 pass
             elif sampler.run == "once" and not self.sampler_run:
-                sampler.sample()
+                self._sample_fresh(sampler)
                 self.sampler_run = True
             elif sampler.run == "always":
-                sampler.sample()
+                self._sample_fresh(sampler)
 
             trainer.train()
             embedder.embed()
@@ -304,7 +320,7 @@ class GridSearch:
             features_prop = single_experiment["features"]
             features_class = getattr(abnet3_tpu.features,
                                      features_prop["class"])
-            arguments = dict(features_prop["arguments"])
+            arguments = dict(features_prop["arguments"] or {})
             arguments["files"] = test_wavs
             arguments["vad_file"] = vad_file
             arguments["output_path"] = test_features
@@ -313,7 +329,7 @@ class GridSearch:
         embedder_prop = single_experiment["embedder"]
         embedder_class = getattr(abnet3_tpu.embedder,
                                  embedder_prop["class"])
-        arguments = dict(embedder_prop["arguments"])
+        arguments = dict(embedder_prop["arguments"] or {})
         arguments["network"] = model
         output_path = os.path.join(exp_path, name)
         arguments["output_path"] = output_path

@@ -122,8 +122,13 @@ def write_h5features(path: str, group: Optional[str], items: Sequence[str],
     feats = [np.atleast_2d(np.asarray(f)) for f in features]
     labs = [np.asarray(t, dtype=np.float64) for t in times]
     dim = feats[0].shape[1]
-    for f in feats:
+    for it, t, f in zip(items, labs, feats):
         assert f.ndim == 2 and f.shape[1] == dim, "inconsistent feature dims"
+        # one label per feature row, per item: a mismatch would still
+        # concatenate cleanly and write a container whose labels are
+        # silently shifted across items on read
+        assert len(t) == len(f), (
+            f"item '{it}': {len(t)} labels for {len(f)} feature rows")
     feat_concat = np.concatenate(feats, axis=0)
     lab_concat = np.concatenate(labs, axis=0)
     counts = np.array([len(f) for f in feats], dtype=np.int64)
@@ -134,20 +139,36 @@ def write_h5features(path: str, group: Optional[str], items: Sequence[str],
         if gname in fh:
             g = fh[gname]
             items_name, labels_name, index_name = _dataset_names(g)
+            # validate EVERYTHING before the first _append: the append
+            # path is not atomic, so raising between appends would leave
+            # items/labels longer than index/features and permanently
+            # misalign every later read of the file
+            if g["features"].shape[1] != dim:
+                raise ValueError(
+                    f"feature dim {dim} does not match the existing "
+                    f"dataset's {g['features'].shape[1]} in {path}")
+            if lab_concat.ndim != g[labels_name].ndim:
+                raise ValueError(
+                    f"label rank {lab_concat.ndim} does not match the "
+                    f"existing dataset's {g[labels_name].ndim} in {path}")
             n_old = g[items_name].shape[0]
-            existing = set(np.asarray(g[items_name]).tolist())
+            existing = _existing_items(path, g, items_name, n_old)
             offset = int(g[index_name][-1]) + 1 if g[index_name].shape[0] else 0
+            new_keys = []
             for it in items:
                 key = it.encode("utf-8") if isinstance(
                     next(iter(existing), b""), bytes) else it
                 if key in existing:
                     raise ValueError(f"item '{it}' already in {path}")
+                new_keys.append(key)
             _append(g[items_name], np.array(items, dtype=object))
             _append(g[labels_name], lab_concat)
             _append(g["features"], feat_concat)
             # index stores the END-INCLUSIVE row of each item (h5features 1.1)
             _append(g[index_name], offset + np.cumsum(counts) - 1)
-            del n_old
+            existing.update(new_keys)
+            _ITEMS_CACHE[_cache_key(path, g)] = (n_old + len(items),
+                                                 existing)
         else:
             g = fh.create_group(gname)
             g.attrs["version"] = "1.1"
@@ -165,6 +186,42 @@ def _append(dset: h5py.Dataset, data: np.ndarray) -> None:
     n_old = dset.shape[0]
     dset.resize(n_old + len(data), axis=0)
     dset[n_old:] = data
+
+
+# item-name caches, invalidated by item count: batched exports append
+# hundreds of times to one file, and re-decoding the full items dataset
+# per call makes those passes O(N^2) in total item reads. Keyed by
+# absolute path; a count mismatch (another writer, a fresh file)
+# recomputes from disk.
+_ITEMS_CACHE: Dict[str, tuple] = {}      # path -> (n_items, set of keys)
+_POSITIONS_CACHE: Dict[str, tuple] = {}  # path -> (n_items, {name: pos})
+
+
+def _cache_key(path: str, g: h5py.Group):
+    return (os.path.abspath(path), g.name)
+
+
+def _existing_items(path: str, g: h5py.Group, items_name: str,
+                    n_old: int) -> set:
+    key = _cache_key(path, g)
+    cached = _ITEMS_CACHE.get(key)
+    if cached is not None and cached[0] == n_old:
+        return cached[1]
+    existing = set(np.asarray(g[items_name]).tolist())
+    _ITEMS_CACHE[key] = (n_old, existing)
+    return existing
+
+
+def _item_positions(path: str, g: h5py.Group, items_name: str) -> Dict:
+    key = _cache_key(path, g)
+    n = g[items_name].shape[0]
+    cached = _POSITIONS_CACHE.get(key)
+    if cached is not None and cached[0] == n:
+        return cached[1]
+    pos = {name: i
+           for i, name in enumerate(_decode_items(np.asarray(g[items_name])))}
+    _POSITIONS_CACHE[key] = (n, pos)
+    return pos
 
 
 def _decode_items(raw) -> List[str]:
@@ -234,11 +291,10 @@ def read_h5features_item(path: str, item: str, group: Optional[str] = None):
     with h5py.File(path, "r") as fh:
         g = _resolve_group(fh, group)
         items_name, labels_name, index_name = _dataset_names(g)
-        items = _decode_items(np.asarray(g[items_name]))
-        try:
-            pos = items.index(item)
-        except ValueError:
+        positions = _item_positions(path, g, items_name)
+        if item not in positions:
             raise KeyError(f"item '{item}' not found in {path}")
+        pos = positions[item]
         index = np.asarray(g[index_name], dtype=np.int64)
         end = int(index[pos]) + 1
         start = int(index[pos - 1]) + 1 if pos else 0

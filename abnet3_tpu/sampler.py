@@ -253,7 +253,8 @@ class SamplerCluster(SamplerBuilder):
         assert type_sampling_mode in _SAMPLING_TRANSFORMS, \
             "Transformation not implemented"
         func = _SAMPLING_TRANSFORMS[type_sampling_mode]
-        counts = np.bincount(np.asarray(std_descr["tokens_type"]),
+        counts = np.bincount(np.asarray(std_descr["tokens_type"],
+                                        dtype=np.int64),
                              minlength=len(std_descr["types"])).astype(
                                  np.float64)
         if type_sampling_mode == "1":
@@ -381,7 +382,12 @@ class SamplerClusterSiamese(SamplerCluster):
 
     def sample_batch(self, p_spk_types, cdf, token_dict, num_samples=5012):
         """Inverse-CDF sample pair configurations, then draw concrete
-        tokens (reference sampler.py:589-688)."""
+        tokens (reference sampler.py:589-688).
+
+        Reseeding with self.seed here reproduces the reference's RNG
+        flow exactly (reference sampler.py:597), including its quirk
+        that write_tokens' per-split seed (seed / seed+1 for train/dev)
+        only affects the final line shuffle, not the draws."""
         np.random.seed(self.seed)
         sampled_tokens = {"Stype_Sspk": [], "Stype_Dspk": [],
                           "Dtype_Sspk": [], "Dtype_Dspk": []}
@@ -446,11 +452,15 @@ class SamplerClusterSiamese(SamplerCluster):
         np.random.shuffle(lines)
         print("Writing tokens to disk")
         if self.sample_batches:
-            for idx in range(1, int(num_samples // batch_size)):
+            # chunk EVERY sampled line (the reference's
+            # range(1, num//batch_size) silently dropped the final batch
+            # and wrote no file at all when num < 2*batch_size,
+            # reference sampler.py:732-737)
+            for idx, start in enumerate(range(0, len(lines), batch_size),
+                                        start=1):
                 with open(os.path.join(out_dir,
                                        f"pair_{idx}.batch"), "w") as fh:
-                    fh.writelines(lines[(idx - 1) * batch_size:
-                                        idx * batch_size])
+                    fh.writelines(lines[start:start + batch_size])
         else:
             with open(os.path.join(out_dir, "dataset"), "w") as fh:
                 fh.write("".join(lines))
@@ -462,6 +472,16 @@ class SamplerClusterSiamese(SamplerCluster):
         """Build distributions + write pairs for one split
         (reference sampler.py:744-773)."""
         np.random.seed(seed)
+        if not descr["tokens"]:
+            # an empty split (e.g. split_method='files' on a corpus with
+            # too few files for ratio_train_dev) used to crash deep in
+            # np.bincount; write an empty pairs file with a warning so
+            # the loader reports 'no pairs' instead
+            print("WARNING: split has no tokens — writing an empty "
+                  "pairs file to %s" % out_dir)
+            if not self.sample_batches:
+                open(os.path.join(out_dir, "dataset"), "w").close()
+            return
         token_dict = self.generate_token_dict(descr)
         proba = self.type_speaker_sampling_p(
             std_descr=descr, type_sampling_mode=type_sampling_mode,

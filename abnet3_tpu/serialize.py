@@ -25,6 +25,20 @@ _EMPTY_DICT = "__emptydict__"
 _EMPTY_LIST = "__emptylist__"
 
 
+def _check_key(k: str) -> str:
+    """Reject dict keys the flat encoding cannot round-trip: keys
+    containing the '::' separator, '#<i>' list markers, or the
+    empty-container sentinels would silently restructure on load."""
+    if isinstance(k, str) and (
+            _SEP in k or (k.startswith("#") and k[1:].isdigit())
+            or k in (_EMPTY_DICT, _EMPTY_LIST)):
+        raise ValueError(
+            f"dict key {k!r} collides with the checkpoint encoding "
+            f"('{_SEP}' separator / '#i' list markers / sentinels) and "
+            f"would not round-trip")
+    return k
+
+
 def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
     out: Dict[str, np.ndarray] = {}
     if isinstance(tree, dict):
@@ -34,7 +48,7 @@ def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
             out[f"{prefix}{_EMPTY_DICT}"] = np.zeros(0, np.uint8)
             return out
         for k in sorted(tree):
-            out.update(_flatten(tree[k], f"{prefix}{k}{_SEP}"))
+            out.update(_flatten(tree[k], f"{prefix}{_check_key(k)}{_SEP}"))
     elif isinstance(tree, (list, tuple)):
         if not tree:
             out[f"{prefix}{_EMPTY_LIST}"] = np.zeros(0, np.uint8)
@@ -92,6 +106,6 @@ def _relist(node):
         return {}
     if keys == [_EMPTY_LIST]:
         return []
-    if keys and all(k.startswith("#") for k in keys):
+    if keys and all(k.startswith("#") and k[1:].isdigit() for k in keys):
         return [_relist(node[f"#{i}"]) for i in range(len(keys))]
     return {k: _relist(v) for k, v in node.items()}

@@ -272,7 +272,15 @@ def dtw_numpy_fast(dist: np.ndarray) -> Tuple[float, np.ndarray, np.ndarray]:
     """Row-vectorized DTW: same DP as :func:`dtw_numpy` but each row is one
     cumsum + one cumulative-min (the same (min,+) closed form as the device
     kernel in ops/dtw.py), so the host fallback is numpy-speed instead of a
-    Python triple loop."""
+    Python triple loop.
+
+    Floating-point caveat: the closed form sums in a different order
+    than dtw_numpy's sequential recurrence, so cost cells can differ by
+    an ULP; on a distance matrix engineered so a diag-vs-up tie sits
+    exactly on that ULP, the backtrace could pick the other (equally
+    optimal) path. The parity tests pass on continuous random inputs
+    (exact boundary hits have measure ~0); both paths are optimal either
+    way."""
     n1, n2 = dist.shape
     D = np.empty((n1, n2), np.float64)
     D[0] = np.cumsum(dist[0])

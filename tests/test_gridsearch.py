@@ -515,3 +515,34 @@ def test_abx_stage_yaml_end_to_end(experiment, tmp_path):
     result = json.loads(open(out).read())
     assert result["n_tokens"] == 8 and np.isfinite(result["error"])
     assert result["task"] == "across"
+
+
+def test_rerun_overwrites_sampler_output(experiment):
+    """Re-running an experiment (main() warns about overwriting and
+    proceeds) must not crash on the sampler's existing pairs directory
+    (review finding: sampler.sample() keeps the reference's bare
+    os.makedirs parity, so gridsearch removes the stale directory)."""
+    yaml_path, exp_path, _ = experiment
+    GridSearch(input_file=yaml_path).run()
+    # second run: previously FileExistsError from the sampler makedirs
+    GridSearch(input_file=yaml_path).run()
+    assert os.path.exists(os.path.join(exp_path, "network.pth"))
+
+
+def test_empty_arguments_block_parses(experiment, tmp_path):
+    """A YAML stage with a present-but-empty 'arguments:' block (valid
+    YAML, parses to None) must instantiate with defaults instead of
+    crashing dict(None) (review finding: only the loss stage had the
+    'or {}' guard)."""
+    import yaml as _yaml
+    yaml_path, exp_path, _ = experiment
+    with open(yaml_path) as fh:
+        cfg = _yaml.safe_load(fh)
+    cfg["default_params"]["features"]["arguments"] = None
+    p2 = str(tmp_path / "empty_args.yaml")
+    with open(p2, "w") as fh:
+        _yaml.dump(cfg, fh)
+    grid = GridSearch(input_file=p2)
+    exps = grid.build_grid_experiments()
+    features = grid._instantiate(exps[0])[0]
+    assert features is not None

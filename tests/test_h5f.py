@@ -92,3 +92,57 @@ def test_iter_h5features_streams_exact_content(tmp_path):
                                       full.features()):
         np.testing.assert_array_equal(labs, wl)
         np.testing.assert_array_equal(fs, wf)
+
+
+def test_label_count_mismatch_rejected(tmp_path):
+    """A per-item label/feature row-count mismatch must be rejected at
+    write time (review finding: it concatenated cleanly and wrote a
+    container whose labels were silently shifted across items)."""
+    path = str(tmp_path / "feats.h5f")
+    f1, t1 = _mk(10, 4, 0)
+    with pytest.raises(AssertionError, match="labels"):
+        write_h5features(path, "features", ["a"],
+                         [np.arange(11, dtype=np.float64)], [f1])
+    import os
+    assert not os.path.exists(path)  # nothing was written
+
+
+def test_append_dim_mismatch_leaves_file_intact(tmp_path):
+    """Appending a batch whose feature dim differs from the on-disk
+    dataset must raise BEFORE any dataset mutates (review finding: the
+    non-atomic append left items/labels longer than index/features,
+    permanently misaligning the file)."""
+    path = str(tmp_path / "feats.h5f")
+    f1, t1 = _mk(10, 4, 0)
+    write_h5features(path, "features", ["a"], [t1], [f1])
+    f_bad, t_bad = _mk(8, 5, 1)
+    with pytest.raises(ValueError, match="feature dim"):
+        write_h5features(path, "features", ["b"], [t_bad], [f_bad])
+    data = read_h5features(path)  # still consistent
+    assert data.items() == ["a"]
+    np.testing.assert_allclose(data.dict_features()["a"], f1)
+    # and a correct retry still works
+    f2, t2 = _mk(8, 4, 2)
+    write_h5features(path, "features", ["b"], [t2], [f2])
+    assert read_h5features(path).items() == ["a", "b"]
+
+
+def test_many_appends_and_cached_lookups(tmp_path):
+    """Batched exports append hundreds of times; the item-name caches
+    must stay correct across appends (duplicate detection + per-item
+    reads), including when a fresh writer reopens the same path."""
+    path = str(tmp_path / "feats.h5f")
+    want = {}
+    for batch in range(20):
+        name = f"f{batch}"
+        f, t = _mk(5 + batch % 3, 4, batch)
+        write_h5features(path, "features", [name], [t], [f])
+        want[name] = f
+        with pytest.raises(ValueError, match="already in"):
+            write_h5features(path, "features", [name], [t], [f])
+    assert read_h5features_index(path) == [f"f{b}" for b in range(20)]
+    for name, f in want.items():
+        _t, got = read_h5features_item(path, name)
+        np.testing.assert_allclose(got, f)
+    with pytest.raises(KeyError):
+        read_h5features_item(path, "missing")

@@ -244,3 +244,44 @@ def test_sample_batch_ratios(classes_file):
         assert descr["tokens_type"][tok1] != descr["tokens_type"][tok2]
         assert (descr["tokens_speaker"][tok1]
                 != descr["tokens_speaker"][tok2])
+
+
+def test_empty_split_writes_empty_dataset(classes_file, spkid_file,
+                                          tmp_path):
+    """split_method='files' on a corpus with too few files can leave the
+    dev split EMPTY; export must write an empty pairs file with a
+    warning instead of crashing in np.bincount (review finding)."""
+    out = str(tmp_path / "pairs")
+    sampler = SamplerClusterSiamese(
+        std_file=classes_file, spkid_file=spkid_file,
+        directory_output=out, seed=0, num_total_sampled_pairs=40)
+    empty_descr = sampler.analyze_clusters([], {})
+    os.makedirs(os.path.join(out, "dev_pairs"))
+    sampler.export_pairs(out_dir=os.path.join(out, "dev_pairs"),
+                         descr=empty_descr, type_sampling_mode="log",
+                         spk_sampling_mode="log", seed=1, num_samples=20)
+    from abnet3_tpu.utils import read_dataset
+    assert read_dataset(os.path.join(out, "dev_pairs", "dataset")) == []
+
+
+def test_sample_batches_covers_all_lines(classes_file, spkid_file,
+                                         tmp_path):
+    """Batch mode writes EVERY sampled pair (review finding: the
+    reference's range(1, num//batch_size) dropped the final batch and
+    wrote no file at all when num < 2*batch_size)."""
+    import glob
+    out = str(tmp_path / "pairs")
+    np.random.seed(1)
+    sampler = SamplerClusterSiamese(
+        std_file=classes_file, spkid_file=spkid_file,
+        directory_output=out, seed=0, max_size_cluster=2, batch_size=8,
+        sample_batches=True, num_total_sampled_pairs=14)
+    sampler.sample()
+    # train split: 14 * 0.7 = 9 pairs < 2*batch_size — the old code
+    # wrote ZERO .batch files here
+    batch_files = sorted(glob.glob(os.path.join(out, "train_pairs",
+                                                "*.batch")))
+    assert batch_files, "final batch was dropped"
+    total = sum(len(open(p).read().splitlines()) for p in batch_files)
+    assert total >= 8  # all sampled train lines present (config rounding
+    # can drop a line or two from the requested 9)

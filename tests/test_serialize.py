@@ -43,14 +43,19 @@ def test_no_pickle_execution(tmp_path):
         load_pytree(path)
 
 
-def test_key_separator_collision_raises_or_roundtrips(tmp_path):
-    """Keys containing the separator cannot silently corrupt the tree."""
-    tree = {"a::b": np.ones(2, np.float32)}
+def test_key_separator_collision_raises(tmp_path):
+    """Keys the flat encoding cannot round-trip (separator, '#i' list
+    markers, empty-container sentinels) raise at SAVE time instead of
+    silently restructuring on load (previously {'a::b': x} re-nested
+    to {'a': {'b': x}})."""
     path = str(tmp_path / "sep.pth")
-    save_pytree(path, tree)
+    for bad in ("a::b", "#0", "__emptydict__", "__emptylist__"):
+        with pytest.raises(ValueError, match="round-trip"):
+            save_pytree(path, {bad: np.ones(2, np.float32)})
+    # '#text' (not an index) stays legal
+    save_pytree(path, {"#notanindex": np.zeros(2)})
     loaded, _ = load_pytree(path)
-    # documented behavior: the flat key re-nests at the separator
-    assert np.array_equal(loaded["a"]["b"], np.ones(2, np.float32))
+    assert np.array_equal(loaded["#notanindex"], np.zeros(2))
 
 
 def test_save_is_atomic(tmp_path, monkeypatch):
