@@ -251,9 +251,23 @@ class BiWeightedDeepLearnt(BiWeightedFixed):
 
     def get_weights(self, params=None):
         """Last computed attention weights (for EmbeddingObserver dumps,
-        reference embedder.py:162-166)."""
-        return self._last_weight if self._last_weight is not None \
-            else self.weight
+        reference embedder.py:162-166).
+
+        Only meaningful after an EAGER forward (or while frozen to the
+        headstart scalar). After a JITTED forward _last_weight holds the
+        trace-time tracer — MultimodalEmbedder therefore RETURNS the
+        weights from the jitted function instead of reading them back
+        here; calling this with a leaked tracer raises a clear error
+        rather than jax's UnexpectedTracerError downstream."""
+        import jax
+        w = self._last_weight
+        if isinstance(w, jax.core.Tracer):
+            raise RuntimeError(
+                "attention weights were last computed inside a jitted "
+                "forward; read them from the forward's returned arrays "
+                "(MultimodalEmbedder writes attention_weights.features) "
+                "instead of get_weights()")
+        return w if w is not None else self.weight
 
     def apply(self, params, x_list, diff_input=None, rng=None, train=False):
         assert len(x_list) == 2
@@ -306,8 +320,16 @@ class BiWeightedPreTrained(BiWeightedDeepLearnt):
         raises."""
         start, end = trim
         if not start and not end:
-            out, _ = net.forward_once(net.params, net.state, x,
-                                      train=False)
+            res = net.forward_once(net.params, net.state, x,
+                                   train=False)
+            if len(res) != 2:
+                raise TypeError(
+                    "BiWeightedPreTrained needs a single-output "
+                    "pre-trained network (SiameseNetwork); got a "
+                    f"{type(net).__name__} whose forward_once returns "
+                    f"{len(res)} values — multi-head networks have no "
+                    "canonical attention input")
+            out, _ = res
         else:
             assert hasattr(net, "_tower"), (
                 "trim_net* requires a single-tower pre-trained network "

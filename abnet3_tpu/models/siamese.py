@@ -180,6 +180,7 @@ class SiameseNetwork(NetworkBuilder):
             "activation_layer": self.activation_layer,
             "last_non_linearity": self.last_non_linearity,
             "output_path": self.output_path,
+            "compute_dtype": str(self.compute_dtype),
         }, "class_name": self.__class__.__name__}
 
 

@@ -168,7 +168,10 @@ def parse_pairs(path: str):
         return None
     with open(path, "rb") as fh:
         buf = fh.read()
-    max_pairs = buf.count(b"\n") + 1
+    # count '\r' too: the parser accepts lone-'\r' line endings, so a
+    # '\n'-only count under-sizes the buffers on old-Mac files (CRLF
+    # files double-count — harmless over-allocation)
+    max_pairs = buf.count(b"\n") + buf.count(b"\r") + 1
     f1_id = np.empty(max_pairs, np.int32)
     f2_id = np.empty(max_pairs, np.int32)
     s1 = np.empty(max_pairs, np.float64)
@@ -187,6 +190,11 @@ def parse_pairs(path: str):
         _ptr(same, ctypes.c_int8), names_out, names_cap,
         ctypes.byref(names_len))
     if n < 0:
+        int64_min = -(1 << 63)
+        if n in (int64_min + 1, int64_min + 2):
+            # internal buffer-sizing failure, NOT malformed content —
+            # fall back to the pure-Python parser rather than misreport
+            return None
         raise ValueError(f"malformed pairs line {-n} in {path}")
     names = names_out.raw[:names_len.value].decode("utf-8").split("\n")[:-1]
     n = int(n)

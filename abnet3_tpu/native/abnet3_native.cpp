@@ -16,6 +16,7 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <string>
 #include <unordered_map>
@@ -188,6 +189,22 @@ int64_t abnet3_parse_pairs(const char* buf, int64_t len, int64_t max_pairs,
         names.push_back('\n');
         return id;
     };
+    // full-token numeric parse: strtod with no endptr check would
+    // silently read a corrupted column like 'abc' as 0.0 (the Python
+    // fallback raises on the same file — the paths must agree)
+    auto parse_num = [&](int64_t t0, int64_t t1, double* out) -> bool {
+        std::string s(buf + t0, (size_t)(t1 - t0));
+        char* endp = nullptr;
+        double v = strtod(s.c_str(), &endp);
+        if (endp != s.c_str() + s.size()) return false;
+        *out = v;
+        return true;
+    };
+
+    // distinct sentinels for buffer-capacity failures (caller sizing
+    // bugs) vs -(line number) for genuinely malformed content
+    const int64_t kPairsOverflow = INT64_MIN + 1;
+    const int64_t kNamesOverflow = INT64_MIN + 2;
 
     while (pos < len) {
         ++line_no;
@@ -196,24 +213,24 @@ int64_t abnet3_parse_pairs(const char* buf, int64_t len, int64_t max_pairs,
             consume_eol(pos);
             continue;
         }
-        if (count >= max_pairs) return -line_no;
+        if (count >= max_pairs) return kPairsOverflow;
         int64_t t0, t1;
         // f1
         if (!read_tok(pos, t0, t1)) return -line_no;
         f1_id[count] = intern_name(buf + t0, t1 - t0);
         // s1 e1
-        if (!read_tok(pos, t0, t1)) return -line_no;
-        s1[count] = strtod(std::string(buf + t0, t1 - t0).c_str(), nullptr);
-        if (!read_tok(pos, t0, t1)) return -line_no;
-        e1[count] = strtod(std::string(buf + t0, t1 - t0).c_str(), nullptr);
+        if (!read_tok(pos, t0, t1) || !parse_num(t0, t1, &s1[count]))
+            return -line_no;
+        if (!read_tok(pos, t0, t1) || !parse_num(t0, t1, &e1[count]))
+            return -line_no;
         // f2
         if (!read_tok(pos, t0, t1)) return -line_no;
         f2_id[count] = intern_name(buf + t0, t1 - t0);
         // s2 e2
-        if (!read_tok(pos, t0, t1)) return -line_no;
-        s2[count] = strtod(std::string(buf + t0, t1 - t0).c_str(), nullptr);
-        if (!read_tok(pos, t0, t1)) return -line_no;
-        e2[count] = strtod(std::string(buf + t0, t1 - t0).c_str(), nullptr);
+        if (!read_tok(pos, t0, t1) || !parse_num(t0, t1, &s2[count]))
+            return -line_no;
+        if (!read_tok(pos, t0, t1) || !parse_num(t0, t1, &e2[count]))
+            return -line_no;
         // type
         if (!read_tok(pos, t0, t1)) return -line_no;
         if (t1 - t0 == 4 && std::strncmp(buf + t0, "same", 4) == 0) {
@@ -230,7 +247,7 @@ int64_t abnet3_parse_pairs(const char* buf, int64_t len, int64_t max_pairs,
         consume_eol(pos);
         ++count;
     }
-    if ((int64_t)names.size() > names_cap) return -1;
+    if ((int64_t)names.size() > names_cap) return kNamesOverflow;
     std::memcpy(names_out, names.data(), names.size());
     *names_len = (int64_t)names.size();
     return count;

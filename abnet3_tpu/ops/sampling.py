@@ -79,9 +79,6 @@ class DevicePairSampler:
             "Stype_Dspk": int(num_diff_spk * (1 - ratio_same_diff_type)),
             "Dtype_Dspk": int(num_diff_spk * ratio_same_diff_type),
         }
-        # distribute int-truncation leftovers onto the first viable config
-        leftovers = batch_size - sum(budget.values())
-
         self.configs = []
         for config in CONFIGS:
             dist = proba.get(config, {})
@@ -89,11 +86,6 @@ class DevicePairSampler:
             probs = np.asarray([dist[k] for k in keys], np.float64)
             n = budget[config]
             if len(keys) == 0 or probs.sum() <= 0:
-                continue
-            if leftovers:
-                n += leftovers
-                leftovers = 0
-            if n == 0:
                 continue
             cdf = np.cumsum(probs)
             cdf /= cdf[-1]
@@ -128,11 +120,21 @@ class DevicePairSampler:
                 same_group=(config == "Stype_Sspk"),
                 cdf=jnp.asarray(cdf.astype(np.float32)),
                 g1=jnp.asarray(g1), g2=jnp.asarray(g2)))
+        assert self.configs, "no sampleable pair configuration"
+        # static batch size: int-truncation leftovers and budget lost to
+        # unavailable configs top up the first config the user actually
+        # REQUESTED pairs of — never a zero-ratio config (review finding:
+        # ratio_same_diff_spk=1.0 still put a same-speaker pair in every
+        # batch) — falling back to the first viable one only when every
+        # requested config is unavailable
         total = sum(c["n"] for c in self.configs)
-        assert total > 0, "no sampleable pair configuration"
-        # if some configs were unavailable, grow the first one to keep the
-        # static batch size
-        self.configs[0]["n"] += batch_size - total
+        missing = batch_size - total
+        if missing:
+            target = next((c for c in self.configs if c["n"] > 0),
+                          self.configs[0])
+            target["n"] += missing
+        self.configs = [c for c in self.configs if c["n"] > 0]
+        assert self.configs, "no sampleable pair configuration"
 
     def sample(self, rng, with_speakers: bool = False):
         """Draw one pair batch on device.

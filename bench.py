@@ -85,9 +85,18 @@ def bench_trainer_loop(shared, n_calls=20):
         for g in range(4)]
 
     def fresh_args():
-        ids = [np.stack([flat[rng_ids.permutation(len(flat))]
-                         for _ in range(K)]) for flat in group_ids]
-        return (ids[0], ids[1], ws, ids[2], ids[3], wd)
+        # ONE permutation shared by both sides of a pair type: the
+        # timed step must align the same (f1s[b], f2s[b]) pairs the
+        # frame-pairs/s numerator was counted on (independent perms
+        # mispaired the tokens the metric never processes)
+        def pair(ga, gb):
+            perms = [rng_ids.permutation(len(group_ids[ga]))
+                     for _ in range(K)]
+            return (np.stack([group_ids[ga][p] for p in perms]),
+                    np.stack([group_ids[gb][p] for p in perms]))
+        s1, s2 = pair(0, 1)
+        d1, d2 = pair(2, 3)
+        return (s1, s2, ws, d1, d2, wd)
 
     for i in range(max(30 // K, 4)):
         params, state, opt_state, value = step(
@@ -142,12 +151,14 @@ def bench_ours(batch, n_calls=25, steps_per_call=8):
     wd = jax.device_put(one(B_DIFF))
     for _ in range(n_variants):
         ids = []
-        for g in range(4):
-            nb = B_SAME if g < 2 else B_DIFF
-            flat = bank.ids([(g, b) for b in
-                             rng_ids.permutation(nb)])
-            ids.append(jax.device_put(
-                np.tile(flat, (K, 1)) if K > 1 else flat))
+        # one permutation per pair TYPE so (f1s[b], f2s[b]) stay the
+        # matched pairs the frame count was measured on (see fresh_args)
+        for ga, gb, nb in ((0, 1, B_SAME), (2, 3, B_DIFF)):
+            perm = rng_ids.permutation(nb)
+            for g in (ga, gb):
+                flat = bank.ids([(g, b) for b in perm])
+                ids.append(jax.device_put(
+                    np.tile(flat, (K, 1)) if K > 1 else flat))
         variants.append((ids[0], ids[1], ws, ids[2], ids[3], wd))
 
     mesh = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])

@@ -302,3 +302,23 @@ def test_sampled_multitask_matrix_matches_gather(setup):
         vm = float(ev_m(net.params, net.state, rng))
         vg = float(ev_g(net.params, net.state, rng))
         assert vm == pytest.approx(vg, rel=1e-5)
+
+
+def test_zero_ratio_configs_get_no_leftovers(setup):
+    """Int-truncation leftovers and unavailable-config top-ups must land
+    on a config the user REQUESTED pairs of (review finding:
+    ratio_same_diff_spk=1.0 — zero same-speaker pairs requested — still
+    put a same-speaker pair in every batch)."""
+    descr, proba, bank = setup
+    sampler = DevicePairSampler(descr, proba, batch_size=10,
+                                ratio_same_diff_spk=1.0,
+                                ratio_same_diff_type=0.33)
+    names = {c["name"]: c["n"] for c in sampler.configs}
+    assert sum(names.values()) == 10  # static batch size holds
+    assert "Stype_Sspk" not in names
+    assert "Dtype_Sspk" not in names
+    # degenerate tiny batch still samples (fallback to a viable config)
+    s2 = DevicePairSampler(descr, proba, batch_size=1,
+                           ratio_same_diff_spk=0.5,
+                           ratio_same_diff_type=0.5)
+    assert sum(c["n"] for c in s2.configs) == 1

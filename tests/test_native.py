@@ -134,3 +134,34 @@ def test_native_faster_than_python_dtw():
     t_native = best(lambda: native.dtw_align(f1, f2))
     t_py = best(py_path)
     assert t_native < t_py
+
+
+def test_parse_pairs_rejects_corrupt_numeric_columns(tmp_path):
+    """The C++ parser must fail loudly on non-numeric start/end fields,
+    matching the pure-Python parser (review finding: strtod without an
+    endptr check read 'abc' as 0.0 and trained on a wrong token span)."""
+    from abnet3_tpu import native
+    if native._load() is None:
+        pytest.skip("no C++ toolchain")
+    p = str(tmp_path / "bad")
+    with open(p, "w") as fh:
+        fh.write("f1 abc 0.5 f2 0.2 0.6 same\n")
+    with pytest.raises(ValueError, match="line 1"):
+        native.parse_pairs(p)
+
+
+def test_parse_pairs_handles_cr_only_line_endings(tmp_path):
+    """Lone-'\\r' line endings parse (the parser accepts them, so the
+    wrapper must size its pair buffers counting them too — review
+    finding: a '\\n'-only count under-sized the buffers and misreported
+    'malformed line 2' on a well-formed old-Mac file)."""
+    from abnet3_tpu import native
+    if native._load() is None:
+        pytest.skip("no C++ toolchain")
+    p = str(tmp_path / "mac")
+    with open(p, "wb") as fh:
+        fh.write(b"f1 0.1 0.5 f2 0.2 0.6 same\r"
+                 b"f3 0.0 0.3 f4 0.1 0.4 diff\r")
+    names, f1, s1, e1, f2, s2, e2, same = native.parse_pairs(p)
+    assert names == ["f1", "f2", "f3", "f4"]
+    assert len(f1) == 2 and same.tolist() == [1, -1]
