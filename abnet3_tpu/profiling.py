@@ -13,6 +13,8 @@ import contextlib
 import os
 import time
 
+_TRACE_SEQ = 0
+
 __all__ = ["stage_trace", "profiling_enabled"]
 
 
@@ -30,8 +32,13 @@ def stage_trace(name: str):
     trace_dir = os.environ.get("ABNET3_PROFILE")
     t0 = time.perf_counter()
     if trace_dir:
-        stamp = time.strftime("%H%M%S")
-        out = os.path.join(trace_dir, f"{name}-{stamp}")
+        # date + a process-wide counter: HHMMSS alone collides when two
+        # captures of one stage start in the same second (or a sweep
+        # wraps past 24h), silently overwriting the first trace
+        global _TRACE_SEQ
+        _TRACE_SEQ += 1
+        stamp = time.strftime("%Y%m%d-%H%M%S")
+        out = os.path.join(trace_dir, f"{name}-{stamp}-{_TRACE_SEQ:03d}")
         os.makedirs(out, exist_ok=True)
         jax.profiler.start_trace(out)
     try:

@@ -45,7 +45,7 @@ class EmbedCLI:
 
         model_prop = single_experiment["model"]
         model_class = getattr(abnet3_tpu.model, model_prop["class"])
-        arguments = dict(model_prop["arguments"])
+        arguments = dict(model_prop.get("arguments") or {})
         arguments["output_path"] = os.path.join(exp_path, "network")
         model = model_class(**arguments)
 
@@ -72,11 +72,6 @@ class EmbedCLI:
                 features_class(**arguments).generate()
             print("Using default features : %s" % feature_path)
 
-        if self.output_embeddings is not None:
-            output_path = self.output_embeddings
-        else:
-            output_path = os.path.join(exp_path, "embeddings.h5f")
-
         embedder_prop = single_experiment["embedder"]
         embedder_class = getattr(abnet3_tpu.embedder,
                                  embedder_prop["class"])
@@ -84,7 +79,15 @@ class EmbedCLI:
         arguments["network"] = model
         arguments["network_path"] = network_path
         arguments["feature_path"] = feature_path
-        arguments["output_path"] = output_path
+        if self.output_embeddings is not None:
+            arguments["output_path"] = self.output_embeddings
+        else:
+            # honor a YAML-configured output_path like GridSearch does
+            # (reference tools/embed_cli.py keeps the experiment's own
+            # embedder config); only default when neither -o nor the
+            # YAML names one
+            arguments.setdefault("output_path",
+                                 os.path.join(exp_path, "embeddings.h5f"))
         embedder_class(**arguments).embed()
 
     def run(self):

@@ -107,6 +107,7 @@ def main():
     t0 = time.time()
     emb_acc, _, _ = read_feats(emb_path)
     trained_err = abx_error(emb_acc, tok_meta, np.random.RandomState(0))
+    stages["ABX proxy eval (host)"] = time.time() - t0
     print(f"trained-embedding ABX-proxy error: {trained_err:.3f} "
           f"(raw: {base_err:.3f})", flush=True)
     assert trained_err < base_err, "training did not improve ABX"
@@ -114,6 +115,7 @@ def main():
     print("== framework ABX: all-pairs DTW distances on device ==",
           flush=True)
     from abnet3_tpu.eval import evaluate
+    t0 = time.time()  # device-ABX stage only (not the proxy eval above)
     result = evaluate(emb_path, classes_path, spkid_file=spk_path,
                       task="across", distance="dtw_cos")
     stages["device ABX (all pairs)"] = time.time() - t0

@@ -99,9 +99,17 @@ def abx_error(accessor, tok_meta, rng, n_triples=1000):
         v = accessor.get(*tok).mean(axis=0)
         return v / (np.linalg.norm(v) + 1e-9)
 
-    errors = total = 0
+    errors = total = attempts = 0
     classes = list(by_class)
     while total < n_triples:
+        attempts += 1
+        if attempts > 100 * n_triples:
+            # a corpus where no class spans two files never yields a
+            # valid across-file triplet — fail loudly, don't spin
+            raise ValueError(
+                "could not assemble %d across-file ABX triplets after "
+                "%d draws — does any class span two files?"
+                % (n_triples, attempts))
         ca, cx = rng.choice(classes, 2, replace=False)
         toks_a = by_class[ca]
         a = toks_a[rng.randint(len(toks_a))]

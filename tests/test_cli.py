@@ -148,3 +148,25 @@ def test_gridsearch_cli_bad_yaml(tmp_path, monkeypatch):
     monkeypatch.setattr(sys, "argv", ["abnet3-gridsearch", str(bad)])
     with pytest.raises(KeyError):
         main()
+
+
+def test_embed_cli_honors_yaml_output_path(experiment_yaml, monkeypatch,
+                                           tmp_path):
+    """Without -o, the embed CLI must honor a YAML-configured embedder
+    output_path like GridSearch does (review finding: it silently
+    clobbered it with exp_path/embeddings.h5f)."""
+    import yaml as _yaml
+    from abnet3_tpu.gridsearch import main as gs_main
+    from abnet3_tpu.tools.embed_cli import main as embed_main
+    yaml_path, exp_path, feats_path = experiment_yaml
+    monkeypatch.setattr(sys, "argv", ["abnet3-gridsearch", yaml_path])
+    gs_main()  # trains network.pth
+    custom = str(tmp_path / "custom_out.h5f")
+    cfg = _yaml.safe_load(open(yaml_path))
+    cfg["default_params"]["embedder"]["arguments"]["output_path"] = custom
+    yml2 = str(tmp_path / "exp2.yaml")
+    _yaml.dump(cfg, open(yml2, "w"))
+    monkeypatch.setattr(sys, "argv", ["abnet3-embed", yml2])
+    embed_main()
+    data = read_h5features(custom)
+    assert data.features()[0].shape == (60, 5)

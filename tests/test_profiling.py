@@ -33,3 +33,17 @@ def test_stage_trace_writes_capture(tmp_path, monkeypatch):
     files = [os.path.join(r, f) for r, _, fs in os.walk(cap_dir)
              for f in fs]
     assert files, "trace capture produced no files"
+
+
+def test_stage_trace_dirs_unique_same_second(tmp_path, monkeypatch):
+    """Two captures of the same stage within one second must land in
+    distinct directories (review finding: HHMMSS-only naming collided
+    and the second jax trace dump could overwrite the first)."""
+    monkeypatch.setenv("ABNET3_PROFILE", str(tmp_path))
+    from abnet3_tpu.profiling import stage_trace
+    with stage_trace("stage"):
+        pass
+    with stage_trace("stage"):
+        pass
+    dirs = [d for d in os.listdir(tmp_path) if d.startswith("stage-")]
+    assert len(dirs) == 2 and len(set(dirs)) == 2
