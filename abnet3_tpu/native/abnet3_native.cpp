@@ -14,6 +14,7 @@
 //        abnet3_native.cpp
 
 #include <algorithm>
+#include <cctype>
 #include <cmath>
 #include <cstdint>
 #include <cstdlib>
@@ -157,12 +158,11 @@ int64_t abnet3_parse_pairs(const char* buf, int64_t len, int64_t max_pairs,
     int64_t pos = 0;
     int64_t line_no = 0;
 
-    auto skip_spaces = [&](int64_t& p) {
-        while (p < len && buf[p] == ' ') ++p;
-    };
     // exactly ONE line terminator ('\n', '\r', or '\r\n' as a unit): the
     // main loop counts every line itself, so the -(line number) error
-    // code stays exact across blank lines and CRLF files
+    // code stays exact across blank lines and CRLF files. Lone '\r'
+    // endings are a documented leniency over the Python path (old-Mac
+    // files), which only splits on '\n'.
     auto consume_eol = [&](int64_t& p) {
         if (p < len && buf[p] == '\r') {
             ++p;
@@ -171,13 +171,9 @@ int64_t abnet3_parse_pairs(const char* buf, int64_t len, int64_t max_pairs,
             ++p;
         }
     };
-    auto read_tok = [&](int64_t& p, int64_t& t0, int64_t& t1) -> bool {
-        skip_spaces(p);
-        t0 = p;
-        while (p < len && buf[p] != ' ' && buf[p] != '\n' && buf[p] != '\r')
-            ++p;
-        t1 = p;
-        return t1 > t0;
+    // line.strip() whitespace (minus the terminators the line scan owns)
+    auto is_ws = [](char c) {
+        return c == ' ' || c == '\t' || c == '\v' || c == '\f';
     };
     auto intern_name = [&](const char* s, int64_t n) -> int32_t {
         std::string key(s, (size_t)n);
@@ -189,11 +185,29 @@ int64_t abnet3_parse_pairs(const char* buf, int64_t len, int64_t max_pairs,
         names.push_back('\n');
         return id;
     };
-    // full-token numeric parse: strtod with no endptr check would
-    // silently read a corrupted column like 'abc' as 0.0 (the Python
-    // fallback raises on the same file — the paths must agree)
+    // float()-parity numeric parse; strtod alone would diverge from the
+    // pure-Python path three ways (the paths must agree): it reads a
+    // corrupted column like 'abc' as 0.0 without an endptr check, it
+    // accepts hex floats float() rejects, and it rejects the
+    // between-digit underscores and surrounding whitespace float()
+    // accepts inside a token.
     auto parse_num = [&](int64_t t0, int64_t t1, double* out) -> bool {
-        std::string s(buf + t0, (size_t)(t1 - t0));
+        while (t0 < t1 && is_ws(buf[t0])) ++t0;          // float(" x")
+        while (t1 > t0 && is_ws(buf[t1 - 1])) --t1;      // float("x ")
+        if (t0 == t1) return false;
+        std::string s;
+        s.reserve((size_t)(t1 - t0));
+        for (int64_t i = t0; i < t1; ++i) {
+            char c = buf[i];
+            if (c == 'x' || c == 'X') return false;      // no hex floats
+            if (c == '_') {                              // PEP 515: only
+                if (i == t0 || i + 1 == t1) return false;  // between
+                if (!std::isdigit((unsigned char)buf[i - 1]) ||
+                    !std::isdigit((unsigned char)buf[i + 1])) return false;
+                continue;                                // digits
+            }
+            s.push_back(c);
+        }
         char* endp = nullptr;
         double v = strtod(s.c_str(), &endp);
         if (endp != s.c_str() + s.size()) return false;
@@ -208,43 +222,50 @@ int64_t abnet3_parse_pairs(const char* buf, int64_t len, int64_t max_pairs,
 
     while (pos < len) {
         ++line_no;
-        // skip blank lines (one per loop iteration so line_no tracks)
-        if (buf[pos] == '\n' || buf[pos] == '\r') {
-            consume_eol(pos);
-            continue;
-        }
+        // one whole line: [pos, eol)
+        int64_t eol = pos;
+        while (eol < len && buf[eol] != '\n' && buf[eol] != '\r') ++eol;
+        int64_t ls = pos, rs = eol;
+        pos = eol;
+        consume_eol(pos);
+        // line.strip() both ends, then skip blank lines
+        while (ls < rs && is_ws(buf[ls])) ++ls;
+        while (rs > ls && is_ws(buf[rs - 1])) --rs;
+        if (ls == rs) continue;
         if (count >= max_pairs) return kPairsOverflow;
-        int64_t t0, t1;
-        // f1
-        if (!read_tok(pos, t0, t1)) return -line_no;
-        f1_id[count] = intern_name(buf + t0, t1 - t0);
-        // s1 e1
-        if (!read_tok(pos, t0, t1) || !parse_num(t0, t1, &s1[count]))
-            return -line_no;
-        if (!read_tok(pos, t0, t1) || !parse_num(t0, t1, &e1[count]))
-            return -line_no;
-        // f2
-        if (!read_tok(pos, t0, t1)) return -line_no;
-        f2_id[count] = intern_name(buf + t0, t1 - t0);
-        // s2 e2
-        if (!read_tok(pos, t0, t1) || !parse_num(t0, t1, &s2[count]))
-            return -line_no;
-        if (!read_tok(pos, t0, t1) || !parse_num(t0, t1, &e2[count]))
-            return -line_no;
-        // type
-        if (!read_tok(pos, t0, t1)) return -line_no;
-        if (t1 - t0 == 4 && std::strncmp(buf + t0, "same", 4) == 0) {
+        // split(" ") parity: tokens separated by EXACTLY one space, so a
+        // space run yields an empty token and the 7-column check fails —
+        // matching the reference's strip().split(" ") + len==7 contract
+        // (reference utils.py:166-167). Tabs stay inside tokens, exactly
+        // as split(" ") leaves them.
+        int64_t t0s[7], t1s[7];
+        int ntok = 0;
+        for (int64_t p = ls; ; ) {
+            int64_t t0 = p;
+            while (p < rs && buf[p] != ' ') ++p;
+            if (ntok == 7) return -line_no;  // 8th token: too many columns
+            t0s[ntok] = t0;
+            t1s[ntok] = p;
+            ++ntok;
+            if (p == rs) break;
+            ++p;  // exactly one separator space
+        }
+        if (ntok != 7) return -line_no;
+        // names may contain tabs; numeric columns get float() semantics
+        f1_id[count] = intern_name(buf + t0s[0], t1s[0] - t0s[0]);
+        if (!parse_num(t0s[1], t1s[1], &s1[count])) return -line_no;
+        if (!parse_num(t0s[2], t1s[2], &e1[count])) return -line_no;
+        f2_id[count] = intern_name(buf + t0s[3], t1s[3] - t0s[3]);
+        if (!parse_num(t0s[4], t1s[4], &s2[count])) return -line_no;
+        if (!parse_num(t0s[5], t1s[5], &e2[count])) return -line_no;
+        int64_t tl = t1s[6] - t0s[6];
+        if (tl == 4 && std::strncmp(buf + t0s[6], "same", 4) == 0) {
             same[count] = 1;
-        } else if (t1 - t0 == 4 && std::strncmp(buf + t0, "diff", 4) == 0) {
+        } else if (tl == 4 && std::strncmp(buf + t0s[6], "diff", 4) == 0) {
             same[count] = -1;
         } else {
             return -line_no;
         }
-        // end of line must follow
-        skip_spaces(pos);
-        if (pos < len && buf[pos] != '\n' && buf[pos] != '\r')
-            return -line_no;
-        consume_eol(pos);
         ++count;
     }
     if ((int64_t)names.size() > names_cap) return kNamesOverflow;

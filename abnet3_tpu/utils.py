@@ -67,6 +67,15 @@ def read_dataset(dataset_file: str) -> List[Tuple]:
                  float(f), "same" if g > 0 else "diff")
                 for a, b, c, d, e, f, g in zip(f1, s1, e1, f2, s2, e2,
                                                same)]
+    return read_dataset_python(dataset_file)
+
+
+def read_dataset_python(dataset_file: str) -> List[Tuple]:
+    """Pure-Python pair-file parser: the reference's exact
+    strip().split(" ") + 7-column contract (reference utils.py:156-173),
+    plus blank-line tolerance. The C++ parser (native/abnet3_native.cpp
+    abnet3_parse_pairs) mirrors these token semantics — a differential
+    fuzz test enforces the agreement (tests/test_native.py)."""
     pairs = []
     with open(dataset_file, "r") as fh:
         for line in fh:

@@ -165,3 +165,134 @@ def test_parse_pairs_handles_cr_only_line_endings(tmp_path):
     names, f1, s1, e1, f2, s2, e2, same = native.parse_pairs(p)
     assert names == ["f1", "f2", "f3", "f4"]
     assert len(f1) == 2 and same.tolist() == [1, -1]
+
+
+# ---------------------------------------------------------------------------
+# differential fuzz: the C++ parser vs the pure-Python reference parser
+# ---------------------------------------------------------------------------
+
+def _native_read(path):
+    """read_dataset through the C++ parser only (no Python fallback)."""
+    parsed = native.parse_pairs(path)
+    assert parsed is not None
+    names, f1, s1, e1, f2, s2, e2, same = parsed
+    return [(names[a], float(b), float(c), names[d], float(e), float(f),
+             "same" if g > 0 else "diff")
+            for a, b, c, d, e, f, g in zip(f1, s1, e1, f2, s2, e2, same)]
+
+
+def _norm(rows):
+    """nan-safe comparison form (nan != nan under ==)."""
+    return [tuple(repr(x) if isinstance(x, float) else x for x in r)
+            for r in rows]
+
+
+def _agree(tmp_path, text, i):
+    p = str(tmp_path / f"fuzz{i}.txt")
+    with open(p, "w", newline="") as fh:
+        fh.write(text)
+    try:
+        want = utils.read_dataset_python(p)
+        want_err = None
+    except ValueError:
+        want = None
+        want_err = True
+    try:
+        got = _native_read(p)
+        got_err = None
+    except ValueError:
+        got = None
+        got_err = True
+    assert got_err == want_err, (
+        f"accept/reject disagreement on {text!r}: "
+        f"python={'reject' if want_err else want} "
+        f"c++={'reject' if got_err else got}")
+    if want is not None:
+        assert _norm(got) == _norm(want), f"value disagreement on {text!r}"
+
+
+def test_parse_pairs_python_parity_cases(tmp_path):
+    """Deterministic divergence candidates: every whitespace/numeric shape
+    where strip().split(' ') + float() (reference utils.py:156-173) and a
+    naive C scanner would part ways."""
+    cases = [
+        "f1 0.1 0.2 f2 0.3 0.4 same\n",          # plain valid
+        "f1 0.1 0.2 f2 0.3 0.4 diff",            # no trailing newline
+        "f1 0.1  0.2 f2 0.3 0.4 same\n",         # double space: 8 tokens
+        "a 1 2  3 4 same\n",                     # empty token on a NAME col
+        "  f1 0.1 0.2 f2 0.3 0.4 same\n",        # leading spaces (strip)
+        "f1 0.1 0.2 f2 0.3 0.4 same   \n",       # trailing spaces (strip)
+        "\tf1 0.1 0.2 f2 0.3 0.4 same\n",        # leading tab (strip)
+        "f1 0.1 0.2 f2 0.3 0.4 same\t\n",        # trailing tab (strip)
+        "f1 0.1\t 0.2 f2 0.3 0.4 same\n",        # tab INSIDE numeric token
+        "f\t1 0.1 0.2 f2 0.3 0.4 same\n",        # tab inside a name token
+        "f1 0x10 0.2 f2 0.3 0.4 same\n",         # hex float: float() rejects
+        "f1 1_0 0.2 f2 0.3 0.4 same\n",          # PEP 515 underscore
+        "f1 1_ 0.2 f2 0.3 0.4 same\n",           # trailing underscore: bad
+        "f1 1__0 0.2 f2 0.3 0.4 same\n",         # double underscore: bad
+        "f1 inf 0.2 f2 -inf nan same\n",         # inf/nan accepted by both
+        "f1 .5 5. f2 +0.3 -4e-2 diff\n",         # bare-dot / sign / exp
+        "f1 1e 0.2 f2 0.3 0.4 same\n",           # dangling exponent: bad
+        "f1 1.2.3 0.2 f2 0.3 0.4 same\n",        # double dot: bad
+        "f1 abc 0.2 f2 0.3 0.4 same\n",          # corrupt column: bad
+        "f1 0.1 0.2 f2 0.3 0.4 Same\n",          # wrong-case type: bad
+        "f1 0.1 0.2 f2 0.3 0.4 samex\n",         # type superstring: bad
+        "f1 0.1 0.2 f2 0.3 0.4\n",               # 6 columns: bad
+        "f1 0.1 0.2 f2 0.3 0.4 same extra\n",    # 8 columns: bad
+        "\n\nf1 0.1 0.2 f2 0.3 0.4 same\n\n",    # blank lines skipped
+        "   \n",                                 # whitespace-only line
+        "",                                      # empty file
+        "f1 0.1 0.2 f2 0.3 0.4 same\r\nf3 1 2 f4 3 4 diff\r\n",  # CRLF
+    ]
+    for i, text in enumerate(cases):
+        _agree(tmp_path, text, i)
+
+
+def test_parse_pairs_differential_fuzz(tmp_path):
+    """Randomized differential fuzz: generated pair files (valid lines +
+    whitespace/numeric/column mutations) must be accepted with identical
+    values or rejected by BOTH parsers. Lone-'\\r' line endings are the
+    one documented divergence (the C++ parser accepts old-Mac files the
+    line-iterating Python path cannot split) and are not generated."""
+    rng = np.random.RandomState(1234)
+    names = ["f1", "tok-2", "a.b", "x" * 30, "émü", "f_3"]
+    numbers = ["0.1", "-3.25", "1e4", "-4e-2", ".5", "5.", "+2", "inf",
+               "nan", "1_000", "0x1p2", "abc", "1e", "1.2.3", "", "7\t"]
+    types = ["same", "diff", "Same", "samex", "sam", ""]
+
+    def line(valid):
+        if valid:
+            toks = [rng.choice(names),
+                    f"{rng.rand():.4f}", f"{rng.rand():.4f}",
+                    rng.choice(names),
+                    f"{rng.rand():.4f}", f"{rng.rand():.4f}",
+                    ("same", "diff")[rng.randint(2)]]
+        else:
+            toks = [rng.choice(names), rng.choice(numbers),
+                    rng.choice(numbers), rng.choice(names),
+                    rng.choice(numbers), rng.choice(numbers),
+                    rng.choice(types)]
+            k = rng.randint(4)
+            if k == 0 and len(toks) > 1:
+                toks.pop(rng.randint(len(toks)))      # drop a column
+            elif k == 1:
+                toks.insert(rng.randint(len(toks)), "9")  # extra column
+        s = " ".join(toks)
+        if rng.rand() < 0.2:
+            s = " " * rng.randint(1, 3) + s           # leading ws
+        if rng.rand() < 0.2:
+            s = s + "\t" * rng.randint(1, 3)          # trailing ws
+        if rng.rand() < 0.15:
+            i = rng.randint(len(s))
+            s = s[:i] + " " + s[i:]                   # injected space
+        return s
+
+    for trial in range(60):
+        n_lines = rng.randint(0, 6)
+        eol = "\r\n" if rng.rand() < 0.2 else "\n"
+        body = eol.join(line(rng.rand() < 0.6) for _ in range(n_lines))
+        if rng.rand() < 0.8:
+            body += eol
+        if rng.rand() < 0.2:
+            body = eol + body                          # leading blank line
+        _agree(tmp_path, body, 100 + trial)
