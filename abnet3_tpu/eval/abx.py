@@ -79,10 +79,14 @@ def make_pair_distance_fn(bank, distance: str = "dtw_cos",
     # max_len, d) frames it masks
     T = (min(max_frames, bank.max_len) if max_frames is not None
          else bank.max_len)
+    # the bank crosses the jit boundary as an ARGUMENT (BankView): a
+    # closed-over table lowers into the HLO as a literal and the remote
+    # compile request would carry the corpus (parallel.mesh._placed_consts)
+    view = bank.view() if hasattr(bank, "view") else bank
 
-    def impl(ids1, ids2):
-        f1, n1 = bank.take(ids1, T)
-        f2, n2 = bank.take(ids2, T)
+    def impl(bv, ids1, ids2):
+        f1, n1 = bv.take(ids1, T)
+        f2, n2 = bv.take(ids2, T)
         if distance == "mean_cos":
             v1 = _masked_mean_pool(f1, n1, T)
             v2 = _masked_mean_pool(f2, n2, T)
@@ -99,7 +103,8 @@ def make_pair_distance_fn(bank, distance: str = "dtw_cos",
         return (jnp.sum(dist * A, axis=(1, 2))
                 / jnp.maximum(plen, 1.0))
 
-    return jax.jit(impl)
+    jitted = jax.jit(impl)
+    return lambda ids1, ids2: jitted(view, ids1, ids2)
 
 
 def _pooled_token_vectors(bank, max_frames=None, chunk: int = 2048):
@@ -112,10 +117,11 @@ def _pooled_token_vectors(bank, max_frames=None, chunk: int = 2048):
     T = (min(max_frames, bank.max_len) if max_frames is not None
          else bank.max_len)  # see make_pair_distance_fn: take caps at max_len
     N = len(bank)
+    view = bank.view() if hasattr(bank, "view") else bank
 
     @jax.jit
-    def pool(ids):
-        f, n = bank.take(ids, T)
+    def pool(bv, ids):
+        f, n = bv.take(ids, T)
         return _masked_mean_pool(f, n, T)
 
     out = []
@@ -124,7 +130,7 @@ def _pooled_token_vectors(bank, max_frames=None, chunk: int = 2048):
         pad = chunk - len(ids)
         if pad:
             ids = np.concatenate([ids, np.zeros(pad, np.int32)])
-        out.append(pool(jnp.asarray(ids)))
+        out.append(pool(view, jnp.asarray(ids)))
     return jnp.concatenate(out, axis=0)[:N]
 
 
@@ -305,23 +311,33 @@ def distance_matrix(bank, distance: str = "dtw_cos",
     pooled = (_pooled_token_vectors(bank, max_frames)
               if distance == "mean_cos" else None)
 
+    # the corpus (pooled vectors / BankView) crosses the jit boundary as
+    # an argument — a closed-over table lowers into the HLO as a literal
+    # and the remote compile request then carries it: measured HTTP 413
+    # at N=8192 (T=128, d=100 -> ~420 MB of literal), and 106 s vs 0.5 s
+    # compile+run for one gather over a 50 MB table through the compile
+    # service (parallel.mesh._placed_consts has the same contract)
     if distance == "mean_cos":
         @jax.jit
-        def tile(ids_i, ids_j):
-            v1 = pooled[ids_i]
-            v2 = pooled[ids_j]
+        def tile_impl(vecs, ids_i, ids_j):
+            v1 = vecs[ids_i]
+            v2 = vecs[ids_j]
             d = pairwise_angular_distance(v1[None], v2[None])[0]
             return encode(d)
+
+        def tile(ids_i, ids_j):
+            return tile_impl(pooled, ids_i, ids_j)
     else:
         frame_dist = (pairwise_kl_distance if distance == "dtw_kl"
                       else pairwise_angular_distance)
+        view = bank.view() if hasattr(bank, "view") else bank
 
         @jax.jit
-        def tile(ids_i, ids_j):
-            fj, nj = bank.take(ids_j, T)
+        def tile_impl(bv, ids_i, ids_j):
+            fj, nj = bv.take(ids_j, T)
 
             def row(_, id_i):
-                fi, ni = bank.take(id_i[None], T)
+                fi, ni = bv.take(id_i[None], T)
                 f1 = jnp.broadcast_to(fi, fj.shape)
                 n1 = jnp.broadcast_to(ni, nj.shape)
                 dist = frame_dist(f1, fj)
@@ -332,6 +348,9 @@ def distance_matrix(bank, distance: str = "dtw_cos",
 
             _, rows = jax.lax.scan(row, None, ids_i)
             return encode(rows)
+
+        def tile(ids_i, ids_j):
+            return tile_impl(view, ids_i, ids_j)
 
     n_tiles = (N + block - 1) // block
     starts = [t * block for t in range(n_tiles)]
@@ -396,6 +415,13 @@ def distance_matrix(bank, distance: str = "dtw_cos",
         ni = min(block, N - i0)
         nj = min(block, N - j0)
         vals = decode(np.asarray(out)[:ni, :nj], out_dtype)
+        if tj == ti:
+            # a diagonal tile computes BOTH orders of each pair in-
+            # kernel; DTW(i,j) vs DTW(j,i) float rounding can land one
+            # u16 quantization step apart (~1.5e-5), so mirror the
+            # upper triangle (the pairs strategy's i<j convention) to
+            # keep the returned matrix exactly symmetric
+            vals = np.triu(vals) + np.triu(vals, 1).T
         D[i0:i0 + ni, j0:j0 + nj] = vals
         if tj != ti:
             D[j0:j0 + nj, i0:i0 + ni] = vals.T

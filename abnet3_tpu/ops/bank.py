@@ -14,10 +14,11 @@ from __future__ import annotations
 
 from typing import Dict, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["TokenBank"]
+__all__ = ["TokenBank", "BankView"]
 
 
 def _bucket(n: int, minimum: int = 16) -> int:
@@ -26,6 +27,48 @@ def _bucket(n: int, minimum: int = 16) -> int:
     pressure pushing towards power-of-two buckets — and the DTW DP cost
     is quadratic in the padded length."""
     return max(minimum, ((n + 15) // 16) * 16)
+
+
+@jax.tree_util.register_pytree_node_class
+class BankView:
+    """Pytree view of a TokenBank: the table/lengths cross jit
+    boundaries as ARGUMENTS instead of closed-over constants.
+
+    A device array a jitted function closes over lowers into the HLO as
+    a literal: the executable then CONTAINS the corpus, so through a
+    remote compile service the request body carries it on every step/
+    tile compile (~420 MB at N=8192, T=128, d=100 — rejected with HTTP
+    413; smaller corpora 'work' but re-upload the corpus per compiled
+    executable). Passing a BankView argument keeps the HLO a few KB —
+    the table is an ordinary runtime parameter, already device-resident.
+    Static metadata (max_len, dim) rides in the pytree aux so trace-time
+    length bucketing still sees Python ints."""
+
+    def __init__(self, bank: jnp.ndarray, lengths: jnp.ndarray,
+                 max_len: int, dim: int):
+        self.bank = bank
+        self.lengths = lengths
+        self.max_len = max_len
+        self.dim = dim
+
+    def __len__(self):
+        return self.bank.shape[0]
+
+    def take(self, idx: jnp.ndarray, max_frames: int = None
+             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """On-device gather: (B,) token ids -> ((B, T, d) frames, (B,)
+        lengths); ``max_frames`` statically slices the time axis."""
+        if max_frames is None or max_frames >= self.max_len:
+            return self.bank[idx], self.lengths[idx]
+        return (self.bank[:, :max_frames][idx],
+                jnp.minimum(self.lengths[idx], max_frames))
+
+    def tree_flatten(self):
+        return (self.bank, self.lengths), (self.max_len, self.dim)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], *aux)
 
 
 class TokenBank:
@@ -81,3 +124,8 @@ class TokenBank:
         while b < n and b < self.max_len:
             b *= 2
         return min(b, self.max_len)
+
+    def view(self) -> BankView:
+        """Jit-argument view (see :class:`BankView`): pass this through
+        the jit boundary instead of closing over the TokenBank."""
+        return BankView(self.bank, self.lengths, self.max_len, self.dim)

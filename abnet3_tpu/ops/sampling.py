@@ -21,9 +21,80 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["DevicePairSampler"]
+__all__ = ["DevicePairSampler", "SamplerView"]
 
 CONFIGS = ("Stype_Sspk", "Stype_Dspk", "Dtype_Sspk", "Dtype_Dspk")
+
+
+@jax.tree_util.register_pytree_node_class
+class SamplerView:
+    """Pytree view of a DevicePairSampler: its device tables (group
+    table + per-config CDFs and group-pair arrays — the Dtype_Dspk key
+    set is O((S*K)^2), easily tens of MB on real cluster inventories)
+    cross the jit boundary as ARGUMENTS instead of closures, keeping
+    them out of the lowered HLO (same contract as ops.bank.BankView;
+    see parallel.mesh._placed_consts). Static per-config metadata
+    (name, n, same_type, same_group) rides in the hashable pytree aux."""
+
+    def __init__(self, group_table, group_len, cfg_arrays, cfg_static,
+                 batch_size):
+        self.group_table = group_table
+        self.group_len = group_len
+        self.cfg_arrays = tuple(cfg_arrays)    # ((cdf, g1, g2), ...)
+        self.cfg_static = tuple(cfg_static)    # ((name, n, st, sg), ...)
+        self.batch_size = batch_size
+
+    def tree_flatten(self):
+        return ((self.group_table, self.group_len, self.cfg_arrays),
+                (self.cfg_static, self.batch_size))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        group_table, group_len, cfg_arrays = children
+        cfg_static, batch_size = aux
+        return cls(group_table, group_len, cfg_arrays, cfg_static,
+                   batch_size)
+
+    def sample(self, rng, with_speakers: bool = False):
+        """Draw one pair batch on device (see DevicePairSampler.sample:
+        same semantics, tables read from the view)."""
+        out1, out2, ys, yspk = [], [], [], []
+        for (name, n, same_type, same_group), (cdf, g1t, g2t) in zip(
+                self.cfg_static, self.cfg_arrays):
+            rng, k_key, k_t1, k_t2 = jax.random.split(rng, 4)
+            u = jax.random.uniform(k_key, (n,))
+            idx = jnp.searchsorted(cdf, u, side="right")
+            idx = jnp.clip(idx, 0, cdf.shape[0] - 1)
+            g1 = g1t[idx]
+            g2 = g2t[idx]
+            len1 = self.group_len[g1]
+            len2 = self.group_len[g2]
+            r1 = jax.random.randint(k_t1, (n,), 0, 1 << 30) % \
+                jnp.maximum(len1, 1)
+            if same_group:
+                # two distinct tokens from one group; clamp keeps even a
+                # singleton group inside its own table row instead of
+                # reading padded id 0 from position 1
+                r2 = jax.random.randint(k_t2, (n,), 0, 1 << 30) % \
+                    jnp.maximum(len1 - 1, 1)
+                r2 = jnp.minimum(r2 + (r2 >= r1), len1 - 1)
+            else:
+                r2 = jax.random.randint(k_t2, (n,), 0, 1 << 30) % \
+                    jnp.maximum(len2, 1)
+            t1 = self.group_table[g1, r1]
+            t2 = self.group_table[g2, r2]
+            out1.append(t1)
+            out2.append(t2)
+            ys.append(jnp.full((n,), 1.0 if same_type else -1.0))
+            if with_speakers:
+                yspk.append(jnp.full((n,),
+                                     1.0 if name.endswith("Sspk")
+                                     else -1.0))
+        out = (jnp.concatenate(out1), jnp.concatenate(out2),
+               jnp.concatenate(ys))
+        if with_speakers:
+            return out + (jnp.concatenate(yspk),)
+        return out
 
 
 class DevicePairSampler:
@@ -136,6 +207,15 @@ class DevicePairSampler:
         self.configs = [c for c in self.configs if c["n"] > 0]
         assert self.configs, "no sampleable pair configuration"
 
+    def view(self) -> SamplerView:
+        """Jit-argument view of the device tables (see SamplerView)."""
+        return SamplerView(
+            self.group_table, self.group_len,
+            tuple((c["cdf"], c["g1"], c["g2"]) for c in self.configs),
+            tuple((c["name"], c["n"], c["same_type"], c["same_group"])
+                  for c in self.configs),
+            self.batch_size)
+
     def sample(self, rng, with_speakers: bool = False):
         """Draw one pair batch on device.
 
@@ -146,42 +226,8 @@ class DevicePairSampler:
         (the multitask stream): they are static per config — Sspk
         configs pair one speaker's groups, Dspk configs two different
         speakers' (the Dtype_Dspk fallback swap keeps them distinct) —
-        so no per-token speaker lookup is needed."""
-        out1, out2, ys, yspk = [], [], [], []
-        for cfg in self.configs:
-            rng, k_key, k_t1, k_t2 = jax.random.split(rng, 4)
-            u = jax.random.uniform(k_key, (cfg["n"],))
-            idx = jnp.searchsorted(cfg["cdf"], u, side="right")
-            idx = jnp.clip(idx, 0, cfg["cdf"].shape[0] - 1)
-            g1 = cfg["g1"][idx]
-            g2 = cfg["g2"][idx]
-            len1 = self.group_len[g1]
-            len2 = self.group_len[g2]
-            r1 = jax.random.randint(k_t1, (cfg["n"],), 0, 1 << 30) % \
-                jnp.maximum(len1, 1)
-            if cfg["same_group"]:
-                # two distinct tokens from one group; clamp keeps even a
-                # singleton group (zero-probability today, but nothing
-                # structurally prevents one) inside its own table row
-                # instead of reading padded id 0 from position 1
-                r2 = jax.random.randint(k_t2, (cfg["n"],), 0, 1 << 30) % \
-                    jnp.maximum(len1 - 1, 1)
-                r2 = jnp.minimum(r2 + (r2 >= r1), len1 - 1)
-            else:
-                r2 = jax.random.randint(k_t2, (cfg["n"],), 0, 1 << 30) % \
-                    jnp.maximum(len2, 1)
-            t1 = self.group_table[g1, r1]
-            t2 = self.group_table[g2, r2]
-            out1.append(t1)
-            out2.append(t2)
-            ys.append(jnp.full((cfg["n"],),
-                               1.0 if cfg["same_type"] else -1.0))
-            if with_speakers:
-                yspk.append(jnp.full((cfg["n"],),
-                                     1.0 if cfg["name"].endswith("Sspk")
-                                     else -1.0))
-        out = (jnp.concatenate(out1), jnp.concatenate(out2),
-               jnp.concatenate(ys))
-        if with_speakers:
-            return out + (jnp.concatenate(yspk),)
-        return out
+        so no per-token speaker lookup is needed. (Implementation lives
+        on SamplerView so the step factories can pass the tables as jit
+        arguments; calling this directly inside a jit still works but
+        closes over the tables.)"""
+        return self.view().sample(rng, with_speakers)

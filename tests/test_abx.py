@@ -427,6 +427,12 @@ def test_distance_matrix_strategies_agree():
     Dp = distance_matrix(bank, batch_size=16, strategy="pairs")
     Dt = distance_matrix(bank, batch_size=4, strategy="tiles")
     np.testing.assert_allclose(Dp, Dt, atol=1.0 / 65535)
+    # exact (bitwise) symmetry: diagonal tiles compute both pair orders
+    # in-kernel and float/u16 rounding can disagree by one quantization
+    # step, so drain mirrors their upper triangle (observed at N=8192
+    # on TPU: max asymmetry ~1.5e-5 before the mirror)
+    np.testing.assert_array_equal(Dt, Dt.T)
+    np.testing.assert_array_equal(Dp, Dp.T)
     Dm_p = distance_matrix(bank, distance="mean_cos", batch_size=16,
                            strategy="pairs")
     Dm_t = distance_matrix(bank, distance="mean_cos", batch_size=4,
