@@ -17,8 +17,9 @@ import os
 import shutil
 import numpy as np
 
-from abnet3_tpu.io.h5f import (read_h5features, read_h5features_index,
-                               read_h5features_item, write_h5features)
+from abnet3_tpu.io.h5f import (iter_h5features, read_h5features,
+                               read_h5features_index, read_h5features_item,
+                               write_h5features)
 from abnet3_tpu.ops import dsp
 from abnet3_tpu.utils import Features_Accessor, read_vad_file
 
@@ -393,39 +394,64 @@ class FeaturesGenerator:
         norm_per_channel), optionally restricted to VAD regions for the
         statistics (reference features.py:205-244)."""
         axis = 0 if self.norm_per_channel else None
-        data = read_h5features(h5f, "features")
-        feats_list = data.features()
+        # Both passes STREAM over iter_h5features: memory stays bounded
+        # by the iterator's item chunk instead of the corpus (the
+        # reference vstacks every file before np.mean/np.std, reference
+        # features.py:205-244 — a hard memory wall at multi-GB corpora;
+        # same treatment evaluate() and the embedder already got).
+        dtype = None
 
         if params is not None:
             mean = params["mean"]
             std = params["variance"]
         else:
-            if vad_file is not None:
-                # VAD restricts the statistics of files that *have* VAD
-                # entries; files without entries contribute all frames
-                # (reference features.py:246-259 + test_features VAD case)
-                vad_data = read_vad_file(vad_file)
-                acc = Features_Accessor(data.dict_labels(),
-                                        data.dict_features())
-                stat_feats = []
-                for item, feats in zip(data.items(), feats_list):
-                    if item in vad_data:
-                        for start, end in vad_data[item]:
-                            stat_feats.append(acc.get(item, start, end))
-                    else:
-                        stat_feats.append(feats)
-                stat = np.vstack(stat_feats)
-            else:
-                stat = np.vstack(feats_list)
-            mean = np.mean(stat, axis=axis)
-            std = np.std(stat, axis=axis)
+            # VAD restricts the statistics of files that *have* VAD
+            # entries; files without entries contribute all frames
+            # (reference features.py:246-259 + test_features VAD case)
+            vad_data = (read_vad_file(vad_file)
+                        if vad_file is not None else None)
+            n = 0
+            s = ss = 0.0
+            for item, times, feats in iter_h5features(h5f, "features"):
+                dtype = dtype or feats.dtype
+                stat = feats
+                if vad_data is not None and item in vad_data:
+                    stat = np.vstack([
+                        Features_Accessor.get_features_between(
+                            feats, times, start, end)
+                        for start, end in vad_data[item]])
+                x = stat.astype(np.float64, copy=False)
+                if axis is None:
+                    n += x.size
+                else:
+                    n += x.shape[0]
+                s = s + x.sum(axis=axis)
+                ss = ss + (x * x).sum(axis=axis)
+            if n == 0:
+                raise ValueError(f"no frames in {h5f} to normalize")
+            mean64 = s / n
+            std64 = np.sqrt(np.maximum(ss / n - mean64 ** 2, 0.0))
+            mean = np.asarray(mean64, dtype)
+            std = np.asarray(std64, dtype)
+            if axis is None:  # np.mean/np.std idiom: scalars, not 0-d
+                mean, std = mean.item(), std.item()
 
-        epsilon = np.finfo(feats_list[0].dtype).eps
-        norm_feats = [(f - mean) / (std + epsilon) for f in feats_list]
         if os.path.exists(mvn_h5f):
             os.remove(mvn_h5f)
-        write_h5features(mvn_h5f, "features", data.items(), data.labels(),
-                         norm_feats)
+        epsilon = None
+        pend = ([], [], [])
+        for item, times, feats in iter_h5features(h5f, "features"):
+            if epsilon is None:
+                epsilon = np.finfo(feats.dtype).eps
+            pend[0].append(item)
+            pend[1].append(times)
+            pend[2].append((feats - mean) / (std + epsilon))
+            if len(pend[0]) >= 256:
+                write_h5features(mvn_h5f, "features", *pend)
+                pend = ([], [], [])
+        write_h5features(mvn_h5f, "features", *pend)
+        if epsilon is None:
+            raise ValueError(f"no items in {h5f} to normalize")
         return mean, std
 
     def filter_vad_one_file(self, feature, time, vad_data):

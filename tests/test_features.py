@@ -100,6 +100,42 @@ class TestNormalization:
         assert data.items() == ["file1"]
         assert len(data.features()) == 1
 
+    def test_global_normalization_streams(self, tmp_path, monkeypatch):
+        """Global CMVN must never materialize the corpus: both the
+        statistics pass and the write pass stream via iter_h5features
+        (round-4: the full-load read_h5features path was a memory wall
+        at multi-GB corpora), with results matching the full-load oracle
+        and >256 items exercising the batched-append flush."""
+        import abnet3_tpu.features as features_mod
+
+        h5f = str(tmp_path / "h5.features")
+        rng = np.random.RandomState(7)
+        n_items = 300  # crosses the 256-item append batch boundary
+        feats = [rng.randn(rng.randint(5, 20), 6).astype(np.float32)
+                 for _ in range(n_items)]
+        names = [f"f{i:04d}" for i in range(n_items)]
+        _write_corpus(h5f, feats, names)
+
+        def _no_full_load(*a, **k):
+            raise AssertionError(
+                "mean_variance_normalisation loaded the whole corpus")
+
+        monkeypatch.setattr(features_mod, "read_h5features", _no_full_load)
+        fg = FeaturesGenerator(norm_per_channel=True)
+        out = str(tmp_path / "h5-norm.features")
+        mean, std = fg.mean_variance_normalisation(h5f, out)
+        monkeypatch.undo()
+
+        stacked = np.vstack(feats)
+        assert mean == pytest.approx(np.mean(stacked, axis=0), rel=1e-5)
+        assert std == pytest.approx(np.std(stacked, axis=0), rel=1e-5)
+        data = read_h5features(out)
+        assert data.items() == names
+        eps = np.finfo(np.float32).eps
+        for name, f in zip(names, feats):
+            np.testing.assert_allclose(data.dict_features()[name],
+                                       (f - mean) / (std + eps), rtol=1e-5)
+
     def test_normalization_with_vad(self, tmp_path):
         """VAD restricts stats for listed files only; normalization still
         applies to all frames (reference test_features VAD case)."""
