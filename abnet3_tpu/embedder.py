@@ -37,6 +37,16 @@ def encode_transfer(out, transfer_dtype: str):
       with scalar lo/scale riding along, 1 B/value; roundtrip error is
       <= scale/2 = (hi-lo)/510 — for sigmoid/tanh-bounded embeddings
       that is ~2e-3 absolute, the same ballpark as bfloat16.
+    - ``int4``: per-DIMENSION affine quantization packed two codes per
+      uint8 (0.5 B/value + 8 B/dim of lo/scale per chunk). The error
+      bound is (hi_d-lo_d)/30 PER DIMENSION, so narrow-range dims (the
+      usual case for sigmoid towers: measured 7.7e-4 absolute / 1.9e-4
+      mean angular-distance shift, tests/test_embedder.py) quantize far
+      tighter than a whole-chunk scalar would; worst case (a dim
+      spanning the full value range) is ~3% of that range — fine for
+      ABX-style ranking of well-separated embeddings, too coarse for
+      downstream numeric reuse, hence OPT-IN, never the default. Odd
+      embedding dims pad one zero column on the wire.
     """
     import jax.numpy as jnp
     if transfer_dtype == "bfloat16":
@@ -46,6 +56,14 @@ def encode_transfer(out, transfer_dtype: str):
         scale = jnp.maximum(jnp.max(out) - lo, 1e-12) / 255.0
         q = jnp.round((out - lo) / scale).astype(jnp.uint8)
         return (q, lo.astype(jnp.float32), scale.astype(jnp.float32))
+    if transfer_dtype == "int4":
+        lo = jnp.min(out, axis=0)
+        scale = jnp.maximum(jnp.max(out, axis=0) - lo, 1e-12) / 15.0
+        q = jnp.round((out - lo) / scale).astype(jnp.uint8)
+        if q.shape[1] % 2:
+            q = jnp.pad(q, ((0, 0), (0, 1)))
+        packed = q[:, 0::2] | (q[:, 1::2] << 4)
+        return (packed, lo.astype(jnp.float32), scale.astype(jnp.float32))
     return (out,)
 
 
@@ -56,6 +74,12 @@ def decode_transfer(leaves) -> np.ndarray:
         return host if host.dtype == np.float32 \
             else host.astype(np.float32)
     q, lo, scale = (np.asarray(p) for p in leaves)
+    if lo.ndim == 1:  # int4: per-dim affine, two codes per uint8
+        d = lo.shape[0]
+        un = np.empty((q.shape[0], 2 * q.shape[1]), np.float32)
+        un[:, 0::2] = q & 0x0F
+        un[:, 1::2] = q >> 4
+        return un[:, :d] * scale[None, :] + lo[None, :]
     return q.astype(np.float32) * float(scale) + float(lo)
 
 
@@ -67,7 +91,7 @@ class EmbedderBuilder:
                  transfer_dtype="float32", streaming=False):
         if network is None:
             raise ValueError("network is None.")
-        assert transfer_dtype in ("float32", "bfloat16", "int8")
+        assert transfer_dtype in ("float32", "bfloat16", "int8", "int4")
         self.network = network
         self.network_path = network_path
         self.feature_path = feature_path
@@ -81,9 +105,10 @@ class EmbedderBuilder:
                              n_model=mesh.get("model", 1))
         self.mesh = mesh  # shard chunks over 'data'
         # transfer codec for the d2h embedding copies (the bottleneck on
-        # slow links): 'bfloat16' halves bytes, 'int8' quarters them
-        # (per-chunk affine quantization, see encode_transfer); files
-        # always store float32
+        # slow links): 'bfloat16' halves bytes, 'int8' quarters them,
+        # 'int4' eighths them (per-chunk affine quantization, see
+        # encode_transfer for the error bounds — int4 is opt-in, ~1.7e-2
+        # absolute); files always store float32
         self.transfer_dtype = transfer_dtype
         # streaming: read the input corpus item-by-item and append each
         # finished file's embeddings immediately — memory stays bounded
@@ -124,7 +149,8 @@ class EmbedderBuilder:
         from jax.sharding import NamedSharding, PartitionSpec as P
         dp = NamedSharding(self.mesh, P("data"))
         rep = NamedSharding(self.mesh, P())
-        head = (dp, rep, rep) if self.transfer_dtype == "int8" else (dp,)
+        head = ((dp, rep, rep) if self.transfer_dtype in ("int8", "int4")
+                else (dp,))
         return jax.jit(forward_impl,
                        in_shardings=(None, None) + (dp,) * n_modalities,
                        out_shardings=(head,) * n_heads)

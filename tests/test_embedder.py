@@ -277,6 +277,52 @@ def test_embedder_streaming_multitask(feature_file, tmp_path):
             np.testing.assert_array_equal(fa, fb)
 
 
+def test_embedder_int4_transfer(feature_file, tmp_path):
+    """transfer_dtype='int4' (opt-in) halves int8's wire bytes via
+    per-DIMENSION affine quantization packed two codes per uint8; the
+    per-dim ranges bound roundtrip error at (hi_d-lo_d)/30 per dim, and
+    the angular-distance shift between embeddings stays well under the
+    separations ABX ranking relies on. Output dim 7 exercises the odd-d
+    wire pad; the mesh path shards the packed codes over 'data'."""
+    from abnet3_tpu.parallel import make_mesh
+    path, items, feats, _ = feature_file
+    net = SiameseNetwork(input_dim=6, num_hidden_layers=1, hidden_dim=16,
+                         output_dim=7, p_dropout=0.0,
+                         activation_layer="sigmoid",
+                         last_non_linearity=None)
+    net.ensure_init(0)
+    out32 = str(tmp_path / "e32.h5f")
+    EmbedderSiamese(network=net, feature_path=path, output_path=out32,
+                    batch_size=64).embed()
+    out4 = str(tmp_path / "e4.h5f")
+    EmbedderSiamese(network=net, feature_path=path, output_path=out4,
+                    batch_size=64, transfer_dtype="int4").embed()
+    a = read_h5features(out32)
+    b = read_h5features(out4)
+    corpus = np.vstack(a.features())
+    # chunks pack across files: per-dim min/max span the corpus range
+    bound = (corpus.max(axis=0) - corpus.min(axis=0)) / 30 + 1e-6
+    shifts = []
+    for fa, fb in zip(a.features(), b.features()):
+        assert fb.dtype == np.float32
+        assert (np.abs(fa - fb) <= bound[None, :]).all()
+        # angular-distance perturbation per frame vs the float export
+        cos = np.sum(fa * fb, axis=1) / np.maximum(
+            np.linalg.norm(fa, axis=1) * np.linalg.norm(fb, axis=1), 1e-9)
+        shifts.append(np.arccos(np.clip(cos, -1, 1)) / np.pi)
+    assert np.mean(np.concatenate(shifts)) < 2e-2
+
+    # mesh path: packed codes shard over 'data', per-dim lo/scale replicate
+    mesh = make_mesh(n_data=8, n_model=1)
+    outm = str(tmp_path / "e4m.h5f")
+    EmbedderSiamese(network=net, feature_path=path, output_path=outm,
+                    batch_size=48, mesh=mesh, transfer_dtype="int4").embed()
+    m = read_h5features(outm)
+    for fa, fm in zip(a.features(), m.features()):
+        # different chunking => different quant ranges; same error class
+        assert np.max(np.abs(fa - fm)) <= float(bound.max()) * 2
+
+
 def test_transfer_codec_unit_properties():
     """encode/decode roundtrip at the function level: identity for
     float32, bf16-rounding for bfloat16, and the (hi-lo)/510 bound +
@@ -306,6 +352,27 @@ def test_transfer_codec_unit_properties():
     c = jnp.full((8, 3), 2.5)
     out = decode_transfer(encode_transfer(c, "int8"))
     np.testing.assert_allclose(out, 2.5, atol=1e-5)
+
+    # int4: per-dim bound, odd-d pad column stripped, endpoint recovery
+    leaves = encode_transfer(x, "int4")
+    assert leaves[0].dtype == jnp.uint8
+    assert leaves[0].shape == (64, 5)  # ceil(9/2) packed bytes per row
+    assert leaves[1].shape == (9,) and leaves[2].shape == (9,)
+    out = decode_transfer(leaves)
+    assert out.shape == (64, 9)
+    xs = np.asarray(x)
+    per_dim = (xs.max(axis=0) - xs.min(axis=0)) / 30 + 1e-6
+    assert (np.abs(out - xs) <= per_dim[None, :]).all()
+    np.testing.assert_allclose(out.min(axis=0), xs.min(axis=0), atol=1e-5)
+    np.testing.assert_allclose(out.max(axis=0), xs.max(axis=0),
+                               atol=float(per_dim.max()) * 2)
+    out = decode_transfer(encode_transfer(c, "int4"))
+    np.testing.assert_allclose(out, 2.5, atol=1e-5)
+
+    # even d: no pad column, exact shape back
+    xe = jnp.asarray(rng.randn(16, 4).astype(np.float32))
+    out = decode_transfer(encode_transfer(xe, "int4"))
+    assert out.shape == (16, 4)
 
 
 def test_embedder_packs_small_files(tmp_path):
