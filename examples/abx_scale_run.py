@@ -1,0 +1,125 @@
+#!/usr/bin/env python3
+"""ZeroSpeech-scale ABX on one chip: full N x N token distance matrix +
+across-speaker scoring, with per-stage wall-clock.
+
+Synthesizes an STD-like token inventory (N tokens over C word classes x
+S speakers, smooth formant-trajectory features of random length), then
+drives the evaluator exactly as ``evaluate()`` does at scale:
+
+1. TokenBank upload (one h2d of the padded corpus);
+2. ``distance_matrix`` through the checkpointed TILES strategy — one
+   jitted dispatch per (block x block) tile, uint16 wire codec, memmap
+   + tile-log resume (kill the run mid-way and rerun the same command:
+   completed tiles are skipped);
+3. ``abx_error`` across-speaker scoring with the occupied-cell
+   enumerator.
+
+The reference delegated this entire stage to external ABXpy on CPU
+(reference README.md:3, embedder.py:98-100); here the O(N^2) distance
+work runs on the TPU. At N=30,000 that is ~450M DTW token pairs in
+~465 tile dispatches (see eval/abx.py distance_matrix docstring).
+
+Usage:
+    python examples/abx_scale_run.py [--n 30000] [--classes 3000]
+        [--speakers 20] [--dim 100] [--distance dtw_cos]
+        [--checkpoint /tmp/abx30k.ckpt] [--out /tmp/abx_scale.json]
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def synth_corpus(n_tokens, n_classes, n_speakers, dim, t_min=48, t_max=96,
+                 seed=0):
+    """STD-like inventory: class = a smooth trajectory through random
+    waypoints, token = that trajectory resampled to a random length with
+    a speaker offset + noise. Same recipe family as tests/test_quality.
+    Returns ({id: (T, d) float32}, labels, speakers)."""
+    rng = np.random.RandomState(seed)
+    n_way = 4
+    class_way = rng.randn(n_classes, n_way, dim).astype(np.float32) * 2.0
+    spk_off = rng.randn(n_speakers, dim).astype(np.float32) * 0.8
+    feats, labels, speakers = {}, [], []
+    for i in range(n_tokens):
+        c = i % n_classes
+        s = rng.randint(n_speakers)
+        T = rng.randint(t_min, t_max + 1)
+        # piecewise-linear interpolation through the class waypoints
+        pos = np.linspace(0, n_way - 1, T)
+        lo = np.floor(pos).astype(int)
+        hi = np.minimum(lo + 1, n_way - 1)
+        frac = (pos - lo)[:, None].astype(np.float32)
+        traj = class_way[c][lo] * (1 - frac) + class_way[c][hi] * frac
+        feats[i] = (traj + spk_off[s]
+                    + rng.randn(T, dim).astype(np.float32) * 0.5)
+        labels.append(c)
+        speakers.append(s)
+    return feats, labels, speakers
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--n", type=int, default=30000)
+    ap.add_argument("--classes", type=int, default=3000)
+    ap.add_argument("--speakers", type=int, default=20)
+    ap.add_argument("--dim", type=int, default=100)
+    ap.add_argument("--distance", default="dtw_cos",
+                    choices=("dtw_cos", "dtw_kl", "mean_cos"))
+    ap.add_argument("--checkpoint", default=None,
+                    help="resumable tile checkpoint path (memmap + log)")
+    ap.add_argument("--out", default=None, help="write stage timings JSON")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    from abnet3_tpu.eval.abx import abx_error, distance_matrix
+    from abnet3_tpu.ops.bank import TokenBank
+
+    stages = {}
+    t0 = time.time()
+    feats, labels, speakers = synth_corpus(args.n, args.classes,
+                                           args.speakers, args.dim,
+                                           seed=args.seed)
+    stages["synth_s"] = round(time.time() - t0, 1)
+    print(f"[synth] {args.n} tokens, {args.classes} classes x "
+          f"{args.speakers} speakers, d={args.dim}: {stages['synth_s']}s")
+
+    t0 = time.time()
+    bank = TokenBank(feats)
+    import jax
+    jax.block_until_ready(bank.bank)
+    stages["bank_upload_s"] = round(time.time() - t0, 1)
+    gb = bank.nbytes / 1e9
+    print(f"[bank] ({len(bank)}, {bank.max_len}, {bank.dim}) = {gb:.2f} GB "
+          f"uploaded in {stages['bank_upload_s']}s")
+
+    t0 = time.time()
+    D = distance_matrix(bank, distance=args.distance,
+                        checkpoint_path=args.checkpoint,
+                        strategy="tiles")
+    stages["distance_s"] = round(time.time() - t0, 1)
+    n_pairs = args.n * (args.n - 1) // 2
+    print(f"[distance] {n_pairs / 1e6:.1f}M token pairs ({args.distance}, "
+          f"tiles) in {stages['distance_s']}s = "
+          f"{n_pairs / max(stages['distance_s'], 1e-9) / 1e3:.0f}k pairs/s "
+          "incl. compile")
+
+    t0 = time.time()
+    res = abx_error(D, labels, speakers, task="across")
+    stages["score_s"] = round(time.time() - t0, 1)
+    print(f"[score] across-speaker ABX {res['error']:.4f} over "
+          f"{res['n_triplets']:,} triplets / {res['n_cells']:,} cells "
+          f"in {stages['score_s']}s")
+
+    stages.update(n=args.n, distance=args.distance, abx=res["error"],
+                  n_triplets=res["n_triplets"])
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(stages, fh, indent=1)
+        print(f"[out] {args.out}")
+
+
+if __name__ == "__main__":
+    main()
