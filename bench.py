@@ -26,6 +26,16 @@ import time
 
 import numpy as np
 
+# TIMING RULE for this environment: through the axon tunnel,
+# jax.block_until_ready can return while the dispatched work is still
+# executing remotely (measured: 41 ms "at block" vs +1355 ms until the
+# value actually materialized — a 30x fantasy if the clock stops at the
+# block). Every warmup and every timed region here therefore ends with a
+# VALUE FETCH (float(value) / np.asarray), which cannot complete before
+# the computation chain that produces it. The fetch adds one ~10-50 ms
+# RPC to the timed window — amortized over >=25 chained calls, and in
+# the conservative direction.
+
 DIM_IN, HID, OUT = 280, 500, 100
 B_SAME = 64
 B_DIFF = 64
@@ -101,14 +111,14 @@ def bench_trainer_loop(shared, n_calls=20):
     for i in range(max(30 // K, 4)):
         params, state, opt_state, value = step(
             params, state, opt_state, rng, *fresh_args())
-    jax.block_until_ready(value)
+    float(value)  # fetch: block_until_ready can return early (header)
     t0 = time.perf_counter()
     for i in range(n_calls):
         params, state, opt_state, value = step(
             params, state, opt_state, rng, *fresh_args())
-    jax.block_until_ready(value)
+    v = float(value)  # fetch INSIDE the timed region (header)
     dt = time.perf_counter() - t0
-    assert np.isfinite(float(value))
+    assert np.isfinite(v)
     return n_calls * K / dt
 
 
@@ -173,18 +183,20 @@ def bench_ours(batch, n_calls=25, steps_per_call=8):
                                          steps_per_call=K)
     rng = jax.random.PRNGKey(0)
 
-    # warmup: compile + the tunnel's slow first post-compile steps
+    # warmup: compile + the tunnel's slow first post-compile steps. The
+    # fetch (not block_until_ready — see header) guarantees warmup has
+    # actually finished executing before the clock starts.
     for i in range(max(30 // K, 4)):
         params, state, opt_state, value = step(
             params, state, opt_state, rng, *variants[i % n_variants])
-    jax.block_until_ready(value)
+    float(value)
     t0 = time.perf_counter()
     for i in range(n_calls):
         params, state, opt_state, value = step(
             params, state, opt_state, rng, *variants[i % n_variants])
-    jax.block_until_ready(value)
+    v = float(value)  # fetch INSIDE the timed region (header)
     dt = time.perf_counter() - t0
-    assert np.isfinite(float(value))
+    assert np.isfinite(v)
     # the trained tower rides into the embed benchmarks (exports measure
     # the TRAINED output distribution) and the compiled step + its K +
     # bank into bench_trainer_loop — no executable compiles twice
@@ -257,7 +269,8 @@ def bench_embed_ours(corpus="realistic", params=None, state=None, net=None,
                 (EMBED_CHUNK, DIM_IN), jnp.float32)
 
     chunks = [chunk_fn(k) for k in range(EMBED_CHUNKS)]
-    jax.block_until_ready(chunks)
+    for c in chunks:  # scalar fetches: force the corpus materialized
+        float(c[0, 0])  # before timing (block_until_ready lies — header)
 
     if forward is None:
         # callers benchmarking both corpus cases pass one shared jitted

@@ -88,8 +88,10 @@ def main():
 
     t0 = time.time()
     bank = TokenBank(feats)
-    import jax
-    jax.block_until_ready(bank.bank)
+    # scalar fetch, not block_until_ready: the axon tunnel's block can
+    # return before the transfer completes (CLAUDE.md), which would
+    # charge the upload tail to the distance stage's timing
+    float(bank.bank[0, 0, 0])
     stages["bank_upload_s"] = round(time.time() - t0, 1)
     gb = bank.nbytes / 1e9
     print(f"[bank] ({len(bank)}, {bank.max_len}, {bank.dim}) = {gb:.2f} GB "
