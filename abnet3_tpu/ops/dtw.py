@@ -319,8 +319,10 @@ def _pallas_fits(dist_shape, n_buffers: int) -> bool:
 def dtw_moves_auto(dist: jnp.ndarray) -> jnp.ndarray:
     """Move matrix for backtrace: the fused Pallas kernel (DP + argmin in
     one kernel; the cost tensor never round-trips through HBM) where
-    available — 1.9x the XLA scan + vectorized move pass at B=64, T=96
-    (1.08ms vs 2.04ms incl. the distance matmul) — else the XLA path."""
+    available — 1.38x the XLA scan through the full align path at B=64,
+    T=96 (1.62 vs 2.24 ms/batch, round-4 fetch-terminated measurement;
+    1.61x end-to-end in the chained train step, BASELINE.md) — else the
+    XLA path."""
     if _pallas_enabled() and _pallas_fits(dist.shape, 2):
         from abnet3_tpu.ops.pallas_dtw import dtw_moves_pallas
         return dtw_moves_pallas(dist)

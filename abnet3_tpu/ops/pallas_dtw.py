@@ -13,11 +13,16 @@ cache can't skew results):
 - there is no cumsum lowering in Mosaic; prefix sum/min run as
   log-doubling shifts (~0.1us per (64,128) shift+op in VMEM);
 - timings need >=30 warmup steps after compile (the first ~25 steps run
-  slow); with that discipline the fused move kernel beats the XLA path
-  1.9x (1.08ms vs 2.04ms incl. the distance matmul, B=64, T=96) and the
-  plain DP kernel 1.4x (1.32ms vs 1.86ms), so Pallas is the TPU default
-  (dtw.py _pallas_enabled; ABNET3_PALLAS_DTW=0 opts out). Earlier
-  "parity" readings were warmup noise.
+  slow) and MUST be fetch-terminated — jax.block_until_ready can return
+  before the work completes on this tunnel (CLAUDE.md). Round-4 honest
+  (fetch-terminated, fresh process, 24 distinct chained batches)
+  numbers, B=64, T=96: full align path (distance matmul + DP + moves +
+  backtrace gather) 1.62 ms/batch Pallas vs 2.24 ms XLA scan = 1.38x;
+  end-to-end chained train step 1.61x (BASELINE.md round-4 A/B table) —
+  so Pallas is the TPU default (dtw.py _pallas_enabled;
+  ABNET3_PALLAS_DTW=0 opts out). Earlier "parity" readings were warmup
+  noise; the earlier "1.9x (1.08 vs 2.04 ms)" figures were taken at the
+  block and are superseded.
 
 Per row the (min,+) recurrence uses the same closed form as the XLA path:
 
