@@ -478,8 +478,103 @@ def _block_err(dab: np.ndarray, dax: np.ndarray,
     return err
 
 
+def _abx_across_one(ca, state):
+    """Across-task cells for one anchor class: every (ca, s) anchor
+    group x every class co-occurring with s. Returns the per-(ca, cx)
+    error/count partials — each ca is owned by exactly one worker, so
+    merging partials across workers is plain disjoint dict update and
+    the result is bit-identical to the serial enumeration (accumulation
+    order within a key, s then cx sorted, lives entirely here)."""
+    D, speakers, by_class, by_cs, spk_classes, spks = state
+    all_a = by_class[ca]
+    a_spks = speakers[all_a]
+    cell_err: Dict[Tuple, float] = {}
+    cell_cnt: Dict[Tuple, int] = {}
+    for s in spks:
+        a_idx = by_cs.get((ca, s))
+        if a_idx is None:
+            continue
+        b_idx = all_a[a_spks != s]
+        if len(b_idx) == 0:
+            continue
+        dab = D[np.ix_(a_idx, b_idx)]
+        n_ab = len(a_idx) * len(b_idx)
+        for cx in spk_classes[s]:
+            if cx == ca:
+                continue
+            x_idx = by_cs[cx, s]
+            err = _block_err(dab, D[np.ix_(a_idx, x_idx)])
+            key = (ca, cx)
+            cell_err[key] = cell_err.get(key, 0.0) + err
+            cell_cnt[key] = cell_cnt.get(key, 0) + n_ab * len(x_idx)
+    return cell_err, cell_cnt
+
+
+def _abx_within_one(ca, state):
+    """Within-task cells for one anchor class (see _abx_across_one for
+    the ownership/merge contract)."""
+    D, speakers, by_class, by_cs, spk_classes, spks = state
+    cells: List[Tuple[Tuple, float, int]] = []
+    for s in spks:
+        ab = by_cs.get((ca, s))
+        if ab is None or len(ab) < 2:
+            continue
+        mask = ~np.eye(len(ab), dtype=bool)
+        dab = D[np.ix_(ab, ab)]
+        for cx in spk_classes[s]:
+            if cx == ca:
+                continue
+            x = by_cs[cx, s]
+            err = _block_err(dab, D[np.ix_(ab, x)], b_mask=mask)
+            cnt = len(ab) * (len(ab) - 1) * len(x)
+            cells.append(((ca, cx, s), err, cnt))
+    return cells
+
+
+# fork-worker state: set by abx_error around the pool's lifetime; the
+# children inherit it (and the big distance matrix) copy-on-write, so
+# nothing is pickled per task but the class chunks. Forking a process
+# whose jax runtime already started threads triggers the standard
+# fork-with-threads warning; the children here never touch jax — they
+# run pure numpy over inherited read-only arrays (malloc is atfork-
+# protected), which is the same contract joblib/sklearn fork workers
+# rely on.
+_FORK_STATE = None
+
+
+def _abx_fork_worker(args):
+    task, ca_chunk = args
+    one = _abx_across_one if task == "across" else _abx_within_one
+    return [one(ca, _FORK_STATE) for ca in ca_chunk]
+
+
+def _fork_map(task, classes, state, n_jobs):
+    """Run the per-class scorers over a fork pool; returns the per-class
+    results in ``classes`` order (exactly what the serial loop yields)."""
+    import multiprocessing as mp
+    global _FORK_STATE
+    ctx = mp.get_context("fork")
+    chunks = [classes[i::n_jobs * 4] for i in range(n_jobs * 4)]
+    chunks = [c for c in chunks if c]
+    _FORK_STATE = state
+    try:
+        with ctx.Pool(n_jobs) as pool:
+            parts = pool.map(_abx_fork_worker,
+                             [(task, c) for c in chunks])
+    finally:
+        _FORK_STATE = None
+    # un-interleave back to `classes` order
+    out = [None] * len(classes)
+    pos = {ca: i for i, ca in enumerate(classes)}
+    for chunk, res in zip(chunks, parts):
+        for ca, r in zip(chunk, res):
+            out[pos[ca]] = r
+    return out
+
+
 def abx_error(D: np.ndarray, labels: Sequence, speakers: Sequence,
-              task: str = "across", by: Optional[Sequence] = None) -> Dict:
+              task: str = "across", by: Optional[Sequence] = None,
+              n_jobs: int = 1) -> Dict:
     """Hierarchical ABX error from a precomputed distance matrix.
 
     Returns {"error", "n_cells", "n_triplets"}; error is the mean over
@@ -498,7 +593,21 @@ def abx_error(D: np.ndarray, labels: Sequence, speakers: Sequence,
     counting runs as whole-matrix comparisons / searchsorted rank counts
     instead of per-anchor Python loops (the round-2 implementation spent
     O(cells x anchors) interpreter iterations — unusable at ZeroSpeech
-    scale, eval/abx.py round-2 review)."""
+    scale, eval/abx.py round-2 review).
+
+    ``n_jobs > 1`` scores anchor classes in parallel over a fork
+    process pool (children inherit the distance matrix copy-on-write —
+    nothing is pickled but class ids). Each class is owned by exactly
+    one worker and partials merge by disjoint keys in class order, so
+    the result is BIT-IDENTICAL to n_jobs=1 (asserted in
+    tests/test_abx.py, and end-to-end on an N=16,384 / 1,600-class /
+    118M-triplet matrix). Falls back to serial where fork is
+    unavailable. Sized for production scoring hosts: this dev host has
+    ONE core, where the pool is pure overhead (measured 312 s at
+    n_jobs=8 vs 254 s serial on that 16k matrix) — use n_jobs <= cores.
+    Per-class work is independent numpy block math with no shared
+    writes, so multi-core scaling is bounded only by the final
+    merge."""
     assert task in ("across", "within")
     labels = np.asarray(labels)
     speakers = np.asarray(speakers)
@@ -513,7 +622,7 @@ def abx_error(D: np.ndarray, labels: Sequence, speakers: Sequence,
         for key in sorted(groups):
             idx = np.asarray(groups[key], dtype=np.int64)
             sub = abx_error(D[np.ix_(idx, idx)], labels[idx],
-                            speakers[idx], task=task)
+                            speakers[idx], task=task, n_jobs=n_jobs)
             if sub["n_cells"]:
                 err_sum += sub["error"] * sub["n_cells"]
                 n_cells += sub["n_cells"]
@@ -547,56 +656,43 @@ def abx_error(D: np.ndarray, labels: Sequence, speakers: Sequence,
     # full |C|^2 x |S| cross-product is ~1e8+ empty dict probes (round-3
     # review weak #1) while the occupied cells are a sparse fraction.
     # Accumulation order (ca, then s, then cx — all sorted) reproduces
-    # the cross-product enumeration bit-exactly.
+    # the cross-product enumeration bit-exactly; the fork path keeps it
+    # because each ca's cells are computed whole inside one worker and
+    # merged back in class order (_abx_across_one/_fork_map).
+    import multiprocessing as mp
+    use_fork = (n_jobs > 1 and len(classes) > 1
+                and "fork" in mp.get_all_start_methods())
+    state = (D, speakers, by_class, by_cs, spk_classes, spks)
     n_triplets = 0
     if task == "across":
         # one cell per (ca, cx): A any token of ca; B same class but NOT
         # A's speaker; X class cx with A's speaker
+        if use_fork:
+            per_class = _fork_map("across", classes, state,
+                                  min(n_jobs, len(classes)))
+        else:
+            per_class = (_abx_across_one(ca, state) for ca in classes)
         cell_err: Dict[Tuple, float] = {}
         cell_cnt: Dict[Tuple, int] = {}
-        for ca in classes:
-            all_a = by_class[ca]
-            a_spks = speakers[all_a]
-            for s in spks:
-                a_idx = by_cs.get((ca, s))
-                if a_idx is None:
-                    continue
-                b_idx = all_a[a_spks != s]
-                if len(b_idx) == 0:
-                    continue
-                dab = D[np.ix_(a_idx, b_idx)]
-                n_ab = len(a_idx) * len(b_idx)
-                for cx in spk_classes[s]:
-                    if cx == ca:
-                        continue
-                    x_idx = by_cs[cx, s]
-                    err = _block_err(dab, D[np.ix_(a_idx, x_idx)])
-                    key = (ca, cx)
-                    cell_err[key] = cell_err.get(key, 0.0) + err
-                    cell_cnt[key] = cell_cnt.get(key, 0) \
-                        + n_ab * len(x_idx)
+        for err_part, cnt_part in per_class:
+            cell_err.update(err_part)   # keys disjoint across classes
+            cell_cnt.update(cnt_part)
         cell_scores = [cell_err[k] / cell_cnt[k]
                        for k in sorted(cell_err)]
         n_triplets = sum(cell_cnt.values())
     else:
         # within: one cell per (ca, cx, speaker); B = the other
         # same-class same-speaker tokens (anchor excluded)
+        if use_fork:
+            per_class = _fork_map("within", classes, state,
+                                  min(n_jobs, len(classes)))
+        else:
+            per_class = (_abx_within_one(ca, state) for ca in classes)
         cells: List[Tuple[Tuple, float]] = []
-        for ca in classes:
-            for s in spks:
-                ab = by_cs.get((ca, s))
-                if ab is None or len(ab) < 2:
-                    continue
-                mask = ~np.eye(len(ab), dtype=bool)
-                dab = D[np.ix_(ab, ab)]
-                for cx in spk_classes[s]:
-                    if cx == ca:
-                        continue
-                    x = by_cs[cx, s]
-                    err = _block_err(dab, D[np.ix_(ab, x)], b_mask=mask)
-                    cnt = len(ab) * (len(ab) - 1) * len(x)
-                    n_triplets += cnt
-                    cells.append(((ca, cx, s), err / cnt))
+        for part in per_class:
+            for key, err, cnt in part:
+                n_triplets += cnt
+                cells.append((key, err / cnt))
         cell_scores = [v for _, v in sorted(cells, key=lambda kv: kv[0])]
 
     return {"error": (float(np.mean(cell_scores))
@@ -660,7 +756,8 @@ def evaluate(features_path: str, classes_path: str,
              checkpoint_path: Optional[str] = None,
              item_on: Optional[str] = None,
              item_speaker: Optional[str] = None,
-             item_by: Optional[Sequence[str]] = None) -> Dict:
+             item_by: Optional[Sequence[str]] = None,
+             n_jobs: int = 1) -> Dict:
     """End-to-end ABX over an h5features file + a token inventory: either
     a ``.classes`` cluster file (+ optional wav->speaker mapping, same
     file contracts as the sampler) or an ABXpy ``.item`` task file
@@ -760,7 +857,7 @@ def evaluate(features_path: str, classes_path: str,
                         out_dtype=out_dtype,
                         checkpoint_path=checkpoint_path)
     out = abx_error(D, labels, speakers, task=task,
-                    by=by_keys if item_by else None)
+                    by=by_keys if item_by else None, n_jobs=n_jobs)
     # n_classes reports the INVENTORY's class count (stable metadata even
     # when a class's tokens all resolve to empty feature segments)
     out.update({"task": task, "distance": distance, "n_tokens": tid,
@@ -807,6 +904,10 @@ def main():
                         help="store the host distance matrix as float16 "
                              "(halves memory and d2h bytes; N~30k fits "
                              "in ~1.8 GB)")
+    parser.add_argument("-j", "--n-jobs", type=int, default=1,
+                        help="parallel scoring workers for the triplet "
+                             "aggregation stage (fork pool; results are "
+                             "bit-identical to -j 1)")
     parser.add_argument("--checkpoint", type=str, default=None,
                         help="make the (tiles-strategy) distance matrix "
                              "resumable: tiles land in <path>.npy + "
@@ -823,7 +924,8 @@ def main():
                       checkpoint_path=args.checkpoint,
                       item_on=args.item_on,
                       item_speaker=args.item_speaker,
-                      item_by=args.item_by)
+                      item_by=args.item_by,
+                      n_jobs=args.n_jobs)
     line = json.dumps(result)
     print(line)
     if args.output:

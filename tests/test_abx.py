@@ -939,3 +939,36 @@ def test_evaluate_raises_on_all_empty_windows(tmp_path):
         f.write("0 classA\nfA 100.0 120.0\nfB 200.0 220.0\n")
     with pytest.raises(ValueError, match="no usable tokens"):
         evaluate(fpath, cpath)
+
+
+def test_abx_error_n_jobs_bit_identical():
+    """Parallel scoring (fork pool over anchor classes) must reproduce
+    the serial enumeration BIT-exactly: each class's cells are computed
+    whole inside one worker and merged by disjoint keys in class order,
+    so not even float accumulation order changes (eval/abx.py
+    _abx_across_one contract)."""
+    import multiprocessing as mp
+
+    from abnet3_tpu.eval.abx import abx_error
+
+    if "fork" not in mp.get_all_start_methods():
+        pytest.skip("no fork start method on this platform")
+    rng = np.random.RandomState(3)
+    n, n_classes, n_spk = 120, 11, 5
+    labels = [f"c{rng.randint(n_classes)}" for _ in range(n)]
+    speakers = [f"s{rng.randint(n_spk)}" for _ in range(n)]
+    half = rng.rand(n, n).astype(np.float32)
+    D = np.triu(half, 1)
+    D = D + D.T
+    by = [("g%d" % (i % 3),) for i in range(n)]
+    for task in ("across", "within"):
+        ser = abx_error(D, labels, speakers, task=task)
+        par = abx_error(D, labels, speakers, task=task, n_jobs=3)
+        assert par == ser  # dict equality: error bit-identical too
+        ser_by = abx_error(D, labels, speakers, task=task, by=by)
+        par_by = abx_error(D, labels, speakers, task=task, by=by,
+                           n_jobs=3)
+        assert par_by == ser_by
+    # a single-class inventory must not try to fork
+    one = abx_error(D, ["c"] * n, speakers, n_jobs=4)
+    assert one["n_cells"] == 0
