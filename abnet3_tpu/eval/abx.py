@@ -69,7 +69,7 @@ def make_pair_distance_fn(bank, distance: str = "dtw_cos",
     TokenBank. One compiled computation per bank/bucket."""
     import jax
     import jax.numpy as jnp
-    from abnet3_tpu.ops.dtw import (dtw_path_from_dist,
+    from abnet3_tpu.ops.dtw import (dtw_path_stats_auto,
                                     pairwise_angular_distance,
                                     pairwise_kl_distance)
 
@@ -95,13 +95,13 @@ def make_pair_distance_fn(bank, distance: str = "dtw_cos",
         frame_dist = (pairwise_kl_distance if distance == "dtw_kl"
                       else pairwise_angular_distance)
         dist = frame_dist(f1, f2)
-        # mean distance along the optimal path = sum(dist * A) / sum(A)
-        # with A the on-path mask — no backtrace walk, no gathers (the
-        # same matrix-alignment contract the train steps use)
-        A = dtw_path_from_dist(dist, n1, n2, mesh=mesh)
-        plen = jnp.sum(A, axis=(1, 2))
-        return (jnp.sum(dist * A, axis=(1, 2))
-                / jnp.maximum(plen, 1.0))
+        # mean distance along the optimal path — the forward-only stats
+        # DP (ops.dtw.dtw_path_stats): path sum IS the DP endpoint cost,
+        # path length rides an argmin payload, and the (B, T1, T2) cost/
+        # move/mask tensors never materialize (the mask route measured
+        # 94% of tile wall at B=1024; round-4 profile in COVERAGE.md)
+        psum, plen = dtw_path_stats_auto(dist, n1, n2, mesh=mesh)
+        return psum / jnp.maximum(plen, 1.0)
 
     jitted = jax.jit(impl)
     return lambda ids1, ids2: jitted(view, ids1, ids2)
@@ -278,7 +278,7 @@ def distance_matrix(bank, distance: str = "dtw_cos",
     checkpoints (different N/block/dtype) are discarded loudly."""
     import jax
     import jax.numpy as jnp
-    from abnet3_tpu.ops.dtw import (dtw_path_from_dist,
+    from abnet3_tpu.ops.dtw import (dtw_path_stats_auto,
                                     pairwise_angular_distance,
                                     pairwise_kl_distance)
 
@@ -341,10 +341,11 @@ def distance_matrix(bank, distance: str = "dtw_cos",
                 f1 = jnp.broadcast_to(fi, fj.shape)
                 n1 = jnp.broadcast_to(ni, nj.shape)
                 dist = frame_dist(f1, fj)
-                A = dtw_path_from_dist(dist, n1, nj, mesh=mesh)
-                plen = jnp.sum(A, axis=(1, 2))
-                return None, (jnp.sum(dist * A, axis=(1, 2))
-                              / jnp.maximum(plen, 1.0))
+                # forward-only stats DP: no (B, T1, T2) mask/cost tensors
+                # (see make_pair_distance_fn; 94% of tile wall was the
+                # mask route, round-4 profile)
+                psum, plen = dtw_path_stats_auto(dist, n1, nj, mesh=mesh)
+                return None, psum / jnp.maximum(plen, 1.0)
 
             _, rows = jax.lax.scan(row, None, ids_i)
             return encode(rows)
@@ -366,8 +367,13 @@ def distance_matrix(bank, distance: str = "dtw_cos",
     done: set = set()
     meta = {"N": N, "block": block, "dtype": np.dtype(out_dtype).name,
             "distance": distance, "max_frames": max_frames, "T": T,
-            # codec changes invalidate old checkpoints' numerics
-            "wire": "u16" if u16_wire else "f32"}
+            # codec/algorithm changes invalidate old checkpoints'
+            # numerics ("algo": the round-4 forward-only stats DP
+            # replaced the path-mask reduction; same path, float
+            # rounding differs ~1e-6 — mixing tiles across algorithms
+            # would break the bitwise kill+resume contract)
+            "wire": "u16" if u16_wire else "f32",
+            "algo": "path-stats"}
     if checkpoint_path is not None:
         import json as _json
         import os as _os

@@ -208,3 +208,41 @@ def test_dtw_path_from_dist_dispatch():
     for use_pallas in (True, False):
         out = dtw_path_from_dist(dist, n1, n2, use_pallas=use_pallas)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_dtw_path_stats_matches_mask_route():
+    """The forward-only stats DP must reproduce the mask route exactly:
+    integer-equal path lengths (same backtrace chain — the per-cell
+    argmin priorities are moves_from_costs'), path sums to float-
+    reduction rounding. Includes rectangular/ragged shapes and an
+    all-ties constant matrix (diag-preferred chains)."""
+    from abnet3_tpu.ops.dtw import dtw_path_from_dist, dtw_path_stats
+
+    rng = np.random.RandomState(11)
+    cases = []
+    for _ in range(8):
+        B = rng.randint(1, 7)
+        T1 = rng.randint(1, 33)
+        T2 = rng.randint(1, 33)
+        dist = rng.rand(B, T1, T2).astype(np.float32)
+        n1 = rng.randint(1, T1 + 1, B).astype(np.int32)
+        n2 = rng.randint(1, T2 + 1, B).astype(np.int32)
+        cases.append((dist, n1, n2))
+    # engineered exact ties: constant and blockwise-constant matrices
+    cases.append((np.full((3, 9, 6), 0.125, np.float32),
+                  np.array([9, 4, 1], np.int32),
+                  np.array([6, 6, 3], np.int32)))
+    tiled = np.kron(rng.rand(2, 3, 2).astype(np.float32),
+                    np.ones((1, 4, 8), np.float32))
+    cases.append((tiled, np.array([12, 7], np.int32),
+                  np.array([16, 9], np.int32)))
+    for dist, n1, n2 in cases:
+        d = jnp.asarray(dist)
+        A = dtw_path_from_dist(d, jnp.asarray(n1), jnp.asarray(n2),
+                               use_pallas=False)
+        psum, plen = dtw_path_stats(d, jnp.asarray(n1), jnp.asarray(n2))
+        np.testing.assert_array_equal(np.asarray(plen),
+                                      np.asarray(jnp.sum(A, (1, 2))))
+        np.testing.assert_allclose(
+            np.asarray(psum), np.asarray(jnp.sum(d * A, (1, 2))),
+            atol=3e-5, rtol=1e-5)
