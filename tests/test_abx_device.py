@@ -1,0 +1,231 @@
+"""Device ABX scoring (eval/abx_device.py): bit-identical to the host
+scorer, straight off the device-resident distance matrix."""
+
+import numpy as np
+import pytest
+
+from abnet3_tpu.eval.abx import abx_error, distance_matrix
+from abnet3_tpu.eval.abx_device import (DeviceMatrix, abx_error_device,
+                                        upload_matrix)
+from abnet3_tpu.ops.bank import TokenBank
+
+
+def _quantized_matrix(rng, n, levels=64):
+    """Symmetric distance matrix with REAL TIES (few quantization
+    levels) — the 0.5 tie weight must survive the device path."""
+    d = rng.randint(0, levels, size=(n, n)).astype(np.float32) / levels
+    d = np.triu(d, 1)
+    d = d + d.T
+    return d
+
+
+def _inventory(rng, n, n_classes, n_speakers):
+    labels = rng.randint(0, n_classes, n)
+    speakers = rng.randint(0, n_speakers, n)
+    return ([f"c{v:03d}" for v in labels],
+            [f"s{v:02d}" for v in speakers])
+
+
+def _assert_same(host, dev):
+    assert dev["n_cells"] == host["n_cells"]
+    assert dev["n_triplets"] == host["n_triplets"]
+    if np.isnan(host["error"]):
+        assert np.isnan(dev["error"])
+    else:
+        # bit-identical, not approximately equal
+        assert dev["error"] == host["error"], (dev, host)
+
+
+@pytest.mark.parametrize("task", ["across", "within"])
+def test_device_matches_host_with_ties(task):
+    rng = np.random.RandomState(0)
+    D = _quantized_matrix(rng, 60)
+    labels, speakers = _inventory(rng, 60, 7, 3)
+    host = abx_error(D, labels, speakers, task=task)
+    dev = abx_error_device(D, labels, speakers, task=task)
+    _assert_same(host, dev)
+
+
+@pytest.mark.parametrize("task", ["across", "within"])
+def test_device_matches_host_sparse_occupancy(task):
+    """Singleton classes, single-speaker classes, absent (c, s) combos
+    — the empty-cell bookkeeping must agree exactly."""
+    rng = np.random.RandomState(1)
+    n = 40
+    D = _quantized_matrix(rng, n, levels=16)
+    # skewed inventory: many classes, few tokens each
+    labels, speakers = _inventory(rng, n, 18, 5)
+    labels[0] = "c_only"          # singleton class
+    labels[1] = labels[2] = "c_one_spk"
+    speakers[1] = speakers[2] = "s00"   # class with a single speaker
+    host = abx_error(D, labels, speakers, task=task)
+    dev = abx_error_device(D, labels, speakers, task=task)
+    _assert_same(host, dev)
+
+
+def test_device_matches_host_float16():
+    """float16 host matrices compare as float16 on both paths."""
+    rng = np.random.RandomState(2)
+    D = _quantized_matrix(rng, 48).astype(np.float16)
+    labels, speakers = _inventory(rng, 48, 6, 3)
+    host = abx_error(D, labels, speakers, task="across")
+    dev = abx_error_device(D, labels, speakers, task="across")
+    _assert_same(host, dev)
+
+
+def test_device_chunk_padding():
+    """chunk smaller than any speaker's anchor count exercises the
+    padded-anchor masking."""
+    rng = np.random.RandomState(3)
+    D = _quantized_matrix(rng, 30)
+    labels, speakers = _inventory(rng, 30, 5, 2)
+    host = abx_error(D, labels, speakers, task="across")
+    dev = abx_error_device(D, labels, speakers, task="across", chunk=4)
+    _assert_same(host, dev)
+
+
+def test_device_by_conditioning():
+    rng = np.random.RandomState(4)
+    n = 36
+    D = _quantized_matrix(rng, n)
+    labels, speakers = _inventory(rng, n, 4, 3)
+    by = [("ctx%d" % (i % 2),) for i in range(n)]
+    host = abx_error(D, labels, speakers, task="across", by=by)
+    dev = abx_error_device(D, labels, speakers, task="across", by=by)
+    _assert_same(host, dev)
+
+
+def test_device_single_class_nan():
+    rng = np.random.RandomState(5)
+    D = _quantized_matrix(rng, 10)
+    labels = ["same"] * 10
+    speakers = [f"s{i % 3}" for i in range(10)]
+    host = abx_error(D, labels, speakers, task="across")
+    dev = abx_error_device(D, labels, speakers, task="across")
+    _assert_same(host, dev)
+    assert np.isnan(dev["error"]) and dev["n_cells"] == 0
+
+
+def test_device_upload_chunked():
+    rng = np.random.RandomState(6)
+    D = _quantized_matrix(rng, 24)
+    labels, speakers = _inventory(rng, 24, 4, 2)
+    host = abx_error(D, labels, speakers)
+    dm = upload_matrix(D, chunk_rows=7)
+    assert isinstance(dm, DeviceMatrix) and len(dm) == 24
+    dev = abx_error_device(dm, labels, speakers)
+    _assert_same(host, dev)
+
+
+def test_device_guard_giant_cell():
+    """Cells past 2^24 triplets would round in float32 bins — the
+    scorer must refuse, not return a rounded score."""
+    # 2 classes x 2 speakers, 600 tokens each -> cnt per across cell =
+    # sum_s 600*600*600 * 2 >= 2^24 without needing a real matrix
+    n = 2400
+    labels = np.repeat(["a", "b"], n // 2)
+    speakers = np.tile(np.repeat(["s0", "s1"], n // 4), 2)
+    D = np.zeros((n, n), np.float32)
+    with pytest.raises(ValueError, match="2\\^24"):
+        abx_error_device(D, labels, speakers, task="across")
+
+
+@pytest.mark.parametrize("distance", ["dtw_cos", "mean_cos"])
+def test_device_out_matrix_matches_host(distance):
+    """distance_matrix(device_out=True): the HBM-assembled wire matrix
+    decodes exactly to the host matrix (incl. mirrored diagonal tiles),
+    and scoring the handle is bit-identical to scoring the host
+    matrix."""
+    rng = np.random.RandomState(7)
+    n = 40
+    feats = {i: rng.randn(rng.randint(6, 20), 12).astype(np.float32)
+             for i in range(n)}
+    bank = TokenBank(feats)
+    D, handle = distance_matrix(bank, distance=distance, batch_size=16,
+                                strategy="tiles", device_out=True)
+    assert isinstance(handle, DeviceMatrix) and len(handle) == n
+    # the device matrix holds u16 wire values; its decode must equal
+    # the host matrix bit-for-bit (same mirroring, zero diagonal)
+    q = np.asarray(handle.array)[:n, :n]
+    dec = (q.astype(np.float32)
+           * np.float32(1.0 / 65535.0)).astype(D.dtype)
+    np.testing.assert_array_equal(dec, D)
+    labels = [f"c{i % 5}" for i in range(n)]
+    speakers = [f"s{i % 3}" for i in range(n)]
+    host = abx_error(D, labels, speakers)
+    dev = abx_error_device(handle, labels, speakers)
+    _assert_same(host, dev)
+
+
+def test_device_out_pairs_strategy():
+    """The pairs strategy returns an uploaded host matrix as the
+    handle; scoring it matches the host scorer."""
+    rng = np.random.RandomState(8)
+    n = 16
+    feats = {i: rng.randn(rng.randint(5, 12), 8).astype(np.float32)
+             for i in range(n)}
+    bank = TokenBank(feats)
+    D, handle = distance_matrix(bank, batch_size=32, strategy="pairs",
+                                device_out=True)
+    labels = [f"c{i % 4}" for i in range(n)]
+    speakers = [f"s{i % 2}" for i in range(n)]
+    _assert_same(abx_error(D, labels, speakers),
+                 abx_error_device(handle, labels, speakers))
+
+
+def test_device_out_resume_uploads_host(tmp_path):
+    """A resumed checkpoint run returns a handle built from the host
+    matrix (the device buffer never saw the restored tiles)."""
+    rng = np.random.RandomState(9)
+    n = 32
+    feats = {i: rng.randn(10, 8).astype(np.float32) for i in range(n)}
+    ck = str(tmp_path / "dm")
+    D1 = distance_matrix(TokenBank(feats), batch_size=8,
+                         strategy="tiles", checkpoint_path=ck)
+    # rerun: all tiles restored from the checkpoint
+    D2, handle = distance_matrix(TokenBank(feats), batch_size=8,
+                                 strategy="tiles", checkpoint_path=ck,
+                                 device_out=True)
+    np.testing.assert_array_equal(np.asarray(D1), np.asarray(D2))
+    labels = [f"c{i % 4}" for i in range(n)]
+    speakers = [f"s{i % 2}" for i in range(n)]
+    _assert_same(abx_error(np.asarray(D2), labels, speakers),
+                 abx_error_device(handle, labels, speakers))
+
+
+def test_evaluate_score_backend_device(tmp_path):
+    """evaluate(score_backend='device') end-to-end equals the host
+    backend on the same corpus."""
+    from abnet3_tpu.eval.abx import evaluate
+    from abnet3_tpu.io.h5f import write_h5features
+
+    rng = np.random.RandomState(10)
+    items, labs, feats = [], [], []
+    classes_lines = []
+    tid = 0
+    for c in range(4):
+        tokens = []
+        for s in range(2):
+            for k in range(2):
+                name = f"f{tid:02d}"
+                T = rng.randint(8, 16)
+                items.append(name)
+                labs.append(np.arange(T, dtype=np.float64) * 0.01 + 0.005)
+                feats.append(rng.randn(T, 6).astype(np.float32))
+                tokens.append(f"{name} 0.0 {T * 0.01:.3f}")
+                tid += 1
+        classes_lines.append("Class %d\n%s\n" % (c, "\n".join(tokens)))
+    fp = str(tmp_path / "f.h5f")
+    write_h5features(fp, "features", items, labs, feats)
+    cp = str(tmp_path / "c.classes")
+    with open(cp, "w") as f:
+        f.write("\n".join(classes_lines))
+    spk = str(tmp_path / "spk.txt")
+    with open(spk, "w") as f:
+        for i in range(tid):
+            f.write(f"f{i:02d} spk{i % 2}\n")
+    host = evaluate(fp, cp, spkid_file=spk, score_backend="host")
+    dev = evaluate(fp, cp, spkid_file=spk, score_backend="device")
+    assert dev["error"] == host["error"]
+    assert dev["n_cells"] == host["n_cells"]
+    assert dev["n_triplets"] == host["n_triplets"]
