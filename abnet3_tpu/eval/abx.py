@@ -278,7 +278,8 @@ def distance_matrix(bank, distance: str = "dtw_cos",
                     out_dtype=np.float32,
                     strategy: str = "auto",
                     checkpoint_path: Optional[str] = None,
-                    device_out: bool = False):
+                    device_out: bool = False,
+                    host_out: bool = True):
     """All-pairs normalized token distances: (N, N) ``out_dtype``, zero
     diagonal, symmetric.
 
@@ -317,7 +318,15 @@ def distance_matrix(bank, distance: str = "dtw_cos",
     abx_error_device` can score without re-uploading ~2 B * N^2
     through the tunnel. Resumed runs (tiles restored from a
     checkpoint) and the pairs strategy upload the finished host matrix
-    instead — same comparisons either way."""
+    instead — same comparisons either way.
+
+    ``host_out=False`` (requires ``device_out=True``, no checkpoint;
+    tiles strategy) skips the host matrix entirely: tiles land ONLY in
+    the device matrix and the first tuple element returns ``None``. At
+    N=30k that drops ~465 x 2 MB of capped d2h tile fetches (~20-40 s
+    through this tunnel) that a device-scored run would never read;
+    every 8th tile a one-element probe of the device matrix provides
+    the dispatch backpressure the fetches used to."""
     import jax
     import jax.numpy as jnp
     from abnet3_tpu.ops.dtw import (dtw_path_stats_auto,
@@ -327,6 +336,13 @@ def distance_matrix(bank, distance: str = "dtw_cos",
     assert distance in ("dtw_cos", "dtw_kl", "mean_cos")
     assert strategy in ("auto", "pairs", "tiles")
     N = len(bank)
+    if not host_out:
+        if not device_out:
+            raise ValueError("host_out=False without device_out=True "
+                             "would compute nothing")
+        if checkpoint_path is not None:
+            raise ValueError("host_out=False cannot checkpoint (tiles "
+                             "are never fetched to the host)")
     if checkpoint_path is not None and strategy != "tiles":
         if strategy == "pairs":
             raise ValueError("checkpoint_path requires the tiles "
@@ -460,7 +476,7 @@ def distance_matrix(bank, distance: str = "dtw_cos",
                 _json.dump(dict(meta, done=sorted(done)), f)
             _os.replace(tmp, prog_path)
     else:
-        D = np.zeros((N, N), out_dtype)
+        D = np.zeros((N, N), out_dtype) if host_out else None
 
         def record(ti, tj):
             pass
@@ -473,8 +489,10 @@ def distance_matrix(bank, distance: str = "dtw_cos",
     pending: List[Tuple[int, int, object]] = []
     window = 4
 
+    n_drained = 0
+
     def drain_one():
-        nonlocal dev
+        nonlocal dev, n_drained
         ti, tj, out = pending.pop(0)
         i0, j0 = starts[ti], starts[tj]
         if dev is not None and not dev_stale:
@@ -482,6 +500,14 @@ def distance_matrix(bank, distance: str = "dtw_cos",
                 dev = upd_diag(dev, out, np.int32(i0))
             else:
                 dev = upd_off(dev, out, np.int32(i0), np.int32(j0))
+        n_drained += 1
+        if not host_out:
+            # no tile fetch: a periodic one-element probe of the device
+            # matrix is the backpressure that keeps the dispatch queue
+            # bounded (the probe waits on every update before it)
+            if n_drained % 8 == 0:
+                np.asarray(dev[:1, :1])
+            return
         ni = min(block, N - i0)
         nj = min(block, N - j0)
         vals = decode(np.asarray(out)[:ni, :nj], out_dtype)
@@ -513,7 +539,8 @@ def distance_matrix(bank, distance: str = "dtw_cos",
                 drain_one()
     while pending:
         drain_one()
-    np.fill_diagonal(D, 0)
+    if host_out:
+        np.fill_diagonal(D, 0)
     if device_out:
         from abnet3_tpu.eval.abx_device import (DeviceMatrix,
                                                 upload_matrix)
@@ -947,27 +974,34 @@ def evaluate(features_path: str, classes_path: str,
     use_device = (score_backend == "device"
                   or (score_backend == "auto" and task == "across"
                       and len(bank) >= _TILE_MIN_TOKENS))
+    if use_device:
+        from abnet3_tpu.eval.abx_device import (abx_error_device,
+                                                device_scorable)
+        # checked BEFORE the distance stage: once host_out=False skips
+        # the tile fetches there is no host matrix to fall back to
+        if not device_scorable(labels, speakers, task):
+            if score_backend == "device":
+                raise ValueError(
+                    "score_backend='device': a cell of this inventory "
+                    "carries >= 2^24 triplets (float32 device bins "
+                    "would round); use the host backend")
+            use_device = False
+    # by-conditioning re-slices the host matrix per group, and a
+    # checkpointed run wants the memmap — otherwise a device-scored
+    # run never fetches the tiles at all (host_out=False)
+    keep_host = bool(item_by) or checkpoint_path is not None
     result = distance_matrix(bank, distance=distance,
                              batch_size=batch_size,
                              mesh=mesh, max_frames=max_frames,
                              out_dtype=out_dtype,
                              checkpoint_path=checkpoint_path,
-                             device_out=use_device)
+                             device_out=use_device,
+                             host_out=(not use_device) or keep_host)
     if use_device:
-        from abnet3_tpu.eval.abx_device import abx_error_device
         D, handle = result
-        try:
-            # by-conditioning re-slices the matrix per group -> host
-            # ndarray; otherwise score straight off the device matrix
-            out = abx_error_device(D if item_by else handle, labels,
-                                   speakers, task=task,
-                                   by=by_keys if item_by else None)
-        except ValueError:
-            if score_backend == "device":
-                raise
-            out = abx_error(D, labels, speakers, task=task,
-                            by=by_keys if item_by else None,
-                            n_jobs=n_jobs)
+        out = abx_error_device(D if item_by else handle, labels,
+                               speakers, task=task,
+                               by=by_keys if item_by else None)
     else:
         D = result
         out = abx_error(D, labels, speakers, task=task,

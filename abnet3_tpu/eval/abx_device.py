@@ -71,7 +71,8 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-__all__ = ["DeviceMatrix", "upload_matrix", "abx_error_device"]
+__all__ = ["DeviceMatrix", "upload_matrix", "abx_error_device",
+           "device_scorable"]
 
 # anchors per dispatch: 256 keeps the (chunk, max_b, max_x) comparison
 # cube tens of MB at ZeroSpeech shapes (max_b ~ 64, max_x ~ 1500 ->
@@ -269,6 +270,27 @@ def _cell_counts(n_cs: np.ndarray, task: str) -> np.ndarray:
         cnt = (A * np.maximum(A - 1.0, 0.0))[:, None, :] * A[None, :, :]
         cnt[np.arange(C), np.arange(C), :] = 0.0
     return cnt
+
+
+def device_scorable(labels: Sequence, speakers: Sequence,
+                    task: str = "across") -> bool:
+    """True when the device scorer can count this inventory exactly
+    (every cell below 2^24 triplets — the float32-bin exactness bound).
+    Cheap (histogram math only): callers that want to skip the host
+    matrix entirely check this BEFORE the distance stage, so no
+    fallback ever needs a matrix that was never fetched."""
+    labels = np.asarray(labels)
+    speakers = np.asarray(speakers)
+    _, cls = _dense_ids(labels)
+    _, spk = _dense_ids(speakers)
+    C, S = int(cls.max()) + 1 if len(cls) else 0, \
+        int(spk.max()) + 1 if len(spk) else 0
+    if not C:
+        return True
+    n_cs = np.zeros((C, S), np.int64)
+    np.add.at(n_cs, (cls, spk), 1)
+    cnt = _cell_counts(n_cs, task)
+    return not cnt.size or float(cnt.max()) < _F32_EXACT
 
 
 def abx_error_device(D, labels: Sequence, speakers: Sequence,

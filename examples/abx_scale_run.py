@@ -70,11 +70,21 @@ def main():
                     choices=("dtw_cos", "dtw_kl", "mean_cos"))
     ap.add_argument("--checkpoint", default=None,
                     help="resumable tile checkpoint path (memmap + log)")
+    ap.add_argument("--score-backend", default="device",
+                    choices=("host", "device"),
+                    help="'device' scores triplets on the chip over the "
+                         "device-resident matrix (bit-identical error; "
+                         "without --checkpoint the tiles are never even "
+                         "fetched to the host); 'host' is the numpy "
+                         "occupied-cell scorer")
+    ap.add_argument("--n-jobs", type=int, default=1,
+                    help="host-backend scoring workers (fork pool)")
     ap.add_argument("--out", default=None, help="write stage timings JSON")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
     from abnet3_tpu.eval.abx import abx_error, distance_matrix
+    from abnet3_tpu.eval.abx_device import abx_error_device
     from abnet3_tpu.ops.bank import TokenBank
 
     stages = {}
@@ -97,26 +107,43 @@ def main():
     print(f"[bank] ({len(bank)}, {bank.max_len}, {bank.dim}) = {gb:.2f} GB "
           f"uploaded in {stages['bank_upload_s']}s")
 
+    use_device = args.score_backend == "device"
     t0 = time.time()
-    D = distance_matrix(bank, distance=args.distance,
-                        checkpoint_path=args.checkpoint,
-                        strategy="tiles")
+    result = distance_matrix(bank, distance=args.distance,
+                             checkpoint_path=args.checkpoint,
+                             strategy="tiles", device_out=use_device,
+                             # without a checkpoint a device-scored run
+                             # never fetches the tiles at all
+                             host_out=(not use_device
+                                       or args.checkpoint is not None))
+    D, handle = result if use_device else (result, None)
+    if handle is not None and D is None:
+        # fetch-free mode: force the in-flight tail so the distance
+        # stage's clock covers its own work (value probe, not
+        # block_until_ready — the axon block can return early)
+        np.asarray(handle.array[:1, :1])
     stages["distance_s"] = round(time.time() - t0, 1)
     n_pairs = args.n * (args.n - 1) // 2
     print(f"[distance] {n_pairs / 1e6:.1f}M token pairs ({args.distance}, "
           f"tiles) in {stages['distance_s']}s = "
           f"{n_pairs / max(stages['distance_s'], 1e-9) / 1e3:.0f}k pairs/s "
-          "incl. compile")
+          "incl. compile"
+          + (" (fetch-free: tiles stayed on device)" if D is None else ""))
 
     t0 = time.time()
-    res = abx_error(D, labels, speakers, task="across")
+    if use_device:
+        res = abx_error_device(handle, labels, speakers, task="across")
+    else:
+        res = abx_error(D, labels, speakers, task="across",
+                        n_jobs=args.n_jobs)
     stages["score_s"] = round(time.time() - t0, 1)
     print(f"[score] across-speaker ABX {res['error']:.4f} over "
           f"{res['n_triplets']:,} triplets / {res['n_cells']:,} cells "
           f"in {stages['score_s']}s")
 
     stages.update(n=args.n, distance=args.distance, abx=res["error"],
-                  n_triplets=res["n_triplets"])
+                  n_triplets=res["n_triplets"],
+                  score_backend=args.score_backend)
     if args.out:
         with open(args.out, "w") as fh:
             json.dump(stages, fh, indent=1)

@@ -193,6 +193,45 @@ def test_device_out_resume_uploads_host(tmp_path):
                  abx_error_device(handle, labels, speakers))
 
 
+def test_device_only_no_host_matrix():
+    """host_out=False: tiles are never fetched; the device matrix alone
+    scores bit-identically to a host-fetched run."""
+    rng = np.random.RandomState(12)
+    n = 40
+    feats = {i: rng.randn(rng.randint(6, 20), 12).astype(np.float32)
+             for i in range(n)}
+    D = distance_matrix(TokenBank(feats), batch_size=16,
+                        strategy="tiles")
+    none_D, handle = distance_matrix(TokenBank(feats), batch_size=16,
+                                     strategy="tiles", device_out=True,
+                                     host_out=False)
+    assert none_D is None
+    labels = [f"c{i % 5}" for i in range(n)]
+    speakers = [f"s{i % 3}" for i in range(n)]
+    _assert_same(abx_error(D, labels, speakers),
+                 abx_error_device(handle, labels, speakers))
+
+
+def test_device_only_guards():
+    rng = np.random.RandomState(13)
+    feats = {i: rng.randn(8, 6).astype(np.float32) for i in range(8)}
+    bank = TokenBank(feats)
+    with pytest.raises(ValueError, match="device_out"):
+        distance_matrix(bank, strategy="tiles", host_out=False)
+    with pytest.raises(ValueError, match="checkpoint"):
+        distance_matrix(bank, strategy="tiles", device_out=True,
+                        host_out=False, checkpoint_path="/tmp/x")
+
+
+def test_device_scorable():
+    from abnet3_tpu.eval.abx_device import device_scorable
+    assert device_scorable(["a", "b"] * 10, ["s0", "s1"] * 10)
+    n = 2400
+    labels = np.repeat(["a", "b"], n // 2)
+    speakers = np.tile(np.repeat(["s0", "s1"], n // 4), 2)
+    assert not device_scorable(labels, speakers, "across")
+
+
 def test_evaluate_score_backend_device(tmp_path):
     """evaluate(score_backend='device') end-to-end equals the host
     backend on the same corpus."""
