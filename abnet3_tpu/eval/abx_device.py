@@ -37,6 +37,13 @@ regrouped by what they share:
   143-383 s on this environment's remote compile service, a flat chunk
   kernel compiles like the small pair executable and the Python chunk
   loop costs one ~50 ms dispatch per ``chunk`` anchors.
+- The chunk loop is zero-h2d: every per-chunk table (anchor ids, valid
+  masks, chunk->speaker map) is staged onto the device ONCE and the
+  kernel selects its chunk with a device-resident counter chained
+  through the call (bins, counter) -> (bins, counter+1). Fresh numpy
+  arguments cost an ~100 ms RPC per dispatch through the dev tunnel
+  (CLAUDE.md) — at N=30k that was ~240 RPCs of pure latency; with
+  all-device arguments the dispatches pipeline at enqueue rate.
 
 Bit-identical to the host scorer
 --------------------------------
@@ -132,17 +139,27 @@ def _compare_dtype(wire_dtype):
 
 def _make_chunk_kernel(C: int, max_b: int, max_x: int, Ca: int,
                        wire_dtype):
-    """One jitted dispatch: score ``Ca`` anchors (all one speaker)
-    against their B sets and the speaker's class-sorted X table,
-    accumulating greater/equal counts into donated (C+1, C) float32
-    bins (row C is the dump row for padded anchors)."""
+    """One jitted dispatch: score chunk ``i`` (``Ca`` anchors, all one
+    speaker — read from device-staged chunk tables with a device-
+    resident counter) against its B sets and the speaker's class-sorted
+    X table, accumulating greater/equal counts into donated (C+1, C)
+    float32 bins (row C is the dump row for padded anchors). Every
+    argument is device-resident, so the call enqueues without a single
+    h2d RPC (module docstring)."""
     import jax
     import jax.numpy as jnp
 
     cdt = _compare_dtype(wire_dtype)
 
-    def step(Dq, a_ids, a_valid, cls_tab, b_ids_tab, b_cnt_tab,
-             x_ids, x_seg, x_cnt, gt_bins, eq_bins):
+    def step(Dq, cls_tab, b_ids_tab, b_cnt_tab, x_ids_tab, x_seg_tab,
+             x_cnt_tab, sel_tab, valid_tab, spk_tab, state):
+        gt_bins, eq_bins, i = state
+        a_ids = sel_tab[i]                              # (Ca,)
+        a_valid = valid_tab[i]                          # (Ca,) bool
+        s = spk_tab[i]
+        x_ids = x_ids_tab[s]                            # (max_x,)
+        x_seg = x_seg_tab[s]
+        x_cnt = x_cnt_tab[s]
         # one row gather per anchor, then column gathers out of the rows
         rows = Dq[a_ids].astype(cdt)                    # (Ca, Np)
         b_ids = b_ids_tab[a_ids]                        # (Ca, max_b)
@@ -167,11 +184,10 @@ def _make_chunk_kernel(C: int, max_b: int, max_x: int, Ca: int,
         row = jnp.where(a_valid, cls_tab[a_ids], C)
         gt_bins = gt_bins.at[row].add(gt_c[:C].T)
         eq_bins = eq_bins.at[row].add(eq_c[:C].T)
-        return gt_bins, eq_bins
+        return gt_bins, eq_bins, i + 1
 
-    import jax as _jax
-    donate = () if _jax.default_backend() == "cpu" else (9, 10)
-    return _jax.jit(step, donate_argnums=donate)
+    donate = () if jax.default_backend() == "cpu" else (10,)
+    return jax.jit(step, donate_argnums=donate)
 
 
 def _fetch_rows(dev, n_rows: int, n_cols: int,
@@ -366,23 +382,19 @@ def abx_error_device(D, labels: Sequence, speakers: Sequence,
     wire = np.dtype(dm.array.dtype)
     kernel = _make_chunk_kernel(C, max_b, max_x, chunk, wire)
 
-    d_cls = jax.device_put(cls)
-    d_b_ids = jax.device_put(b_ids)
-    d_b_cnt = jax.device_put(b_cnt)
+    # static tables: one h2d each for the whole scoring run
+    statics = tuple(jax.device_put(a) for a in (
+        cls, b_ids, b_cnt, x_ids, x_seg, x_cnt.astype(np.int32)))
     by_speaker = [np.flatnonzero(spk == s) for s in range(S)]
 
     def run_bins(speaker_list) -> Tuple[np.ndarray, np.ndarray]:
         """Score the anchors of the given speakers into fresh bins;
         returns host float64 (C, C) greater/equal count matrices."""
-        gt_bins = jnp.zeros((C + 1, C), jnp.float32)
-        eq_bins = jnp.zeros((C + 1, C), jnp.float32)
+        sels: List[np.ndarray] = []
+        valids: List[np.ndarray] = []
+        spks: List[int] = []
         for s in speaker_list:
             anchors = by_speaker[s]
-            if not len(anchors):
-                continue
-            xi = jax.device_put(x_ids[s])
-            xs = jax.device_put(x_seg[s])
-            xc = int(x_cnt[s])
             for c0 in range(0, len(anchors), chunk):
                 sel = anchors[c0:c0 + chunk].astype(np.int32)
                 a_valid = np.ones(chunk, bool)
@@ -390,10 +402,23 @@ def abx_error_device(D, labels: Sequence, speakers: Sequence,
                 if pad:
                     a_valid[len(sel):] = False
                     sel = np.concatenate([sel, np.zeros(pad, np.int32)])
-                gt_bins, eq_bins = kernel(
-                    dm.array, jax.device_put(sel),
-                    jax.device_put(a_valid), d_cls, d_b_ids, d_b_cnt,
-                    xi, xs, xc, gt_bins, eq_bins)
+                sels.append(sel)
+                valids.append(a_valid)
+                spks.append(s)
+        if not sels:
+            z = np.zeros((C, C), np.float64)
+            return z, z.copy()
+        # per-chunk tables: staged in ONE h2d each; the kernel indexes
+        # them with the device-resident counter chained through state
+        chunk_tabs = (jax.device_put(np.stack(sels)),
+                      jax.device_put(np.stack(valids)),
+                      jax.device_put(np.asarray(spks, np.int32)))
+        state = (jnp.zeros((C + 1, C), jnp.float32),
+                 jnp.zeros((C + 1, C), jnp.float32),
+                 jnp.zeros((), jnp.int32))
+        for _ in range(len(sels)):
+            state = kernel(dm.array, *statics, *chunk_tabs, state)
+        gt_bins, eq_bins, _ = state
         gt = _fetch_rows(gt_bins, C + 1, C)[:C].astype(np.float64)
         eq = _fetch_rows(eq_bins, C + 1, C)[:C].astype(np.float64)
         return gt, eq
