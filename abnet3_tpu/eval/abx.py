@@ -530,10 +530,13 @@ def distance_matrix(bank, distance: str = "dtw_cos",
                 continue
             ids_j, _ = tile_ids(tj)
             out = tile(ids_i, ids_j)
-            try:
-                out.copy_to_host_async()
-            except AttributeError:
-                pass
+            if host_out:
+                # prefetch the tile the drain will read; in fetch-free
+                # mode this copy would ship the 2 MB nobody reads
+                try:
+                    out.copy_to_host_async()
+                except AttributeError:
+                    pass
             pending.append((ti, tj, out))
             if len(pending) >= window:
                 drain_one()
