@@ -272,6 +272,31 @@ def _pairs_distance_matrix(bank, distance, batch_size, mesh, max_frames,
 _TILE_MIN_TOKENS = 2048
 
 
+def _tile_rows_per_step(block: int, T: int) -> int:
+    """Anchor rows scored per tile-scan step (the dtw tile kernels).
+
+    Each scan step runs the forward stats DP on an (R*block, T, T) pair
+    batch: R-fold fewer sequential scan steps per tile at an R-fold
+    larger per-step VPU batch — the DP's per-step elementwise work is
+    far below VPU saturation at block=1024, T<=96, so widening the
+    batch amortizes the scan/DP step overheads that dominate tile wall.
+    R is capped so the per-step (R*block, T, T) float32 distance
+    transient stays <= ~256 MB of HBM (the same 1<<26-element budget
+    _auto_block applies per row) and reduced to a divisor of ``block``
+    so the scan covers the tile exactly. ``ABNET3_TILE_ROWS`` overrides
+    (1 restores the row-at-a-time kernel)."""
+    import os
+    want = os.environ.get("ABNET3_TILE_ROWS")
+    if want:
+        r = max(1, min(int(want), block))
+    else:
+        cap = max(1, int((1 << 26) / max(block * T * T, 1)))
+        r = min(8, cap, block)
+    while block % r:
+        r -= 1
+    return r
+
+
 def distance_matrix(bank, distance: str = "dtw_cos",
                     batch_size: int = 1024, mesh=None,
                     max_frames: Optional[int] = None,
@@ -393,24 +418,37 @@ def distance_matrix(bank, distance: str = "dtw_cos",
         frame_dist = (pairwise_kl_distance if distance == "dtw_kl"
                       else pairwise_angular_distance)
         view = bank.view() if hasattr(bank, "view") else bank
+        R = _tile_rows_per_step(block, T)
 
         @jax.jit
         def tile_impl(bv, ids_i, ids_j):
             fj, nj = bv.take(ids_j, T)
+            d = fj.shape[-1]
 
-            def row(_, id_i):
-                fi, ni = bv.take(id_i[None], T)
-                f1 = jnp.broadcast_to(fi, fj.shape)
-                n1 = jnp.broadcast_to(ni, nj.shape)
-                dist = frame_dist(f1, fj)
+            def row(_, ids_g):
+                # R anchor rows per step: every anchor of the group
+                # against all block columns in ONE stats-DP batch —
+                # per-pair math is batch-independent, so results are
+                # bitwise equal to the row-at-a-time kernel
+                # (tests/test_abx.py::test_tile_row_batch_bitwise)
+                fi, ni = bv.take(ids_g, T)               # (R, T, d)
+                f1 = jnp.broadcast_to(
+                    fi[:, None], (R, block, T, d)).reshape(R * block, T, d)
+                n1 = jnp.broadcast_to(ni[:, None], (R, block)).reshape(-1)
+                f2 = jnp.broadcast_to(
+                    fj[None], (R, block, T, d)).reshape(R * block, T, d)
+                n2 = jnp.broadcast_to(nj[None], (R, block)).reshape(-1)
+                dist = frame_dist(f1, f2)
                 # forward-only stats DP: no (B, T1, T2) mask/cost tensors
                 # (see make_pair_distance_fn; 94% of tile wall was the
                 # mask route, round-4 profile)
-                psum, plen = dtw_path_stats_auto(dist, n1, nj, mesh=mesh)
-                return None, psum / jnp.maximum(plen, 1.0)
+                psum, plen = dtw_path_stats_auto(dist, n1, n2, mesh=mesh)
+                return None, (psum / jnp.maximum(plen, 1.0)
+                              ).reshape(R, block)
 
-            _, rows = jax.lax.scan(row, None, ids_i)
-            return encode(rows)
+            _, rows = jax.lax.scan(row, None,
+                                   ids_i.reshape(block // R, R))
+            return encode(rows.reshape(block, block))
 
         def tile(ids_i, ids_j):
             return tile_impl(view, ids_i, ids_j)

@@ -440,6 +440,59 @@ def test_distance_matrix_strategies_agree():
     np.testing.assert_allclose(Dm_p, Dm_t, atol=1e-3)
 
 
+def test_tile_row_batch_bitwise(monkeypatch):
+    """The row-batched tile kernel (R anchor rows per scan step) is
+    BITWISE equal to the row-at-a-time kernel: per-pair math is
+    batch-size independent, so only the scan grouping changes. Bitwise
+    matters because checkpoint metadata does not key on R — resuming a
+    matrix across the two kernels must stay within the kill+resume
+    contract."""
+    from abnet3_tpu.eval.abx import _tile_rows_per_step
+    feats = _tokens(n=24, seed=3)
+    bank = TokenBank(feats)
+    assert _tile_rows_per_step(8, bank.max_len) > 1  # default batches
+    monkeypatch.setenv("ABNET3_TILE_ROWS", "1")
+    D1 = distance_matrix(bank, batch_size=8, strategy="tiles")
+    monkeypatch.setenv("ABNET3_TILE_ROWS", "4")
+    D4 = distance_matrix(bank, batch_size=8, strategy="tiles")
+    monkeypatch.delenv("ABNET3_TILE_ROWS")
+    Dauto = distance_matrix(bank, batch_size=8, strategy="tiles")
+    np.testing.assert_array_equal(D1, D4)
+    np.testing.assert_array_equal(D1, Dauto)
+    # dtw_kl ships float32 tiles — same bitwise contract
+    rng = np.random.RandomState(5)
+    post = {i: rng.dirichlet(np.ones(6), size=rng.randint(5, 12))
+            .astype(np.float32) for i in range(12)}
+    pbank = TokenBank(post)
+    monkeypatch.setenv("ABNET3_TILE_ROWS", "1")
+    K1 = distance_matrix(pbank, distance="dtw_kl", batch_size=4,
+                         strategy="tiles")
+    monkeypatch.setenv("ABNET3_TILE_ROWS", "2")
+    K2 = distance_matrix(pbank, distance="dtw_kl", batch_size=4,
+                         strategy="tiles")
+    np.testing.assert_array_equal(K1, K2)
+
+
+def test_tile_rows_per_step_contract():
+    """R divides block, respects the HBM transient cap, honors the env
+    override, and never exceeds block."""
+    from abnet3_tpu.eval.abx import _tile_rows_per_step
+    for block in (8, 24, 32, 720, 1024):
+        for T in (16, 96, 256, 1024):
+            r = _tile_rows_per_step(block, T)
+            assert 1 <= r <= block and block % r == 0
+            if r > 1:
+                assert r * block * T * T <= (1 << 26)
+    # T large enough that only one row fits the transient budget
+    assert _tile_rows_per_step(1024, 1024) == 1
+    os.environ["ABNET3_TILE_ROWS"] = "3"
+    try:
+        assert _tile_rows_per_step(9, 16) == 3
+        assert _tile_rows_per_step(8, 16) == 2  # 3 -> nearest divisor
+    finally:
+        del os.environ["ABNET3_TILE_ROWS"]
+
+
 def test_tile_u16_codec_roundtrip():
     """Wire codec properties: exact on the grid, <= half-step error off
     it, endpoints preserved, out-of-range clipped."""
