@@ -275,23 +275,26 @@ _TILE_MIN_TOKENS = 2048
 def _tile_rows_per_step(block: int, T: int) -> int:
     """Anchor rows scored per tile-scan step (the dtw tile kernels).
 
-    Each scan step runs the forward stats DP on an (R*block, T, T) pair
-    batch: R-fold fewer sequential scan steps per tile at an R-fold
-    larger per-step VPU batch — the DP's per-step elementwise work is
-    far below VPU saturation at block=1024, T<=96, so widening the
-    batch amortizes the scan/DP step overheads that dominate tile wall.
-    R is capped so the per-step (R*block, T, T) float32 distance
-    transient stays <= ~256 MB of HBM (the same 1<<26-element budget
-    _auto_block applies per row) and reduced to a divisor of ``block``
-    so the scan covers the tile exactly. ``ABNET3_TILE_ROWS`` overrides
-    (1 restores the row-at-a-time kernel)."""
+    R > 1 runs the forward stats DP on an (R*block, T, T) pair batch
+    per scan step — R-fold fewer sequential steps at R-fold larger
+    per-step batches. Measured on hardware (N=4096, block=1024, T=96,
+    warm, fetch-terminated, fresh data per call): R=1 1.99 s/tile,
+    R=4 2.81 s/tile, R=8 4.93 s/tile — the DP is NOT step-overhead-
+    bound and widening the per-step working set only slows it, so the
+    default is 1 (the round-4 row-at-a-time kernel). ``ABNET3_TILE_
+    ROWS`` overrides for experiments; any R is bitwise-equal output
+    (tests/test_abx.py::test_tile_row_batch_bitwise). R is capped so
+    the per-step (R*block, T, T) float32 distance transient stays
+    <= ~256 MB of HBM (the 1<<26-element budget _auto_block applies
+    per row) and reduced to a divisor of ``block`` so the scan covers
+    the tile exactly."""
     import os
     want = os.environ.get("ABNET3_TILE_ROWS")
-    if want:
-        r = max(1, min(int(want), block))
-    else:
-        cap = max(1, int((1 << 26) / max(block * T * T, 1)))
-        r = min(8, cap, block)
+    if not want:
+        return 1
+    r = max(1, min(int(want), block))
+    cap = max(1, int((1 << 26) / max(block * T * T, 1)))
+    r = min(r, cap)
     while block % r:
         r -= 1
     return r

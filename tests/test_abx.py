@@ -450,15 +450,15 @@ def test_tile_row_batch_bitwise(monkeypatch):
     from abnet3_tpu.eval.abx import _tile_rows_per_step
     feats = _tokens(n=24, seed=3)
     bank = TokenBank(feats)
-    assert _tile_rows_per_step(8, bank.max_len) > 1  # default batches
-    monkeypatch.setenv("ABNET3_TILE_ROWS", "1")
+    assert _tile_rows_per_step(8, bank.max_len) == 1  # measured default
+    monkeypatch.delenv("ABNET3_TILE_ROWS", raising=False)
     D1 = distance_matrix(bank, batch_size=8, strategy="tiles")
     monkeypatch.setenv("ABNET3_TILE_ROWS", "4")
     D4 = distance_matrix(bank, batch_size=8, strategy="tiles")
-    monkeypatch.delenv("ABNET3_TILE_ROWS")
-    Dauto = distance_matrix(bank, batch_size=8, strategy="tiles")
+    monkeypatch.setenv("ABNET3_TILE_ROWS", "8")
+    D8 = distance_matrix(bank, batch_size=8, strategy="tiles")
     np.testing.assert_array_equal(D1, D4)
-    np.testing.assert_array_equal(D1, Dauto)
+    np.testing.assert_array_equal(D1, D8)
     # dtw_kl ships float32 tiles — same bitwise contract
     rng = np.random.RandomState(5)
     post = {i: rng.dirichlet(np.ones(6), size=rng.randint(5, 12))
@@ -474,21 +474,25 @@ def test_tile_row_batch_bitwise(monkeypatch):
 
 
 def test_tile_rows_per_step_contract():
-    """R divides block, respects the HBM transient cap, honors the env
-    override, and never exceeds block."""
+    """Default is 1 (hardware A/B: batching regresses); an env override
+    divides block, respects the HBM transient cap, and never exceeds
+    block."""
     from abnet3_tpu.eval.abx import _tile_rows_per_step
     for block in (8, 24, 32, 720, 1024):
         for T in (16, 96, 256, 1024):
-            r = _tile_rows_per_step(block, T)
-            assert 1 <= r <= block and block % r == 0
-            if r > 1:
-                assert r * block * T * T <= (1 << 26)
-    # T large enough that only one row fits the transient budget
-    assert _tile_rows_per_step(1024, 1024) == 1
+            assert _tile_rows_per_step(block, T) == 1
     os.environ["ABNET3_TILE_ROWS"] = "3"
     try:
         assert _tile_rows_per_step(9, 16) == 3
         assert _tile_rows_per_step(8, 16) == 2  # 3 -> nearest divisor
+        for block in (8, 24, 32, 720, 1024):
+            for T in (16, 96, 256, 1024):
+                os.environ["ABNET3_TILE_ROWS"] = "8"
+                r = _tile_rows_per_step(block, T)
+                assert 1 <= r <= block and block % r == 0
+                assert r == 1 or r * block * T * T <= (1 << 26)
+        # T large enough that only one row fits the transient budget
+        assert _tile_rows_per_step(1024, 1024) == 1
     finally:
         del os.environ["ABNET3_TILE_ROWS"]
 
