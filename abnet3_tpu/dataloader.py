@@ -744,7 +744,8 @@ class OriginalDataLoader(DataLoader):
                   "than %d frames" % (self.tcl, max_delta))
             self.frame_bank = None
             return
-        self.frame_bank = jnp.asarray(np.concatenate(chunks, axis=0))
+        from abnet3_tpu.ops.bank import upload_rows
+        self.frame_bank = upload_rows(np.concatenate(chunks, axis=0))
         # static tcl group size per batch: per-anchor yield is
         # 1 same + len(TCL_DISTANCES_DIFF) diff pairs; the anchor count
         # approximates tcl/(1-tcl) of the batch's expected frame pairs
@@ -1239,8 +1240,9 @@ class FramesDataLoader(OriginalDataLoader):
         self.load_data()
         mode = "train" if train_mode else "dev"
         if self._tables_dev.get(mode) is None:
+            from abnet3_tpu.ops.bank import upload_rows
             self._tables_dev[mode] = (
-                jnp.asarray(self.token_features[mode]),)
+                upload_rows(np.asarray(self.token_features[mode])),)
         return self._tables_dev[mode]
 
     def _index_batches(self, mode):
@@ -1476,8 +1478,9 @@ class MultimodalDataLoader(FramesDataLoader):
         self.load_data()
         mode = "train" if train_mode else "dev"
         if self._tables_dev.get(mode) is None:
+            from abnet3_tpu.ops.bank import upload_rows
             self._tables_dev[mode] = tuple(
-                jnp.asarray(t) for t in self.token_tables[mode])
+                upload_rows(np.asarray(t)) for t in self.token_tables[mode])
         return self._tables_dev[mode]
 
     def batch_iterator(self, train_mode=True):

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["TokenBank", "BankView"]
+__all__ = ["TokenBank", "BankView", "upload_rows"]
 
 
 def _bucket(n: int, minimum: int = 16) -> int:
@@ -27,6 +27,28 @@ def _bucket(n: int, minimum: int = 16) -> int:
     pressure pushing towards power-of-two buckets — and the DTW DP cost
     is quadratic in the padded length."""
     return max(minimum, ((n + 15) // 16) * 16)
+
+
+# single h2d transfers near/past the GB mark are where the dev tunnel
+# misbehaves (CLAUDE.md; eval.abx_device.upload_matrix chunks for the
+# same reason): ship the bank in <=64 MB row slices and concatenate on
+# device — the per-chunk RPC overhead (~100 ms) is noise against the
+# minutes a GB-scale corpus spends on the wire, and each chunk's
+# completion keeps the link demonstrably alive instead of one opaque
+# multi-minute call
+_UPLOAD_CHUNK_BYTES = 64 << 20
+
+
+def upload_rows(arr: np.ndarray) -> jnp.ndarray:
+    """Host (N, ...) array -> one device array, uploaded in row chunks
+    of <= ``_UPLOAD_CHUNK_BYTES``."""
+    row_bytes = max(1, int(np.prod(arr.shape[1:])) * arr.itemsize)
+    rows_per = max(1, _UPLOAD_CHUNK_BYTES // row_bytes)
+    if len(arr) <= rows_per:
+        return jnp.asarray(arr)
+    parts = [jax.device_put(np.ascontiguousarray(arr[r:r + rows_per]))
+             for r in range(0, len(arr), rows_per)]
+    return jnp.concatenate(parts, axis=0)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -90,7 +112,7 @@ class TokenBank:
             bank[i, :n] = f[:n]
         self.max_len = T
         self.dim = d
-        self.bank = jnp.asarray(bank)          # one-time h2d upload
+        self.bank = upload_rows(bank)         # one-time h2d upload
         # host copy first: reading lengths back from the device costs an
         # RPC per call through the TPU tunnel
         self.lengths_host = np.minimum(np.asarray(lens, np.int32), T)

@@ -124,3 +124,24 @@ def test_sampler_view_pytree_and_hlo(sampler):
     big_text = jitted.lower(big, key).as_text()
     extra_bytes = (big.group_table.size - view.group_table.size) * 4
     assert abs(len(big_text) - len(text)) < min(extra_bytes, 5_000)
+
+
+def test_upload_rows_chunked_equals_single(monkeypatch):
+    """Chunked corpus upload (GB-scale h2d goes in <=64 MB row slices)
+    assembles exactly the single-transfer array; tiny chunks force the
+    multi-part path."""
+    import abnet3_tpu.ops.bank as bank_mod
+    rng = np.random.RandomState(0)
+    arr = rng.randn(37, 5, 3).astype(np.float32)
+    single = np.asarray(bank_mod.upload_rows(arr))
+    np.testing.assert_array_equal(single, arr)
+    monkeypatch.setattr(bank_mod, "_UPLOAD_CHUNK_BYTES", 4 * 5 * 3 * 4)
+    out = bank_mod.upload_rows(arr)
+    np.testing.assert_array_equal(np.asarray(out), arr)
+    # TokenBank rides the same path
+    feats = {i: rng.randn(4 + i % 3, 3).astype(np.float32)
+             for i in range(9)}
+    tb = bank_mod.TokenBank(feats)
+    for i in range(9):
+        got = np.asarray(tb.bank[i, :len(feats[i])])
+        np.testing.assert_array_equal(got, feats[i])
