@@ -23,7 +23,7 @@ __all__ = [
     "Features_Accessor", "read_feats", "cosine_distance", "dtw_numpy",
     "dtw_numpy_fast", "get_dtw_alignment", "progress",
     "expand_dimension_list", "to_ordinal", "EmbeddingObserver",
-    "pow2_bucket",
+    "pow2_bucket", "get_var_name", "cast_features", "SequentialPartialSave",
 ]
 
 
@@ -425,3 +425,53 @@ def to_ordinal(number: int) -> str:
         elif number % 10 == 3:
             suffix = "rd"
     return f"{number}{suffix}"
+
+
+def get_var_name(**variable) -> str:
+    """Name of the single keyword argument (reference utils.py:19-20;
+    used there for debug prints: ``get_var_name(foo=foo) == 'foo'``)."""
+    return list(variable.keys())[0]
+
+
+def cast_features(features: Dict[str, np.ndarray],
+                  target_type=np.float32) -> Dict[str, np.ndarray]:
+    """Cast every per-item feature matrix in-place to ``target_type``
+    (reference utils.py:228-237 — the framework's supported dtype)."""
+    for item in features:
+        features[item] = features[item].astype(target_type)
+    return features
+
+
+class SequentialPartialSave:
+    """Reference-shaped adapter over :meth:`abnet3_tpu.nn.Tower.apply`
+    with ``save_partials=True`` (reference utils.py:313-352).
+
+    The reference subclasses ``nn.Sequential`` and stashes each Linear
+    layer's input on the module during ``forward``; under jit, object
+    state written inside a traced call is never materialized, so the
+    TPU-native tower RETURNS the partials instead (nn.py apply).  This
+    wrapper keeps the reference's call surface for host-side use —
+    ``forward(x)`` then ``get_partial_result(i)`` where index 0 is the
+    network input and index i the input of the i-th Linear layer — and
+    is what :class:`~abnet3_tpu.integration.BiWeightedPreTrained` style
+    code interacts with in migration examples.
+    """
+
+    def __init__(self, tower, params, state):
+        self.tower = tower
+        self.params = params
+        self.state = state
+        self.partial_results: Dict[int, np.ndarray] = {
+            i: 0 for i in range(tower.spec.num_layers)}
+
+    def get_partial_result(self, index: int):
+        return self.partial_results[index]
+
+    def forward(self, x):
+        out, _, partials = self.tower.apply(
+            self.params, self.state, x, train=False, save_partials=True)
+        for i, p in enumerate(partials):
+            self.partial_results[i] = p
+        return out
+
+    __call__ = forward

@@ -132,3 +132,35 @@ def test_to_ordinal():
 
 def test_print_token():
     assert utils.print_token(("f1", 1.234, 5.678)) == "f1 1.23 5.68"
+
+
+def test_get_var_name():
+    foo = 3
+    assert utils.get_var_name(foo=foo) == "foo"
+
+
+def test_cast_features():
+    feats = {"a": np.ones((3, 2), np.float64),
+             "b": np.zeros((1, 2), np.int32)}
+    out = utils.cast_features(feats)
+    assert out is feats  # in-place, reference utils.py:228-237
+    assert all(v.dtype == np.float32 for v in feats.values())
+
+
+def test_sequential_partial_save():
+    from abnet3_tpu import nn as tnn
+
+    spec = tnn.TowerSpec([4, 6, 3], ["relu", "tanh"])
+    tower = tnn.Tower(spec)
+    import jax
+    params, state = tower.init(jax.random.PRNGKey(0))
+    net = utils.SequentialPartialSave(tower, params, state)
+    x = np.asarray(np.random.RandomState(0).randn(5, 4), np.float32)
+    out = net.forward(x)
+    assert out.shape == (5, 3)
+    # index 0 is the network input; index 1 the input of the 2nd Linear
+    np.testing.assert_allclose(np.asarray(net.get_partial_result(0)), x)
+    p1 = np.asarray(net.get_partial_result(1))
+    assert p1.shape == (5, 6) and (p1 >= 0).all()  # post-relu
+    # callable alias matches the reference's nn.Module call surface
+    np.testing.assert_allclose(np.asarray(net(x)), np.asarray(out))
