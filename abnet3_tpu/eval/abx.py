@@ -1023,17 +1023,18 @@ def evaluate(features_path: str, classes_path: str,
                                                 device_scorable)
         # checked BEFORE the distance stage: once host_out=False skips
         # the tile fetches there is no host matrix to fall back to
-        if not device_scorable(labels, speakers, task):
+        if not device_scorable(labels, speakers, task,
+                               by=by_keys if item_by else None):
             if score_backend == "device":
                 raise ValueError(
                     "score_backend='device': a cell of this inventory "
                     "carries >= 2^24 triplets (float32 device bins "
                     "would round); use the host backend")
             use_device = False
-    # by-conditioning re-slices the host matrix per group, and a
-    # checkpointed run wants the memmap — otherwise a device-scored
-    # run never fetches the tiles at all (host_out=False)
-    keep_host = bool(item_by) or checkpoint_path is not None
+    # a checkpointed run wants the memmap — otherwise a device-scored
+    # run never fetches the tiles at all (host_out=False); by-
+    # conditioning scores off the device matrix too (composite rows)
+    keep_host = checkpoint_path is not None
     result = distance_matrix(bank, distance=distance,
                              batch_size=batch_size,
                              mesh=mesh, max_frames=max_frames,
@@ -1043,8 +1044,7 @@ def evaluate(features_path: str, classes_path: str,
                              host_out=(not use_device) or keep_host)
     if use_device:
         D, handle = result
-        out = abx_error_device(D if item_by else handle, labels,
-                               speakers, task=task,
+        out = abx_error_device(handle, labels, speakers, task=task,
                                by=by_keys if item_by else None)
     else:
         D = result

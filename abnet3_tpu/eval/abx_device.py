@@ -16,18 +16,31 @@ Design
 Scoring is gather + compare + bin — a TPU-friendly shape once cells are
 regrouped by what they share:
 
-- Within one (class_A=ca, speaker=s) anchor group, every anchor shares
-  the same B set (across: ca tokens of OTHER speakers; within: the
-  other ca tokens of s) and draws X from the same candidate pool (the
-  tokens of s). So anchors process in per-speaker chunks: one row
-  gather of D per anchor gives d(a, B) (chunk, max_b) and d(a, X)
-  (chunk, max_x), and a masked comparison cube reduced over B yields
-  per-(anchor, x) greater/equal counts — integer VPU work.
+- Within one (class_A=ca, speaker=s, by-group=g) anchor POOL, every
+  anchor shares the same B set (across: ca tokens of OTHER speakers in
+  g; within: the other ca tokens of s in g) and draws X from the same
+  candidate pool (the tokens of (s, g)). So anchors process in
+  per-pool slots: one row gather of D per anchor gives d(a, B)
+  (A, max_b) and d(a, X) (A, max_x), and a masked comparison cube
+  reduced over B yields per-(anchor, x) greater/equal counts — integer
+  VPU work.
 - Cell attribution avoids a flat scatter into |C|^2 bins (TPU scatters
-  serialize): each speaker's X candidate table is pre-sorted by class,
-  so one segment-sum over the X axis collapses (chunk, max_x) counts
-  to per-class columns, and one scatter-add of ``chunk`` rows lands
-  them in the (C, C) cell bins.
+  serialize): each pool's X candidate table is pre-sorted by class, so
+  one segment-sum over the X axis collapses (A, max_x) counts to
+  per-class columns, and one scatter-add of anchor rows lands them in
+  the cell bins.
+- ABXpy BY-conditioning (cells become (by, ca, cx)) rides the SAME
+  kernel: bin rows are dense COMPOSITE (by-group, class) ids — each
+  group's classes occupy a contiguous row range, so one pass over all
+  pools accumulates every group's cells at once and the host slices
+  per-group blocks out of one fetched bin matrix. No matrix re-slicing,
+  no per-group host fallback: by-conditioned runs stay fetch-free off a
+  :class:`DeviceMatrix`.
+- Small pools (tiny by-groups) don't cost a dispatch each: a dispatch
+  scores a (P, A) grid of P pool-slots x A anchors (P*A = ``chunk``),
+  with A sized to the largest pool — thousands of 3-token context
+  groups pack ~85 pools into every dispatch instead of padding each to
+  256 anchors.
 - Greater/equal counts accumulate in separate float32 bins (exact for
   integers < 2^24; guarded against larger cells) that stay on device
   across dispatches via buffer donation; the 0.5 tie weight, per-cell
@@ -36,9 +49,11 @@ regrouped by what they share:
 - The kernel is scan-free on purpose: scan-bearing executables compile
   143-383 s on this environment's remote compile service, a flat chunk
   kernel compiles like the small pair executable and the Python chunk
-  loop costs one ~50 ms dispatch per ``chunk`` anchors.
+  loop costs one ~50 ms dispatch per chunk. Executables are memoized
+  per shape signature module-wide, so e.g. a raw-vs-trained comparison
+  over one inventory compiles the kernel once.
 - The chunk loop is zero-h2d: every per-chunk table (anchor ids, valid
-  masks, chunk->speaker map) is staged onto the device ONCE and the
+  masks, chunk->pool map) is staged onto the device ONCE and the
   kernel selects its chunk with a device-resident counter chained
   through the call (bins, counter) -> (bins, counter+1). Fresh numpy
   arguments cost an ~100 ms RPC per dispatch through the dev tunnel
@@ -54,9 +69,13 @@ bit-identical ``error`` (asserted in tests/test_abx_device.py):
   tiles compare as integers, which order exactly like their dequantized
   float32 images (the codec is monotone and injective), and float16
   host matrices compare as float16 exactly as the host scorer does;
-- per-cell greater/equal counts are exact integers, and the final
+- per-cell greater/equal counts are exact integers (scatter order
+  across packed slots is irrelevant for exact integers), and the final
   reduction happens host-side in float64 with the cells ordered by
-  sorted cell key — the host scorer's accumulation order and dtype.
+  sorted cell key — the host scorer's accumulation order and dtype;
+- by-conditioned errors combine per sorted group key as
+  ``mean_g * n_cells_g`` partial sums over ``n_cells`` — the host
+  by-path's exact arithmetic.
 
 The matrix never leaves the chip: ``distance_matrix(device_out=True)``
 assembles the uint16 tile results into an HBM-resident (Np, Np) matrix
@@ -66,10 +85,10 @@ does) and the scorer gathers straight from it. A host matrix
 in row chunks.
 
 Scale note: the ``within`` task bins per (ca, cx, SPEAKER) cell, so it
-fetches one (C, C) bin pair per speaker — fine at word-inventory class
-counts; at |C| in the thousands with many speakers prefer the host
-scorer's ``n_jobs`` pool for within (the across task, the ZeroSpeech
-headline, fetches one bin pair total).
+fetches one (Crows, Ccols) bin pair per speaker — fine at word-
+inventory class counts; at |C| in the thousands with MANY speakers the
+host scorer's ``n_jobs`` pool may fetch less (the across task, the
+ZeroSpeech headline, fetches one bin pair total).
 """
 
 from __future__ import annotations
@@ -78,12 +97,15 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from abnet3_tpu.utils import pow2_bucket
+
 __all__ = ["DeviceMatrix", "upload_matrix", "abx_error_device",
            "device_scorable"]
 
-# anchors per dispatch: 256 keeps the (chunk, max_b, max_x) comparison
-# cube tens of MB at ZeroSpeech shapes (max_b ~ 64, max_x ~ 1500 ->
-# 25M entries) while each ~50 ms dispatch scores chunk * max_x columns
+# anchor slots per dispatch: P pools x A anchors with P*A = 256 keeps
+# the (P, A, max_b, max_x) comparison cube tens of MB at ZeroSpeech
+# shapes (max_b ~ 64, max_x ~ 1500 -> 25M entries) while each ~50 ms
+# dispatch scores 256 * max_x columns
 _CHUNK = 256
 
 # float32 bins hold exact integer counts only below 2^24; a single cell
@@ -137,57 +159,81 @@ def _compare_dtype(wire_dtype):
             else jnp.float32)
 
 
-def _make_chunk_kernel(C: int, max_b: int, max_x: int, Ca: int,
-                       wire_dtype):
-    """One jitted dispatch: score chunk ``i`` (``Ca`` anchors, all one
-    speaker — read from device-staged chunk tables with a device-
-    resident counter) against its B sets and the speaker's class-sorted
-    X table, accumulating greater/equal counts into donated (C+1, C)
-    float32 bins (row C is the dump row for padded anchors). Every
-    argument is device-resident, so the call enqueues without a single
-    h2d RPC (module docstring)."""
+# executables memoized per shape signature: the within-task speaker
+# loop, by-group passes, and repeated same-inventory calls (raw vs
+# trained embeddings) all reuse one compile
+_KERNEL_CACHE: Dict[Tuple, object] = {}
+
+
+def _chunk_kernel(Crows: int, Ccols: int, max_b: int, max_x: int,
+                  P: int, A: int, wire_dtype):
+    """One jitted dispatch: score chunk ``i`` — a (P, A) grid of pool
+    slots read from device-staged chunk tables with a device-resident
+    counter — against each slot's B sets and its pool's class-sorted X
+    table, accumulating greater/equal counts into donated
+    (Crows+1, Ccols) float32 bins (row Crows is the dump row for padded
+    anchors). Rows are composite (by-group, class) ids; columns are
+    group-local class ids. Every argument is device-resident, so the
+    call enqueues without a single h2d RPC (module docstring)."""
     import jax
     import jax.numpy as jnp
+
+    key = (Crows, Ccols, max_b, max_x, P, A,
+           np.dtype(wire_dtype).str, jax.default_backend())
+    fn = _KERNEL_CACHE.get(key)
+    if fn is not None:
+        return fn
 
     cdt = _compare_dtype(wire_dtype)
 
     def step(Dq, cls_tab, b_ids_tab, b_cnt_tab, x_ids_tab, x_seg_tab,
-             x_cnt_tab, sel_tab, valid_tab, spk_tab, state):
+             x_cnt_tab, sel_tab, valid_tab, pool_tab, state):
         gt_bins, eq_bins, i = state
-        a_ids = sel_tab[i]                              # (Ca,)
-        a_valid = valid_tab[i]                          # (Ca,) bool
-        s = spk_tab[i]
-        x_ids = x_ids_tab[s]                            # (max_x,)
-        x_seg = x_seg_tab[s]
-        x_cnt = x_cnt_tab[s]
+        a_ids = sel_tab[i]                              # (P, A)
+        a_valid = valid_tab[i]                          # (P, A) bool
+        pools = pool_tab[i]                             # (P,)
+        x_ids = x_ids_tab[pools]                        # (P, max_x)
+        x_seg = x_seg_tab[pools]
+        x_cnt = x_cnt_tab[pools]                        # (P,)
+        flat = a_ids.reshape(-1)                        # (P*A,)
         # one row gather per anchor, then column gathers out of the rows
-        rows = Dq[a_ids].astype(cdt)                    # (Ca, Np)
-        b_ids = b_ids_tab[a_ids]                        # (Ca, max_b)
-        dab = jnp.take_along_axis(rows, b_ids, axis=1)
+        rows = Dq[flat].astype(cdt).reshape(P, A, -1)   # (P, A, Np)
+        b_ids = b_ids_tab[flat].reshape(P, A, max_b)
+        dab = jnp.take_along_axis(rows, b_ids, axis=2)
         dax = jnp.take_along_axis(
-            rows, jnp.broadcast_to(x_ids[None, :], (Ca, max_x)), axis=1)
-        vb = jnp.arange(max_b)[None, :] < b_cnt_tab[a_ids][:, None]
+            rows, jnp.broadcast_to(x_ids[:, None, :], (P, A, max_x)),
+            axis=2)
+        vb = (jnp.arange(max_b)[None, None, :]
+              < b_cnt_tab[flat].reshape(P, A)[:, :, None])
         # padded X slots are masked here; the anchor's own class lands
         # in the (ca, ca) diagonal bin, which is never read
-        vx = (jnp.arange(max_x)[None, :] < x_cnt) & a_valid[:, None]
-        gt = jnp.sum((dab[:, :, None] > dax[:, None, :])
-                     & vb[:, :, None], axis=1)          # (Ca, max_x)
-        eq = jnp.sum((dab[:, :, None] == dax[:, None, :])
-                     & vb[:, :, None], axis=1)
+        vx = ((jnp.arange(max_x)[None, None, :] < x_cnt[:, None, None])
+              & a_valid[:, :, None])
+        gt = jnp.sum((dab[:, :, :, None] > dax[:, :, None, :])
+                     & vb[:, :, :, None], axis=2)       # (P, A, max_x)
+        eq = jnp.sum((dab[:, :, :, None] == dax[:, :, None, :])
+                     & vb[:, :, :, None], axis=2)
         gt = jnp.where(vx, gt, 0).astype(jnp.float32)
         eq = jnp.where(vx, eq, 0).astype(jnp.float32)
-        # stage 1: collapse the class-sorted X axis to per-class
-        # columns (segment ids shared by every anchor of this speaker)
-        gt_c = jax.ops.segment_sum(gt.T, x_seg, num_segments=C + 1)
-        eq_c = jax.ops.segment_sum(eq.T, x_seg, num_segments=C + 1)
-        # stage 2: scatter-add Ca rows into the (C+1, C) cell bins
-        row = jnp.where(a_valid, cls_tab[a_ids], C)
-        gt_bins = gt_bins.at[row].add(gt_c[:C].T)
-        eq_bins = eq_bins.at[row].add(eq_c[:C].T)
+        # stage 1: collapse each slot's class-sorted X axis to group-
+        # local class columns (segment ids shared within a pool)
+        seg = jax.vmap(lambda v, s: jax.ops.segment_sum(
+            v.T, s, num_segments=Ccols + 1))
+        gt_c = seg(gt, x_seg)                           # (P, Ccols+1, A)
+        eq_c = seg(eq, x_seg)
+        # stage 2: scatter-add P*A anchor rows into the cell bins
+        # (duplicate rows across slots add exact integers — order-free)
+        row = jnp.where(a_valid, cls_tab[a_ids], Crows).reshape(-1)
+        gt_rows = gt_c[:, :Ccols, :].transpose(0, 2, 1).reshape(-1, Ccols)
+        eq_rows = eq_c[:, :Ccols, :].transpose(0, 2, 1).reshape(-1, Ccols)
+        gt_bins = gt_bins.at[row].add(gt_rows)
+        eq_bins = eq_bins.at[row].add(eq_rows)
         return gt_bins, eq_bins, i + 1
 
     donate = () if jax.default_backend() == "cpu" else (10,)
-    return jax.jit(step, donate_argnums=donate)
+    fn = jax.jit(step, donate_argnums=donate)
+    _KERNEL_CACHE[key] = fn
+    return fn
 
 
 def _fetch_rows(dev, n_rows: int, n_cols: int,
@@ -217,35 +263,86 @@ def _dense_ids(values: np.ndarray) -> Tuple[List, np.ndarray]:
     return uniq, np.asarray([pos[v] for v in values.tolist()], np.int32)
 
 
-def _speaker_tables(cls: np.ndarray, spk: np.ndarray, C: int, S: int):
-    """Per-speaker class-sorted X candidate tables: x_ids (S, max_x)
-    token ids (pad 0), x_seg (S, max_x) class segment ids (pad C),
-    x_cnt (S,)."""
-    order = np.lexsort((cls, spk))  # by speaker, then class
-    counts = np.bincount(spk, minlength=S)
-    max_x = max(int(counts.max()) if len(counts) else 1, 1)
-    x_ids = np.zeros((S, max_x), np.int32)
-    x_seg = np.full((S, max_x), C, np.int32)
-    pos = 0
-    for s in range(S):
-        n = int(counts[s])
-        sel = order[pos:pos + n]
-        x_ids[s, :n] = sel
-        x_seg[s, :n] = cls[sel]
-        pos += n
-    return x_ids, x_seg, counts.astype(np.int32), max_x
+def _composite_classes(labels: np.ndarray, by: Optional[Sequence]):
+    """Dense COMPOSITE class ids over (by-group, label), group-major:
+    group g's classes occupy composite rows [row_off[g], row_off[g+1])
+    in sorted-label order (= the host scorer's per-group cell order).
+
+    Returns (group_keys sorted, gid (N,), cls (N,) composite ids,
+    row_off (G+1,), group_classes: per group the sorted label list)."""
+    N = len(labels)
+    if by is None:
+        keys = [None]
+        gid = np.zeros(N, np.int32)
+    else:
+        assert len(by) == N
+        # plain-Python key handling: the host scorer sorts the raw by
+        # keys (tuples), and np.asarray would mangle equal-length
+        # tuples into a 2-D array
+        keys = sorted(set(by))
+        pos = {k: i for i, k in enumerate(keys)}
+        gid = np.asarray([pos[b] for b in by], np.int32)
+    G = len(keys)
+    group_classes: List[List] = []
+    row_off = np.zeros(G + 1, np.int64)
+    cls = np.zeros(N, np.int32)
+    for g in range(G):
+        idx = np.flatnonzero(gid == g)
+        uniq, local = _dense_ids(labels[idx])
+        cls[idx] = local + row_off[g]
+        group_classes.append(uniq)
+        row_off[g + 1] = row_off[g] + len(uniq)
+    return keys, gid, cls, row_off, group_classes
 
 
-def _anchor_b_tables(cls: np.ndarray, spk: np.ndarray, C: int,
-                     task: str):
-    """Per-anchor B-set tables: b_ids (N, max_b) int32 (pad 0) and
-    b_cnt (N,). Across: same class, other speakers. Within: same
-    class, same speaker, anchor excluded."""
+def _pool_tables(cls: np.ndarray, spk: np.ndarray, gid: np.ndarray,
+                 row_off: np.ndarray, Ccols: int):
+    """Per-(speaker, by-group) class-sorted X candidate tables:
+    x_ids (P, max_x) GLOBAL token ids (pad 0, masked), x_seg (P, max_x)
+    group-LOCAL class segment ids (pad Ccols = dump segment),
+    x_cnt (P,), pool_spk (P,), plus token -> pool id (N,)."""
     N = len(cls)
+    S = int(spk.max()) + 1 if N else 0
+    key = spk.astype(np.int64) * (int(gid.max()) + 1) + gid
+    order = np.lexsort((cls, key))
+    uniq, starts = np.unique(key[order], return_index=True)
+    bounds = np.append(starts, N)
+    P = len(uniq)
+    counts = (bounds[1:] - bounds[:-1]).astype(np.int32)
+    max_x = max(int(counts.max()) if P else 1, 1)
+    x_ids = np.zeros((P, max_x), np.int32)
+    x_seg = np.full((P, max_x), Ccols, np.int32)
+    pool_spk = np.zeros(P, np.int32)
+    pool_of = np.zeros(N, np.int32)
+    for p in range(P):
+        sel = order[bounds[p]:bounds[p + 1]]
+        n = len(sel)
+        x_ids[p, :n] = sel
+        g = gid[sel[0]]
+        x_seg[p, :n] = cls[sel] - row_off[g]
+        pool_spk[p] = spk[sel[0]]
+        pool_of[sel] = p
+    del S
+    return x_ids, x_seg, counts, pool_spk, pool_of, max_x
+
+
+def _anchor_b_tables(cls: np.ndarray, spk: np.ndarray, Crows: int,
+                     task: str):
+    """Per-anchor B-set tables: b_ids (N, max_b) int32 GLOBAL token ids
+    (pad 0, masked) and b_cnt (N,). Across: same composite class, other
+    speakers. Within: same composite class, same speaker, anchor
+    excluded. Composite classes never span by-groups, so B sets respect
+    the conditioning for free."""
+    N = len(cls)
+    order = np.lexsort((spk, cls))
+    starts = np.searchsorted(cls[order], np.arange(Crows))
+    bounds = np.append(starts, N)
     b_lists: List[Optional[np.ndarray]] = [None] * N
     max_b = 1
-    for c in range(C):
-        idx = np.flatnonzero(cls == c)
+    for c in range(Crows):
+        idx = order[bounds[c]:bounds[c + 1]]
+        if len(idx) < 2:
+            continue
         spks_c = spk[idx]
         for u in np.unique(spks_c):
             anchors = idx[spks_c == u]
@@ -271,7 +368,7 @@ def _anchor_b_tables(cls: np.ndarray, spk: np.ndarray, C: int,
 
 
 def _cell_counts(n_cs: np.ndarray, task: str) -> np.ndarray:
-    """Analytic per-cell triplet counts from the (C, S) class-speaker
+    """Analytic per-cell triplet counts from a (C, S) class-speaker
     histogram, float64 (exact: integer products far below 2^53).
 
     across (C, C):    cnt[ca,cx] = sum_s n[ca,s]*(N_ca - n[ca,s])*n[cx,s]
@@ -289,24 +386,31 @@ def _cell_counts(n_cs: np.ndarray, task: str) -> np.ndarray:
 
 
 def device_scorable(labels: Sequence, speakers: Sequence,
-                    task: str = "across") -> bool:
+                    task: str = "across",
+                    by: Optional[Sequence] = None) -> bool:
     """True when the device scorer can count this inventory exactly
     (every cell below 2^24 triplets — the float32-bin exactness bound).
     Cheap (histogram math only): callers that want to skip the host
     matrix entirely check this BEFORE the distance stage, so no
-    fallback ever needs a matrix that was never fetched."""
+    fallback ever needs a matrix that was never fetched. Without ``by``
+    the check is conservative for by-conditioned runs (group cells are
+    subsets of unconditioned cells)."""
     labels = np.asarray(labels)
     speakers = np.asarray(speakers)
-    _, cls = _dense_ids(labels)
-    _, spk = _dense_ids(speakers)
-    C, S = int(cls.max()) + 1 if len(cls) else 0, \
-        int(spk.max()) + 1 if len(spk) else 0
-    if not C:
+    if not len(labels):
         return True
-    n_cs = np.zeros((C, S), np.int64)
+    _, spk = _dense_ids(speakers)
+    _, gid, cls, row_off, _ = _composite_classes(labels, by)
+    S = int(spk.max()) + 1
+    Crows = int(row_off[-1])
+    n_cs = np.zeros((Crows, S), np.int64)
     np.add.at(n_cs, (cls, spk), 1)
-    cnt = _cell_counts(n_cs, task)
-    return not cnt.size or float(cnt.max()) < _F32_EXACT
+    worst = 0.0
+    for g in range(len(row_off) - 1):
+        cnt = _cell_counts(n_cs[row_off[g]:row_off[g + 1]], task)
+        if cnt.size:
+            worst = max(worst, float(cnt.max()))
+    return worst < _F32_EXACT
 
 
 def abx_error_device(D, labels: Sequence, speakers: Sequence,
@@ -319,7 +423,9 @@ def abx_error_device(D, labels: Sequence, speakers: Sequence,
 
     ``D``: a host (N, N) matrix (uploaded once, compared in its own
     dtype) or a :class:`DeviceMatrix` from
-    ``distance_matrix(device_out=True)`` (no upload at all)."""
+    ``distance_matrix(device_out=True)`` (no upload at all). ``by``
+    conditioning runs in the same single pass over the full matrix —
+    composite bin rows keep each group's cells separate."""
     import jax
     import jax.numpy as jnp
 
@@ -327,30 +433,6 @@ def abx_error_device(D, labels: Sequence, speakers: Sequence,
     labels = np.asarray(labels)
     speakers = np.asarray(speakers)
     N = len(labels)
-    if by is not None:
-        # ABXpy BY-conditioning = the unconditioned enumeration inside
-        # each group (host-path semantics). Groups re-slice the matrix,
-        # so the host ndarray is required here.
-        if isinstance(D, DeviceMatrix):
-            raise ValueError("by-conditioning re-slices the matrix per "
-                             "group; pass the host ndarray")
-        assert len(by) == N
-        groups: Dict = {}
-        for i, b in enumerate(by):
-            groups.setdefault(b, []).append(i)
-        err_sum, n_cells, n_trip = 0.0, 0, 0
-        for key in sorted(groups):
-            idx = np.asarray(groups[key], dtype=np.int64)
-            sub = abx_error_device(D[np.ix_(idx, idx)], labels[idx],
-                                   speakers[idx], task=task, chunk=chunk)
-            if sub["n_cells"]:
-                err_sum += sub["error"] * sub["n_cells"]
-                n_cells += sub["n_cells"]
-                n_trip += sub["n_triplets"]
-        return {"error": (err_sum / n_cells if n_cells
-                          else float("nan")),
-                "n_cells": n_cells, "n_triplets": n_trip}
-
     if isinstance(D, DeviceMatrix):
         assert D.n == N, (D.n, N)
         dm = D
@@ -359,16 +441,20 @@ def abx_error_device(D, labels: Sequence, speakers: Sequence,
         dm = None  # upload lazily, only if there are cells to score
     assert len(speakers) == N
 
-    classes, cls = _dense_ids(labels)
+    keys, gid, cls, row_off, group_classes = _composite_classes(labels,
+                                                                by)
     spks, spk = _dense_ids(speakers)
-    C, S = len(classes), len(spks)
-    n_cs = np.zeros((C, S), np.int64)
+    G, S = len(keys), len(spks)
+    Crows = int(row_off[-1])
+    Ccols = max(int(row_off[g + 1] - row_off[g]) for g in range(G))
+    n_cs = np.zeros((Crows, S), np.int64)
     np.add.at(n_cs, (cls, spk), 1)
 
-    cnt = _cell_counts(n_cs, task)
-    if not (cnt > 0).any():
+    cnts = [_cell_counts(n_cs[row_off[g]:row_off[g + 1]], task)
+            for g in range(G)]
+    if not any((c > 0).any() for c in cnts):
         return {"error": float("nan"), "n_cells": 0, "n_triplets": 0}
-    if float(cnt.max()) >= _F32_EXACT:
+    if max(float(c.max()) for c in cnts if c.size) >= _F32_EXACT:
         raise ValueError(
             "a single ABX cell carries >= 2^24 triplets — float32 "
             "device bins would round its counts; score this inventory "
@@ -376,81 +462,144 @@ def abx_error_device(D, labels: Sequence, speakers: Sequence,
     if dm is None:
         dm = upload_matrix(D)
 
-    x_ids, x_seg, x_cnt, max_x = _speaker_tables(cls, spk, C, S)
-    b_ids, b_cnt, max_b = _anchor_b_tables(cls, spk, C, task)
+    x_ids, x_seg, x_cnt, pool_spk, pool_of, max_x = _pool_tables(
+        cls, spk, gid, row_off, Ccols)
+    b_ids, b_cnt, max_b = _anchor_b_tables(cls, spk, Crows, task)
+    n_pools = len(x_cnt)
+
+    # slot geometry: A anchors per pool slot, P slots per dispatch.
+    # Large pools (unconditioned inventories) get A = chunk, P = 1 —
+    # the round-4 hardware-validated shape; tiny by-group pools pack
+    # many slots per dispatch instead of padding each to `chunk`.
+    A = min(chunk, pow2_bucket(int(x_cnt.max()), minimum=8))
+    P = max(1, chunk // A)
 
     wire = np.dtype(dm.array.dtype)
-    kernel = _make_chunk_kernel(C, max_b, max_x, chunk, wire)
+    kernel = _chunk_kernel(Crows, Ccols, max_b, max_x, P, A, wire)
 
     # static tables: one h2d each for the whole scoring run
     statics = tuple(jax.device_put(a) for a in (
         cls, b_ids, b_cnt, x_ids, x_seg, x_cnt.astype(np.int32)))
-    by_speaker = [np.flatnonzero(spk == s) for s in range(S)]
+    by_pool = [np.flatnonzero(pool_of == p) for p in range(n_pools)]
 
-    def run_bins(speaker_list) -> Tuple[np.ndarray, np.ndarray]:
-        """Score the anchors of the given speakers into fresh bins;
-        returns host float64 (C, C) greater/equal count matrices."""
+    def run_bins(pool_list) -> Tuple[np.ndarray, np.ndarray]:
+        """Score the anchors of the given pools into fresh bins;
+        returns host float64 (Crows, Ccols) greater/equal counts."""
         sels: List[np.ndarray] = []
         valids: List[np.ndarray] = []
-        spks: List[int] = []
-        for s in speaker_list:
-            anchors = by_speaker[s]
-            for c0 in range(0, len(anchors), chunk):
-                sel = anchors[c0:c0 + chunk].astype(np.int32)
-                a_valid = np.ones(chunk, bool)
-                pad = chunk - len(sel)
+        pool_ids: List[int] = []
+        for p in pool_list:
+            anchors = by_pool[p]
+            for c0 in range(0, len(anchors), A):
+                sel = anchors[c0:c0 + A].astype(np.int32)
+                a_valid = np.ones(A, bool)
+                pad = A - len(sel)
                 if pad:
                     a_valid[len(sel):] = False
                     sel = np.concatenate([sel, np.zeros(pad, np.int32)])
                 sels.append(sel)
                 valids.append(a_valid)
-                spks.append(s)
+                pool_ids.append(p)
         if not sels:
-            z = np.zeros((C, C), np.float64)
+            z = np.zeros((Crows, Ccols), np.float64)
             return z, z.copy()
+        # pad the slot list to whole (P,) chunks with all-invalid slots
+        while len(sels) % P:
+            sels.append(np.zeros(A, np.int32))
+            valids.append(np.zeros(A, bool))
+            pool_ids.append(0)
+        n_chunks = len(sels) // P
         # per-chunk tables: staged in ONE h2d each; the kernel indexes
         # them with the device-resident counter chained through state
-        chunk_tabs = (jax.device_put(np.stack(sels)),
-                      jax.device_put(np.stack(valids)),
-                      jax.device_put(np.asarray(spks, np.int32)))
-        state = (jnp.zeros((C + 1, C), jnp.float32),
-                 jnp.zeros((C + 1, C), jnp.float32),
+        chunk_tabs = (
+            jax.device_put(np.stack(sels).reshape(n_chunks, P, A)),
+            jax.device_put(np.stack(valids).reshape(n_chunks, P, A)),
+            jax.device_put(
+                np.asarray(pool_ids, np.int32).reshape(n_chunks, P)))
+        state = (jnp.zeros((Crows + 1, Ccols), jnp.float32),
+                 jnp.zeros((Crows + 1, Ccols), jnp.float32),
                  jnp.zeros((), jnp.int32))
-        for _ in range(len(sels)):
+        for _ in range(n_chunks):
             state = kernel(dm.array, *statics, *chunk_tabs, state)
         gt_bins, eq_bins, _ = state
-        gt = _fetch_rows(gt_bins, C + 1, C)[:C].astype(np.float64)
-        eq = _fetch_rows(eq_bins, C + 1, C)[:C].astype(np.float64)
-        return gt, eq
+        gt = _fetch_rows(gt_bins, Crows + 1, Ccols)[:Crows]
+        eq = _fetch_rows(eq_bins, Crows + 1, Ccols)[:Crows]
+        return gt.astype(np.float64), eq.astype(np.float64)
+
+    def group_scores_across(err: np.ndarray, g: int) -> np.ndarray:
+        """Group g's occupied-cell scores in sorted (ca, cx) order —
+        a row-major boolean slice of the composite-row block."""
+        lo, hi = int(row_off[g]), int(row_off[g + 1])
+        Cg = hi - lo
+        cnt = cnts[g]
+        occ = cnt > 0
+        return err[lo:hi, :Cg][occ] / cnt[occ]
 
     if task == "across":
-        gt, eq = run_bins(range(S))
+        gt, eq = run_bins(range(n_pools))
         err = gt + 0.5 * eq
-        occupied = cnt > 0
-        # boolean indexing is row-major over dense ids = sorted
-        # (ca, cx) keys — the host scorer's cell order
-        scores = err[occupied] / cnt[occupied]
-        return {"error": (float(np.mean(scores)) if scores.size
+        if by is None:
+            scores = group_scores_across(err, 0)
+            return {"error": (float(np.mean(scores)) if scores.size
+                              else float("nan")),
+                    "n_cells": int((cnts[0] > 0).sum()),
+                    "n_triplets": int(cnts[0].sum())}
+        # host by-path arithmetic: sum of per-group mean * n_cells
+        err_sum, n_cells, n_trip = 0.0, 0, 0
+        for g in range(G):
+            scores = group_scores_across(err, g)
+            if scores.size:
+                err_sum += float(np.mean(scores)) * scores.size
+                n_cells += int(scores.size)
+                n_trip += int(cnts[g].sum())
+        return {"error": (err_sum / n_cells if n_cells
                           else float("nan")),
-                "n_cells": int(occupied.sum()),
-                "n_triplets": int(cnt.sum())}
+                "n_cells": n_cells, "n_triplets": n_trip}
 
     # within: cells are (ca, cx, s) — one speaker at a time so the
-    # (C, C) bins are that speaker's cells
-    cell_list: List[Tuple[Tuple, float]] = []
-    n_trip = 0
+    # (Crows, Ccols) bins are that speaker's cells
+    per_group: List[List[Tuple[Tuple, float]]] = [[] for _ in range(G)]
+    trip_group = [0] * G
     for s in range(S):
-        cnt_s = cnt[:, :, s]
-        if not (cnt_s > 0).any():
+        pools_s = [p for p in range(n_pools) if pool_spk[p] == s]
+        if not any((cnts[gid[by_pool[p][0]]][:, :, s] > 0).any()
+                   for p in pools_s if len(by_pool[p])):
             continue
-        gt, eq = run_bins([s])
+        gt, eq = run_bins(pools_s)
         err = gt + 0.5 * eq
-        n_trip += int(cnt_s.sum())
-        for ca, cx in zip(*np.nonzero(cnt_s > 0)):
-            cell_list.append(((classes[ca], classes[cx], spks[s]),
-                              err[ca, cx] / cnt_s[ca, cx]))
-    cell_list.sort(key=lambda kv: kv[0])
-    scores = np.asarray([v for _, v in cell_list], np.float64)
-    return {"error": (float(np.mean(scores)) if len(cell_list)
-                      else float("nan")),
-            "n_cells": len(cell_list), "n_triplets": n_trip}
+        for p in pools_s:
+            if not len(by_pool[p]):
+                continue
+            g = int(gid[by_pool[p][0]])
+            lo, hi = int(row_off[g]), int(row_off[g + 1])
+            Cg = hi - lo
+            cnt_s = cnts[g][:, :, s]
+            if not (cnt_s > 0).any():
+                continue
+            cls_names = group_classes[g]
+            trip_group[g] += int(cnt_s.sum())
+            blk = err[lo:hi, :Cg]
+            for ca, cx in zip(*np.nonzero(cnt_s > 0)):
+                per_group[g].append(
+                    ((cls_names[ca], cls_names[cx], spks[s]),
+                     blk[ca, cx] / cnt_s[ca, cx]))
+    if by is None:
+        cell_list = per_group[0]
+        cell_list.sort(key=lambda kv: kv[0])
+        scores = np.asarray([v for _, v in cell_list], np.float64)
+        return {"error": (float(np.mean(scores)) if len(cell_list)
+                          else float("nan")),
+                "n_cells": len(cell_list),
+                "n_triplets": trip_group[0]}
+    err_sum, n_cells, n_trip = 0.0, 0, 0
+    for g in range(G):
+        cell_list = per_group[g]
+        if not cell_list:
+            continue
+        cell_list.sort(key=lambda kv: kv[0])
+        scores = np.asarray([v for _, v in cell_list], np.float64)
+        err_sum += float(np.mean(scores)) * len(cell_list)
+        n_cells += len(cell_list)
+        n_trip += trip_group[g]
+    return {"error": (err_sum / n_cells if n_cells else float("nan")),
+            "n_cells": n_cells, "n_triplets": n_trip}

@@ -268,3 +268,79 @@ def test_evaluate_score_backend_device(tmp_path):
     assert dev["error"] == host["error"]
     assert dev["n_cells"] == host["n_cells"]
     assert dev["n_triplets"] == host["n_triplets"]
+
+
+@pytest.mark.parametrize("task", ["across", "within"])
+def test_device_by_conditioning_device_matrix(task):
+    """by-conditioning rides the composite-row kernel straight off a
+    DeviceMatrix — no host matrix, bit-identical to the host path."""
+    rng = np.random.RandomState(14)
+    n = 48
+    D = _quantized_matrix(rng, n)
+    labels, speakers = _inventory(rng, n, 5, 3)
+    by = [("ctx%d" % (i % 3),) for i in range(n)]
+    host = abx_error(D, labels, speakers, task=task, by=by)
+    dev = abx_error_device(upload_matrix(D), labels, speakers,
+                           task=task, by=by)
+    _assert_same(host, dev)
+
+
+def test_device_by_many_small_groups_packs_slots():
+    """Dozens of tiny context groups: the slot-packing path (P pools
+    per dispatch) must agree bit-for-bit with the host recursion."""
+    rng = np.random.RandomState(15)
+    n = 120
+    D = _quantized_matrix(rng, n, levels=32)
+    labels, speakers = _inventory(rng, n, 6, 3)
+    by = [("L%d" % (i % 10), "R%d" % (i % 4)) for i in range(n)]
+    host = abx_error(D, labels, speakers, task="across", by=by)
+    dev = abx_error_device(D, labels, speakers, task="across", by=by)
+    _assert_same(host, dev)
+    # pool sizes are tiny, so A shrinks below chunk and P packs > 1
+    from abnet3_tpu.eval import abx_device as mod
+    keys = [k for k in mod._KERNEL_CACHE if k[4] > 1]
+    assert keys, "expected a packed (P > 1) kernel signature"
+
+
+def test_device_by_u16_wire(tmp_path):
+    """by-conditioned scoring off the u16 wire matrix handle equals the
+    host scorer on the decoded host matrix."""
+    rng = np.random.RandomState(16)
+    n = 40
+    feats = {i: rng.randn(rng.randint(6, 16), 10).astype(np.float32)
+             for i in range(n)}
+    bank = TokenBank(feats)
+    D, handle = distance_matrix(bank, distance="dtw_cos", batch_size=16,
+                                strategy="tiles", device_out=True)
+    labels = [f"c{i % 5}" for i in range(n)]
+    speakers = [f"s{i % 3}" for i in range(n)]
+    by = [(f"b{i % 2}",) for i in range(n)]
+    host = abx_error(D, labels, speakers, task="across", by=by)
+    dev = abx_error_device(handle, labels, speakers, task="across",
+                           by=by)
+    _assert_same(host, dev)
+
+
+def test_device_kernel_cache_reuse():
+    """Same inventory shapes (raw-vs-trained comparisons) reuse one
+    compiled kernel: the module cache must not grow on a repeat call."""
+    from abnet3_tpu.eval import abx_device as mod
+    rng = np.random.RandomState(17)
+    D1 = _quantized_matrix(rng, 30)
+    D2 = _quantized_matrix(rng, 30)
+    labels, speakers = _inventory(rng, 30, 4, 2)
+    abx_error_device(D1, labels, speakers)
+    before = len(mod._KERNEL_CACHE)
+    abx_error_device(D2, labels, speakers)
+    assert len(mod._KERNEL_CACHE) == before
+
+
+def test_device_scorable_by_param():
+    from abnet3_tpu.eval.abx_device import device_scorable
+    n = 2400
+    labels = np.repeat(["a", "b"], n // 2)
+    speakers = np.tile(np.repeat(["s0", "s1"], n // 4), 2)
+    assert not device_scorable(labels, speakers, "across")
+    # conditioning splits the giant cells below the exactness bound
+    by = [f"g{i % 8}" for i in range(n)]
+    assert device_scorable(labels, speakers, "across", by=by)
