@@ -721,11 +721,17 @@ def _fork_map(task, classes, state, n_jobs):
 
 def abx_error(D: np.ndarray, labels: Sequence, speakers: Sequence,
               task: str = "across", by: Optional[Sequence] = None,
-              n_jobs: int = 1) -> Dict:
+              n_jobs: int = 1, return_cells: bool = False) -> Dict:
     """Hierarchical ABX error from a precomputed distance matrix.
 
     Returns {"error", "n_cells", "n_triplets"}; error is the mean over
     non-empty cells of the per-cell triplet error (ties count 0.5).
+    ``return_cells=True`` adds ``"cells"``: the per-cell breakdown as
+    ``(key, score, n_triplets)`` tuples in sorted-key order — the
+    ABXpy ``analyze`` collapse level (key = (ca, cx) for across,
+    (ca, cx, speaker) for within, with the by-group key prefixed under
+    ``by`` conditioning). The aggregate error is exactly
+    ``mean(score for each cell)`` — same accumulation, just exposed.
 
     ``by``: optional per-token group keys (ABXpy's BY-conditioning, e.g.
     phonetic context tuples): A, B and X must all share the same key, so
@@ -766,17 +772,26 @@ def abx_error(D: np.ndarray, labels: Sequence, speakers: Sequence,
         for i, b in enumerate(by):
             groups.setdefault(b, []).append(i)
         err_sum, n_cells, n_trip = 0.0, 0, 0
+        by_cells: List[Tuple[Tuple, float, int]] = []
         for key in sorted(groups):
             idx = np.asarray(groups[key], dtype=np.int64)
             sub = abx_error(D[np.ix_(idx, idx)], labels[idx],
-                            speakers[idx], task=task, n_jobs=n_jobs)
+                            speakers[idx], task=task, n_jobs=n_jobs,
+                            return_cells=return_cells)
             if sub["n_cells"]:
                 err_sum += sub["error"] * sub["n_cells"]
                 n_cells += sub["n_cells"]
                 n_trip += sub["n_triplets"]
-        return {"error": (err_sum / n_cells if n_cells
-                          else float("nan")),
-                "n_cells": n_cells, "n_triplets": n_trip}
+            if return_cells:
+                pfx = key if isinstance(key, tuple) else (key,)
+                by_cells.extend((pfx + k, v, c)
+                                for k, v, c in sub["cells"])
+        out = {"error": (err_sum / n_cells if n_cells
+                         else float("nan")),
+               "n_cells": n_cells, "n_triplets": n_trip}
+        if return_cells:
+            out["cells"] = by_cells
+        return out
     # no dtype upcast: > / == on float16 values give identical results
     # to comparing their exact float32 images, and a full-matrix astype
     # would allocate the 2x copy the --f16 flag exists to avoid
@@ -824,8 +839,9 @@ def abx_error(D: np.ndarray, labels: Sequence, speakers: Sequence,
         for err_part, cnt_part in per_class:
             cell_err.update(err_part)   # keys disjoint across classes
             cell_cnt.update(cnt_part)
-        cell_scores = [cell_err[k] / cell_cnt[k]
-                       for k in sorted(cell_err)]
+        cell_list = [(k, cell_err[k] / cell_cnt[k], cell_cnt[k])
+                     for k in sorted(cell_err)]
+        cell_scores = [v for _, v, _ in cell_list]
         n_triplets = sum(cell_cnt.values())
     else:
         # within: one cell per (ca, cx, speaker); B = the other
@@ -835,17 +851,21 @@ def abx_error(D: np.ndarray, labels: Sequence, speakers: Sequence,
                                   min(n_jobs, len(classes)))
         else:
             per_class = (_abx_within_one(ca, state) for ca in classes)
-        cells: List[Tuple[Tuple, float]] = []
+        cells: List[Tuple[Tuple, float, int]] = []
         for part in per_class:
             for key, err, cnt in part:
                 n_triplets += cnt
-                cells.append((key, err / cnt))
-        cell_scores = [v for _, v in sorted(cells, key=lambda kv: kv[0])]
+                cells.append((key, err / cnt, cnt))
+        cell_list = sorted(cells, key=lambda kv: kv[0])
+        cell_scores = [v for _, v, _ in cell_list]
 
-    return {"error": (float(np.mean(cell_scores))
-                      if cell_scores else float("nan")),
-            "n_cells": len(cell_scores),
-            "n_triplets": int(n_triplets)}
+    out = {"error": (float(np.mean(cell_scores))
+                     if cell_scores else float("nan")),
+           "n_cells": len(cell_scores),
+           "n_triplets": int(n_triplets)}
+    if return_cells:
+        out["cells"] = cell_list
+    return out
 
 
 def read_item_file(path: str):
@@ -895,6 +915,28 @@ def read_item_file(path: str):
     return columns, rows
 
 
+def _write_cells_csv(path: str, cells: List[Tuple], task: str,
+                     by_cols: Optional[Sequence[str]]) -> None:
+    """Per-cell breakdown -> tab-separated CSV, one row per occupied
+    cell in sorted-key order (the ABXpy ``analyze`` collapse level:
+    its pipeline ends in a per-cell score table, which is what
+    downstream error analyses consume). Columns: the by-conditioning
+    attributes (if any), class_A, class_X, speaker (within task),
+    score (full-precision repr), n (triplet count)."""
+    import csv
+    cols = list(by_cols or [])
+    cols += ["class_A", "class_X"]
+    if task == "within":
+        cols.append("speaker")
+    cols += ["score", "n"]
+    with open(path, "w", newline="") as fh:
+        w = csv.writer(fh, delimiter="\t")
+        w.writerow(cols)
+        for key, score, cnt in cells:
+            w.writerow([str(k) for k in key]
+                       + [repr(float(score)), int(cnt)])
+
+
 def evaluate(features_path: str, classes_path: str,
              spkid_file: Optional[str] = None, task: str = "across",
              distance: str = "dtw_cos", batch_size: int = 1024,
@@ -905,7 +947,8 @@ def evaluate(features_path: str, classes_path: str,
              item_speaker: Optional[str] = None,
              item_by: Optional[Sequence[str]] = None,
              n_jobs: int = 1,
-             score_backend: str = "auto") -> Dict:
+             score_backend: str = "auto",
+             cells_path: Optional[str] = None) -> Dict:
     """End-to-end ABX over an h5features file + a token inventory: either
     a ``.classes`` cluster file (+ optional wav->speaker mapping, same
     file contracts as the sampler) or an ABXpy ``.item`` task file
@@ -1042,14 +1085,21 @@ def evaluate(features_path: str, classes_path: str,
                              checkpoint_path=checkpoint_path,
                              device_out=use_device,
                              host_out=(not use_device) or keep_host)
+    want_cells = cells_path is not None
     if use_device:
         D, handle = result
         out = abx_error_device(handle, labels, speakers, task=task,
-                               by=by_keys if item_by else None)
+                               by=by_keys if item_by else None,
+                               return_cells=want_cells)
     else:
         D = result
         out = abx_error(D, labels, speakers, task=task,
-                        by=by_keys if item_by else None, n_jobs=n_jobs)
+                        by=by_keys if item_by else None, n_jobs=n_jobs,
+                        return_cells=want_cells)
+    if want_cells:
+        _write_cells_csv(cells_path, out.pop("cells"), task,
+                         item_by if item_by else None)
+        out["cells_csv"] = cells_path
     # n_classes reports the INVENTORY's class count (stable metadata even
     # when a class's tokens all resolve to empty feature segments)
     out.update({"task": task, "distance": distance, "n_tokens": tid,
@@ -1114,6 +1164,12 @@ def main():
                              "same path skips completed tiles")
     parser.add_argument("-o", "--output", help="write the result JSON "
                                                "here as well as stdout")
+    parser.add_argument("--csv", dest="cells_path", default=None,
+                        metavar="PATH",
+                        help="also write the per-cell score breakdown "
+                             "as a tab-separated CSV (ABXpy analyze-"
+                             "style: by/class/speaker columns + score "
+                             "+ triplet count per occupied cell)")
     args = parser.parse_args()
     result = evaluate(args.features, args.classes,
                       spkid_file=args.spkid_file, task=args.task,
@@ -1125,7 +1181,8 @@ def main():
                       item_speaker=args.item_speaker,
                       item_by=args.item_by,
                       n_jobs=args.n_jobs,
-                      score_backend=args.score_backend)
+                      score_backend=args.score_backend,
+                      cells_path=args.cells_path)
     line = json.dumps(result)
     print(line)
     if args.output:

@@ -416,10 +416,15 @@ def device_scorable(labels: Sequence, speakers: Sequence,
 def abx_error_device(D, labels: Sequence, speakers: Sequence,
                      task: str = "across",
                      by: Optional[Sequence] = None,
-                     chunk: int = _CHUNK) -> Dict:
+                     chunk: int = _CHUNK,
+                     return_cells: bool = False) -> Dict:
     """Device-backed twin of :func:`abnet3_tpu.eval.abx.abx_error` —
     same inputs plus :class:`DeviceMatrix` handles for ``D``, same
     result dict, bit-identical ``error`` (module docstring).
+    ``return_cells=True`` adds the per-cell ``"cells"`` breakdown —
+    ``(key, score, n_triplets)`` in sorted-key order, bit-identical to
+    the host scorer's (the bins hold exact integer counts and the
+    per-cell division is the same float64 op).
 
     ``D``: a host (N, N) matrix (uploaded once, compared in its own
     dtype) or a :class:`DeviceMatrix` from
@@ -453,7 +458,10 @@ def abx_error_device(D, labels: Sequence, speakers: Sequence,
     cnts = [_cell_counts(n_cs[row_off[g]:row_off[g + 1]], task)
             for g in range(G)]
     if not any((c > 0).any() for c in cnts):
-        return {"error": float("nan"), "n_cells": 0, "n_triplets": 0}
+        out = {"error": float("nan"), "n_cells": 0, "n_triplets": 0}
+        if return_cells:
+            out["cells"] = []
+        return out
     if max(float(c.max()) for c in cnts if c.size) >= _F32_EXACT:
         raise ValueError(
             "a single ABX cell carries >= 2^24 triplets — float32 "
@@ -535,30 +543,53 @@ def abx_error_device(D, labels: Sequence, speakers: Sequence,
         occ = cnt > 0
         return err[lo:hi, :Cg][occ] / cnt[occ]
 
+    def group_cells_across(err: np.ndarray, g: int) -> List[Tuple]:
+        """(key, score, count) rows for group g's occupied cells —
+        row-major over the sorted-label block = sorted (ca, cx) order,
+        scores elementwise-identical to group_scores_across."""
+        lo, hi = int(row_off[g]), int(row_off[g + 1])
+        cnt = cnts[g]
+        names = group_classes[g]
+        pfx = (() if by is None else
+               (keys[g] if isinstance(keys[g], tuple) else (keys[g],)))
+        return [(pfx + (names[a], names[x]),
+                 err[lo + a, x] / cnt[a, x], int(cnt[a, x]))
+                for a, x in zip(*np.nonzero(cnt > 0))]
+
     if task == "across":
         gt, eq = run_bins(range(n_pools))
         err = gt + 0.5 * eq
         if by is None:
             scores = group_scores_across(err, 0)
-            return {"error": (float(np.mean(scores)) if scores.size
-                              else float("nan")),
-                    "n_cells": int((cnts[0] > 0).sum()),
-                    "n_triplets": int(cnts[0].sum())}
+            out = {"error": (float(np.mean(scores)) if scores.size
+                             else float("nan")),
+                   "n_cells": int((cnts[0] > 0).sum()),
+                   "n_triplets": int(cnts[0].sum())}
+            if return_cells:
+                out["cells"] = group_cells_across(err, 0)
+            return out
         # host by-path arithmetic: sum of per-group mean * n_cells
         err_sum, n_cells, n_trip = 0.0, 0, 0
+        by_cells: List[Tuple] = []
         for g in range(G):
             scores = group_scores_across(err, g)
             if scores.size:
                 err_sum += float(np.mean(scores)) * scores.size
                 n_cells += int(scores.size)
                 n_trip += int(cnts[g].sum())
-        return {"error": (err_sum / n_cells if n_cells
-                          else float("nan")),
-                "n_cells": n_cells, "n_triplets": n_trip}
+            if return_cells:
+                by_cells.extend(group_cells_across(err, g))
+        out = {"error": (err_sum / n_cells if n_cells
+                         else float("nan")),
+               "n_cells": n_cells, "n_triplets": n_trip}
+        if return_cells:
+            out["cells"] = by_cells
+        return out
 
     # within: cells are (ca, cx, s) — one speaker at a time so the
     # (Crows, Ccols) bins are that speaker's cells
-    per_group: List[List[Tuple[Tuple, float]]] = [[] for _ in range(G)]
+    per_group: List[List[Tuple[Tuple, float, int]]] = [[] for _ in
+                                                       range(G)]
     trip_group = [0] * G
     for s in range(S):
         pools_s = [p for p in range(n_pools) if pool_spk[p] == s]
@@ -582,24 +613,35 @@ def abx_error_device(D, labels: Sequence, speakers: Sequence,
             for ca, cx in zip(*np.nonzero(cnt_s > 0)):
                 per_group[g].append(
                     ((cls_names[ca], cls_names[cx], spks[s]),
-                     blk[ca, cx] / cnt_s[ca, cx]))
+                     blk[ca, cx] / cnt_s[ca, cx],
+                     int(cnt_s[ca, cx])))
     if by is None:
         cell_list = per_group[0]
         cell_list.sort(key=lambda kv: kv[0])
-        scores = np.asarray([v for _, v in cell_list], np.float64)
-        return {"error": (float(np.mean(scores)) if len(cell_list)
-                          else float("nan")),
-                "n_cells": len(cell_list),
-                "n_triplets": trip_group[0]}
+        scores = np.asarray([v for _, v, _ in cell_list], np.float64)
+        out = {"error": (float(np.mean(scores)) if len(cell_list)
+                         else float("nan")),
+               "n_cells": len(cell_list),
+               "n_triplets": trip_group[0]}
+        if return_cells:
+            out["cells"] = cell_list
+        return out
     err_sum, n_cells, n_trip = 0.0, 0, 0
+    by_cells: List[Tuple] = []
     for g in range(G):
         cell_list = per_group[g]
         if not cell_list:
             continue
         cell_list.sort(key=lambda kv: kv[0])
-        scores = np.asarray([v for _, v in cell_list], np.float64)
+        scores = np.asarray([v for _, v, _ in cell_list], np.float64)
         err_sum += float(np.mean(scores)) * len(cell_list)
         n_cells += len(cell_list)
         n_trip += trip_group[g]
-    return {"error": (err_sum / n_cells if n_cells else float("nan")),
-            "n_cells": n_cells, "n_triplets": n_trip}
+        if return_cells:
+            pfx = keys[g] if isinstance(keys[g], tuple) else (keys[g],)
+            by_cells.extend((pfx + k, v, c) for k, v, c in cell_list)
+    out = {"error": (err_sum / n_cells if n_cells else float("nan")),
+           "n_cells": n_cells, "n_triplets": n_trip}
+    if return_cells:
+        out["cells"] = by_cells
+    return out

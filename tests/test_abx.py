@@ -1029,3 +1029,137 @@ def test_abx_error_n_jobs_bit_identical():
     # a single-class inventory must not try to fork
     one = abx_error(D, ["c"] * n, speakers, n_jobs=4)
     assert one["n_cells"] == 0
+
+
+def _brute_force_cells(D, labels, speakers, task):
+    """Exhaustive per-cell (err_sum, count) map — the oracle for the
+    return_cells breakdown."""
+    labels, speakers = np.asarray(labels), np.asarray(speakers)
+    cells = {}
+    N = len(labels)
+    for a in range(N):
+        for b in range(N):
+            if b == a or labels[b] != labels[a]:
+                continue
+            if task == "across" and speakers[b] == speakers[a]:
+                continue
+            if task == "within" and speakers[b] != speakers[a]:
+                continue
+            for x in range(N):
+                if labels[x] == labels[a] or speakers[x] != speakers[a]:
+                    continue
+                err = (1.0 if D[a, b] > D[a, x]
+                       else 0.5 if D[a, b] == D[a, x] else 0.0)
+                key = ((labels[a], labels[x]) if task == "across"
+                       else (labels[a], labels[x], speakers[a]))
+                s, c = cells.get(key, (0.0, 0))
+                cells[key] = (s + err, c + 1)
+    return cells
+
+
+@pytest.mark.parametrize("task", ["across", "within"])
+def test_abx_return_cells_matches_brute_force(task):
+    """return_cells exposes the per-cell breakdown (the ABXpy analyze
+    collapse level): keys sorted, scores/counts exhaustive-oracle
+    exact, and the aggregate is exactly the mean of the cell scores."""
+    rng = np.random.RandomState(7)
+    N = 16
+    D = (rng.randint(0, 12, (N, N)) / 12.0).astype(np.float32)
+    D = np.triu(D, 1)
+    D = D + D.T
+    labels = [f"c{v}" for v in rng.randint(0, 3, N)]
+    speakers = [f"s{v}" for v in rng.randint(0, 3, N)]
+    got = abx_error(D, labels, speakers, task=task, return_cells=True)
+    want = _brute_force_cells(D, labels, speakers, task)
+    assert [k for k, _, _ in got["cells"]] == sorted(want)
+    for k, v, c in got["cells"]:
+        ws, wc = want[k]
+        assert c == wc
+        assert v == pytest.approx(ws / wc, rel=1e-12)
+    assert got["n_cells"] == len(got["cells"])
+    assert got["n_triplets"] == sum(c for _, _, c in got["cells"])
+    assert got["error"] == pytest.approx(
+        float(np.mean([v for _, v, _ in got["cells"]])), rel=1e-12)
+
+
+def test_abx_return_cells_by_conditioning():
+    """Under by-conditioning cell keys gain the group prefix and the
+    aggregate stays the uniform mean over every group's cells."""
+    rng = np.random.RandomState(8)
+    N = 24
+    D = (rng.randint(0, 8, (N, N)) / 8.0).astype(np.float32)
+    D = np.triu(D, 1)
+    D = D + D.T
+    labels = [f"c{v}" for v in rng.randint(0, 3, N)]
+    speakers = [f"s{v}" for v in rng.randint(0, 2, N)]
+    by = [(f"g{v}",) for v in rng.randint(0, 2, N)]
+    got = abx_error(D, labels, speakers, task="across", by=by,
+                    return_cells=True)
+    assert got["n_cells"] == len(got["cells"]) > 0
+    for k, _, _ in got["cells"]:
+        assert len(k) == 3 and k[0] in ("g0", "g1")
+    # group blocks appear in sorted-group order, sorted inside
+    keys = [k for k, _, _ in got["cells"]]
+    assert keys == sorted(keys)
+    assert got["error"] == pytest.approx(
+        float(np.mean([v for _, v, _ in got["cells"]])), rel=1e-12)
+    # each group's cells = the unconditioned scorer run inside the group
+    for g in ("g0", "g1"):
+        idx = np.asarray([i for i, b in enumerate(by) if b == (g,)])
+        sub = abx_error(D[np.ix_(idx, idx)],
+                        [labels[i] for i in idx],
+                        [speakers[i] for i in idx],
+                        task="across", return_cells=True)
+        want = [((g,) + k, v, c) for k, v, c in sub["cells"]]
+        assert [kv for kv in got["cells"] if kv[0][0] == g] == want
+
+
+def test_evaluate_cells_csv(tmp_path):
+    """evaluate(cells_path=...) writes the analyze-style per-cell CSV:
+    header, one row per occupied cell, scores that average back to the
+    aggregate error."""
+    import csv
+
+    from abnet3_tpu.eval.abx import evaluate
+    from abnet3_tpu.io import write_h5features
+
+    rng = np.random.RandomState(9)
+    items, times, feats = [], [], []
+    classes_lines = []
+    n_cls, per = 3, 4
+    tid = 0
+    for c in range(n_cls):
+        classes_lines.append(f"Class {c}")
+        for k in range(per):
+            T = 8
+            items.append(f"f{tid}")
+            times.append((np.arange(T) + 0.5) / 100.0)
+            feats.append(rng.randn(T, 5).astype(np.float32)
+                         + 3.0 * c)
+            classes_lines.append(f"f{tid} 0.0 {T / 100.0}")
+            tid += 1
+        classes_lines.append("")
+    fpath = str(tmp_path / "feats.h5f")
+    write_h5features(fpath, "features", items, times, feats)
+    cpath = str(tmp_path / "tokens.classes")
+    with open(cpath, "w") as fh:
+        fh.write("\n".join(classes_lines) + "\n")
+    spath = str(tmp_path / "spk.txt")
+    with open(spath, "w") as fh:
+        for i in range(tid):
+            fh.write(f"f{i} spk{i % 2}\n")
+    csv_path = str(tmp_path / "cells.csv")
+    out = evaluate(fpath, cpath, spkid_file=spath, task="across",
+                   distance="mean_cos", cells_path=csv_path)
+    assert out["cells_csv"] == csv_path
+    assert "cells" not in out  # the big list goes to the file, not JSON
+    with open(csv_path) as fh:
+        rows = list(csv.reader(fh, delimiter="\t"))
+    assert rows[0] == ["class_A", "class_X", "score", "n"]
+    body = rows[1:]
+    assert len(body) == out["n_cells"]
+    scores = [float(r[2]) for r in body]
+    counts = [int(r[3]) for r in body]
+    assert sum(counts) == out["n_triplets"]
+    assert float(np.mean(scores)) == pytest.approx(out["error"],
+                                                   rel=1e-12)

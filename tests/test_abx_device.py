@@ -344,3 +344,41 @@ def test_device_scorable_by_param():
     # conditioning splits the giant cells below the exactness bound
     by = [f"g{i % 8}" for i in range(n)]
     assert device_scorable(labels, speakers, "across", by=by)
+
+
+@pytest.mark.parametrize("task", ["across", "within"])
+def test_device_cells_match_host(task):
+    """return_cells: the per-cell breakdown (keys, scores, counts) is
+    bit-identical between the host and device scorers."""
+    rng = np.random.RandomState(21)
+    D = _quantized_matrix(rng, 50, levels=24)
+    labels, speakers = _inventory(rng, 50, 6, 3)
+    host = abx_error(D, labels, speakers, task=task, return_cells=True)
+    dev = abx_error_device(D, labels, speakers, task=task,
+                           return_cells=True)
+    _assert_same(host, dev)
+    assert len(host["cells"]) == len(dev["cells"]) == host["n_cells"]
+    for (hk, hv, hc), (dk, dv, dc) in zip(host["cells"], dev["cells"]):
+        assert tuple(hk) == tuple(dk)
+        assert hc == dc
+        assert hv == dv, (hk, hv, dv)   # bit-identical scores
+
+
+@pytest.mark.parametrize("task", ["across", "within"])
+def test_device_cells_match_host_by(task):
+    """Per-cell parity under by-conditioning (group-prefixed keys)."""
+    rng = np.random.RandomState(22)
+    n = 48
+    D = _quantized_matrix(rng, n, levels=16)
+    labels, speakers = _inventory(rng, n, 5, 3)
+    by = [(f"g{v}",) for v in rng.randint(0, 3, n)]
+    host = abx_error(D, labels, speakers, task=task, by=by,
+                     return_cells=True)
+    dev = abx_error_device(D, labels, speakers, task=task, by=by,
+                           return_cells=True)
+    _assert_same(host, dev)
+    assert len(host["cells"]) == len(dev["cells"]) == host["n_cells"]
+    for (hk, hv, hc), (dk, dv, dc) in zip(host["cells"], dev["cells"]):
+        assert tuple(hk) == tuple(dk)
+        assert hc == dc
+        assert hv == dv, (hk, hv, dv)
