@@ -422,6 +422,11 @@ def distance_matrix(bank, distance: str = "dtw_cos",
                       else pairwise_angular_distance)
         view = bank.view() if hasattr(bank, "view") else bank
         R = _tile_rows_per_step(block, T)
+        from abnet3_tpu.ops.dtw import path_stats_backend
+        # scan vs Pallas stats differ in float summation order (~1e-6
+        # psum); the checkpoint algo field pins the flavor so resumed
+        # tiles never mix with fresh ones computed the other way
+        stats_backend = path_stats_backend((R * block, T, T), mesh=mesh)
 
         @jax.jit
         def tile_impl(bv, ids_i, ids_j):
@@ -482,9 +487,14 @@ def distance_matrix(bank, distance: str = "dtw_cos",
             # numerics ("algo": the round-4 forward-only stats DP
             # replaced the path-mask reduction; same path, float
             # rounding differs ~1e-6 — mixing tiles across algorithms
-            # would break the bitwise kill+resume contract)
+            # would break the bitwise kill+resume contract; likewise
+            # the Pallas stats kernel's summation order vs the scan's)
             "wire": "u16" if u16_wire else "f32",
-            "algo": "path-stats"}
+            # scan keeps the legacy "path-stats" name so existing
+            # checkpoints stay resumable (identical numerics)
+            "algo": ("path-stats-pallas"
+                     if distance != "mean_cos"
+                     and stats_backend == "pallas" else "path-stats")}
     if checkpoint_path is not None:
         import json as _json
         import os as _os

@@ -307,6 +307,49 @@ def _pallas_enabled() -> bool:
     return _pallas_available()
 
 
+_STATS_PALLAS_OK = None
+
+
+def _stats_pallas_available() -> bool:
+    """Separate probe for the forward-only stats kernel: it uses
+    constructs the other kernels don't (pl.ANY input + run_scoped
+    double-buffered async copies), so a Mosaic version where they
+    compile but it doesn't must degrade ONLY the stats dispatch."""
+    global _STATS_PALLAS_OK
+    if _STATS_PALLAS_OK is None:
+        _STATS_PALLAS_OK = False
+        if _pallas_enabled():
+            try:
+                from abnet3_tpu.ops.pallas_dtw import dtw_path_stats_pallas
+                probe = jnp.zeros((8, 8, 128), jnp.float32)
+                ones = jnp.ones((8,), jnp.int32)
+                jax.block_until_ready(
+                    dtw_path_stats_pallas(probe, ones, ones))
+                _STATS_PALLAS_OK = True
+            except Exception as exc:
+                print("Pallas stats kernel unavailable "
+                      "(falling back to the XLA scan): %r" % (exc,))
+                _STATS_PALLAS_OK = False
+    return _STATS_PALLAS_OK
+
+
+def path_stats_backend(shape, mesh=None) -> str:
+    """Which implementation :func:`dtw_path_stats_auto` will run for a
+    (B, T1, T2) problem: ``'pallas'`` or ``'scan'``. Exposed so callers
+    whose artifacts must not mix float-rounding flavors (the ABX tile
+    checkpoints' ``algo`` field) can record the dispatch."""
+    B, T1, T2 = shape
+    if mesh is not None and mesh.size > 1:
+        n_data = dict(mesh.shape).get("data", 1)
+        if B % max(n_data, 1):
+            return "scan"
+        B = B // max(n_data, 1)
+    if not (_pallas_enabled() and _stats_pallas_available()):
+        return "scan"
+    from abnet3_tpu.ops.pallas_dtw import stats_fits_vmem
+    return "pallas" if stats_fits_vmem(B, T1, T2) else "scan"
+
+
 def _pallas_fits(dist_shape, n_buffers: int) -> bool:
     """Trace-time VMEM guard: False for length buckets whose per-pair
     planes overflow the kernel budget even at batch block 1 (e.g. a
@@ -473,10 +516,19 @@ def dtw_path_stats(dist: jnp.ndarray, n1: jnp.ndarray, n2: jnp.ndarray
 def dtw_path_stats_auto(dist: jnp.ndarray, n1: jnp.ndarray,
                         n2: jnp.ndarray, mesh=None
                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """:func:`dtw_path_stats`, sharded over the mesh 'data' axis when a
-    >1-device mesh is given (the DP is independent per pair; the batch
-    must divide the axis, same contract as the Pallas dispatchers)."""
+    """:func:`dtw_path_stats`, dispatched to the Pallas stats kernel
+    where it compiles and fits VMEM (``path_len`` identical; ``path_
+    sum`` differs only in float summation order — callers that pin
+    artifact numerics record :func:`path_stats_backend`), else the XLA
+    scan; sharded over the mesh 'data' axis when a >1-device mesh is
+    given (the DP is independent per pair; the batch must divide the
+    axis, same contract as the Pallas dispatchers)."""
+    backend = path_stats_backend(dist.shape, mesh=mesh)
     if mesh is not None and mesh.size > 1:
+        if backend == "pallas":
+            from abnet3_tpu.ops.pallas_dtw import (
+                dtw_path_stats_pallas_sharded)
+            return dtw_path_stats_pallas_sharded(dist, n1, n2, mesh)
         from jax.sharding import PartitionSpec as P
 
         spec = P("data")
@@ -488,6 +540,9 @@ def dtw_path_stats_auto(dist: jnp.ndarray, n1: jnp.ndarray,
                           in_specs=(spec, spec, spec),
                           out_specs=(spec, spec), check_vma=False)
         return f(dist, n1, n2)
+    if backend == "pallas":
+        from abnet3_tpu.ops.pallas_dtw import dtw_path_stats_pallas
+        return dtw_path_stats_pallas(dist, n1, n2)
     return dtw_path_stats(dist, n1, n2)
 
 

@@ -48,7 +48,9 @@ except Exception:  # pragma: no cover
 
 __all__ = ["dtw_costs_pallas", "dtw_moves_pallas",
            "dtw_moves_pallas_sharded", "dtw_path_pallas",
-           "dtw_path_pallas_sharded", "fits_vmem"]
+           "dtw_path_pallas_sharded", "dtw_path_stats_pallas",
+           "dtw_path_stats_pallas_sharded", "fits_vmem",
+           "stats_fits_vmem"]
 
 _BIG = 1e30  # plain float: jnp constants cannot be captured by a kernel
 BLOCK_B = 8  # preferred block; the call picks the largest VMEM-fitting one
@@ -416,3 +418,220 @@ def dtw_costs_pallas(dist: jnp.ndarray, interpret: bool = False
         interpret=interpret,
     )(dist.astype(jnp.float32))
     return out[:B]
+
+
+# ---------------------------------------------------------------------------
+# Forward-only path-stats kernel (the ABX distance tiles' inner loop)
+# ---------------------------------------------------------------------------
+
+# VMEM the stats kernel's double-buffered dist slab may claim (2 slots of
+# (P, T1, T2) f32, TILED bytes). Separate from VMEM_BUDGET: this kernel
+# materializes no (B, T1, T2) output — only the slab, four (B, 1) refs
+# (~Bp*2 KB total, accounted separately below) and (P, T2) row
+# temporaries live on-chip, so the slab can take most of the 16 MiB
+# scoped limit while leaving Mosaic staging headroom.
+STATS_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _pick_stats_block(B: int, T1: int, T2: int,
+                      vmem_budget: int = None):
+    """Pairs per DMA chunk for the stats kernel. The kernel is ONE
+    Pallas body (multi-step grids cost ~ms per step through this
+    runtime, module docstring) that fori-loops over B // P chunks,
+    double-buffering (P, T1, T2) slabs HBM->VMEM — so P is capped by
+    the two slab slots' TILED bytes plus the (B, 1)-shaped n/out refs
+    (ceil8(B) * 128 * 4 bytes each once tiled). Returns None when even
+    P=8 does not fit — callers fall back to the XLA scan."""
+    if vmem_budget is None:
+        vmem_budget = STATS_VMEM_BUDGET
+    refs = 4 * _round_up(max(B, 8), 8) * 128 * 4  # n1, n2, psum, plen
+    per_pair = 2 * _round_up(T1, 8) * _round_up(T2, 128) * 4
+    if refs + 8 * per_pair > vmem_budget:
+        return None
+    P = 8
+    while P * 2 <= max(B, 8) and refs + (P * 2) * per_pair <= vmem_budget:
+        P *= 2
+    return P
+
+
+def stats_fits_vmem(B: int, T1: int, T2: int) -> bool:
+    """True when the stats kernel's slab/ref budget admits some chunk
+    size for a (B, T1, T2) problem (ops.dtw.dtw_path_stats_auto's
+    dispatch guard — in lockstep with the kernel's own picker)."""
+    return _pick_stats_block(B, T1, T2) is not None
+
+
+def _last_valid_scan(v, c):
+    """Row-wise last-valid-value propagation by log-doubling:
+    out[j] = v[k] for the largest k <= j with c[k] > 0 (c[0] > 0 must
+    hold, as in ops.dtw.dtw_path_stats' copy_scan — the first cell of a
+    row is never a left-entry). Same associative combine as the XLA
+    version's associative_scan; min/max/select are order-exact, so the
+    result is bitwise equal."""
+    T = v.shape[1]
+    shift = 1
+    while shift < T:
+        vs = _shift_right(v, shift, 0.0)
+        cs = _shift_right(c, shift, 0.0)
+        v = jnp.where(c > 0, v, vs)
+        c = jnp.maximum(c, cs)
+        shift *= 2
+    return v
+
+
+def _make_stats_kernel(P: int, nb: int, T1: int, T2: int):
+    """Build the single-body stats kernel for a (nb*P, T1, T2) problem.
+
+    Layout: ``dist`` stays in HBM (pl.ANY) and streams through a
+    2-slot (2*P, T1, T2) VMEM slab via double-buffered async copies —
+    the kernel reads each distance value exactly once and writes only
+    (B, 1) endpoint stats, vs the XLA scan's ~10 (B, T2) row tensors
+    round-tripping HBM per step (the tile rows' measured bottleneck).
+    DP carries (D, L rows) live in registers/VMEM across the fori_loop.
+    """
+
+    def compute_chunk(read_row, n1c, n2c):
+        """Stats for one (P, T1, T2) chunk. ``read_row(i)`` -> (P, T2)
+        distance row; n1c/n2c: (P, 1) float32 true lengths. Mirrors
+        ops.dtw.dtw_path_stats row for row (same closed forms; prefix
+        sums differ only in float summation order)."""
+        col = jax.lax.broadcasted_iota(jnp.float32, (P, T2), 1)
+        end_col = (col == (n2c - 1.0)).astype(jnp.float32)
+        D = _prefix_sum(read_row(0))
+        L = col + 1.0
+        is_end = (n1c == 1.0).astype(jnp.float32)
+        accp = is_end * jnp.sum(D * end_col, axis=1, keepdims=True)
+        accl = is_end * jnp.sum(L * end_col, axis=1, keepdims=True)
+
+        def row_step(i, carry):
+            D_prev, L_prev, ap, al = carry
+            c = read_row(i)
+            x, diag = _dp_row(c, D_prev)
+            left = _shift_right(x, 1, _BIG)
+            take_diag = (diag <= D_prev) & (diag <= left)
+            not_left = take_diag | ((~take_diag) & (D_prev <= left))
+            # entry length at non-left cells; a run of left-moves
+            # extends its rightmost entry k by (j - k) cells
+            L_diag = _shift_right(L_prev, 1, 0.0)
+            Le = 1.0 + jnp.where(take_diag, L_diag, L_prev)
+            L_cur = col + _last_valid_scan(
+                Le - col, not_left.astype(jnp.float32))
+            i_f = jax.lax.convert_element_type(i, jnp.float32)
+            is_end = (n1c == i_f + 1.0).astype(jnp.float32)
+            ap = ap + is_end * jnp.sum(x * end_col, axis=1, keepdims=True)
+            al = al + is_end * jnp.sum(L_cur * end_col, axis=1,
+                                       keepdims=True)
+            return (x, L_cur, ap, al)
+
+        _, _, accp, accl = jax.lax.fori_loop(
+            1, T1, row_step, (D, L, accp, accl))
+        return accp, accl
+
+    def kernel(dist_hbm, n1_ref, n2_ref, psum_ref, plen_ref):
+        def body(slab, sems):
+            # slab rows [slot*P, slot*P + P) are the slot's buffer (a
+            # flat (2*P, T1, T2) ref: one dynamic pl.ds on the leading
+            # dim instead of a 4-D ref indexed at two dynamic positions)
+            def get_dma(slot, ci):
+                return pltpu.make_async_copy(
+                    dist_hbm.at[pl.ds(ci * P, P)],
+                    slab.at[pl.ds(slot * P, P)],
+                    sems.at[slot])
+
+            get_dma(0, 0).start()
+
+            def chunk(ci, _):
+                slot = ci % 2
+
+                @pl.when(ci + 1 < nb)
+                def _prefetch():
+                    get_dma((ci + 1) % 2, ci + 1).start()
+
+                get_dma(slot, ci).wait()
+                n1c = n1_ref[pl.ds(ci * P, P), :]
+                n2c = n2_ref[pl.ds(ci * P, P), :]
+                base = slot * P
+
+                def read_row(i):
+                    return slab[pl.ds(base, P), i, :]
+
+                accp, accl = compute_chunk(read_row, n1c, n2c)
+                psum_ref[pl.ds(ci * P, P), :] = accp
+                plen_ref[pl.ds(ci * P, P), :] = accl
+                return _
+
+            jax.lax.fori_loop(0, nb, chunk, None)
+
+        pl.run_scoped(body,
+                      slab=pltpu.VMEM((2 * P, T1, T2), jnp.float32),
+                      sems=pltpu.SemaphoreType.DMA((2,)))
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def dtw_path_stats_pallas(dist: jnp.ndarray, n1: jnp.ndarray,
+                          n2: jnp.ndarray, interpret: bool = False):
+    """(path_sum, path_len) of the DTW backtrace path — the Pallas twin
+    of :func:`abnet3_tpu.ops.dtw.dtw_path_stats` (same per-cell argmin
+    chain; ``path_len`` is bitwise equal, ``path_sum`` agrees to float
+    summation-order rounding ~1e-6 — the log-doubling prefix sums add
+    in a different order than the XLA scan's cumsum).
+
+    Why it exists: the ABX tile rows are stats-DP-bound, and the XLA
+    scan's row step round-trips ~10 (B, T2) tensors through HBM per
+    sequential step where this kernel reads each ``dist`` value once
+    into a double-buffered VMEM slab and keeps the DP carries on-chip.
+
+    dist: (B, T1, T2) float32; n1, n2: (B,) true lengths. B is padded
+    internally to the DMA chunk size. Raises when no chunk fits VMEM —
+    dispatchers guard with :func:`stats_fits_vmem` and take the XLA
+    scan for such buckets."""
+    B, T1, T2 = dist.shape
+    P = _pick_stats_block(B, T1, T2)
+    if P is None:
+        raise ValueError(
+            f"DTW shape (T1={T1}, T2={T2}) exceeds the stats-kernel "
+            "VMEM budget even at chunk=8; use ops.dtw.dtw_path_stats "
+            "(XLA scan) for such buckets")
+    pad = (-B) % P
+    if pad:
+        dist = jnp.concatenate(
+            [dist, jnp.zeros((pad, T1, T2), dist.dtype)], axis=0)
+        n1 = jnp.concatenate([n1, jnp.ones((pad,), n1.dtype)])
+        n2 = jnp.concatenate([n2, jnp.ones((pad,), n2.dtype)])
+    Bp = B + pad
+    nb = Bp // P
+    psum, plen = pl.pallas_call(
+        _make_stats_kernel(P, nb, T1, T2),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # dist stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((Bp, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((Bp, 1), jnp.float32)],
+        interpret=interpret,
+    )(dist.astype(jnp.float32),
+      n1.astype(jnp.float32)[:, None],
+      n2.astype(jnp.float32)[:, None])
+    return psum[:B, 0], plen[:B, 0]
+
+
+def dtw_path_stats_pallas_sharded(dist: jnp.ndarray, n1: jnp.ndarray,
+                                  n2: jnp.ndarray, mesh,
+                                  interpret: bool = False):
+    """Stats kernel on a multi-device mesh via ``jax.shard_map`` over
+    'data' (GSPMD cannot partition a pallas_call; the DP is independent
+    per pair — same contract as dtw_moves_pallas_sharded)."""
+    from jax.sharding import PartitionSpec as P
+
+    spec = P("data")
+    f = jax.shard_map(
+        lambda d, a, b: dtw_path_stats_pallas(d, a, b,
+                                              interpret=interpret),
+        mesh=mesh, in_specs=(spec, spec, spec),
+        out_specs=(spec, spec), check_vma=False)
+    return f(dist, n1, n2)
