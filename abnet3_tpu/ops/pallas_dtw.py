@@ -424,41 +424,37 @@ def dtw_costs_pallas(dist: jnp.ndarray, interpret: bool = False
 # Forward-only path-stats kernel (the ABX distance tiles' inner loop)
 # ---------------------------------------------------------------------------
 
-# VMEM the stats kernel's double-buffered dist slab may claim (2 slots of
-# (P, T1, T2) f32, TILED bytes). Separate from VMEM_BUDGET: this kernel
-# materializes no (B, T1, T2) output — only the slab, four (B, 1) refs
-# (~Bp*2 KB total, accounted separately below) and (P, T2) row
-# temporaries live on-chip, so the slab can take most of the 16 MiB
-# scoped limit while leaving Mosaic staging headroom.
-STATS_VMEM_BUDGET = 10 * 1024 * 1024
+# VMEM the stats kernel may claim, in TILED bytes. The kernel streams
+# (B, T2) distance ROWS (2 double-buffered slots, ~B*T2r*4 each), keeps
+# two (B, T2) DP carries plus ~a dozen row temporaries live, and holds
+# four (B, 1) n/out refs (ceil8(B)*128*4 each once tiled) — everything
+# scales with B, nothing with T1, so the budget translates into a max
+# batch width (B=1024 at T2<=128 fits with ~5 MB of headroom; the ABX
+# tile rows are exactly (1024, T, T)).
+STATS_VMEM_BUDGET = 11_534_336  # 11.0 MiB, like VMEM_BUDGET
+# live (B, T2r) rows budgeted: 2 slab slots + D/L carries + Le/flag/
+# scan temporaries the compiler keeps around (measured headroom, not a
+# hard count — Mosaic reuses registers for most of the shift chain)
+_STATS_LIVE_ROWS = 14
 
 
-def _pick_stats_block(B: int, T1: int, T2: int,
-                      vmem_budget: int = None):
-    """Pairs per DMA chunk for the stats kernel. The kernel is ONE
-    Pallas body (multi-step grids cost ~ms per step through this
-    runtime, module docstring) that fori-loops over B // P chunks,
-    double-buffering (P, T1, T2) slabs HBM->VMEM — so P is capped by
-    the two slab slots' TILED bytes plus the (B, 1)-shaped n/out refs
-    (ceil8(B) * 128 * 4 bytes each once tiled). Returns None when even
-    P=8 does not fit — callers fall back to the XLA scan."""
+def _stats_vmem_bytes(B: int, T2: int) -> int:
+    Bp = _round_up(max(B, 8), 8)
+    rows = _STATS_LIVE_ROWS * Bp * _round_up(T2, 128) * 4
+    refs = 4 * Bp * 128 * 4  # n1, n2, psum, plen
+    return rows + refs
+
+
+def stats_fits_vmem(B: int, T1: int, T2: int,
+                    vmem_budget: int = None) -> bool:
+    """True when the stats kernel's row-slab/carry/ref budget fits a
+    (B, T1, T2) problem (ops.dtw.dtw_path_stats_auto's dispatch guard —
+    in lockstep with the kernel wrapper). Everything on-chip is
+    (B, T2)-shaped, so T1 never disqualifies; too-wide batches do
+    (the XLA scan takes those)."""
     if vmem_budget is None:
         vmem_budget = STATS_VMEM_BUDGET
-    refs = 4 * _round_up(max(B, 8), 8) * 128 * 4  # n1, n2, psum, plen
-    per_pair = 2 * _round_up(T1, 8) * _round_up(T2, 128) * 4
-    if refs + 8 * per_pair > vmem_budget:
-        return None
-    P = 8
-    while P * 2 <= max(B, 8) and refs + (P * 2) * per_pair <= vmem_budget:
-        P *= 2
-    return P
-
-
-def stats_fits_vmem(B: int, T1: int, T2: int) -> bool:
-    """True when the stats kernel's slab/ref budget admits some chunk
-    size for a (B, T1, T2) problem (ops.dtw.dtw_path_stats_auto's
-    dispatch guard — in lockstep with the kernel's own picker)."""
-    return _pick_stats_block(B, T1, T2) is not None
+    return _stats_vmem_bytes(B, T2) <= vmem_budget
 
 
 def _last_valid_scan(v, c):
@@ -479,91 +475,86 @@ def _last_valid_scan(v, c):
     return v
 
 
-def _make_stats_kernel(P: int, nb: int, T1: int, T2: int):
-    """Build the single-body stats kernel for a (nb*P, T1, T2) problem.
+def _make_stats_kernel(B: int, T1: int, T2: int):
+    """Build the single-body stats kernel for a row-major (T1, B, T2)
+    problem.
 
-    Layout: ``dist`` stays in HBM (pl.ANY) and streams through a
-    2-slot (2*P, T1, T2) VMEM slab via double-buffered async copies —
-    the kernel reads each distance value exactly once and writes only
-    (B, 1) endpoint stats, vs the XLA scan's ~10 (B, T2) row tensors
-    round-tripping HBM per step (the tile rows' measured bottleneck).
-    DP carries (D, L rows) live in registers/VMEM across the fori_loop.
-    """
-
-    def compute_chunk(read_row, n1c, n2c):
-        """Stats for one (P, T1, T2) chunk. ``read_row(i)`` -> (P, T2)
-        distance row; n1c/n2c: (P, 1) float32 true lengths. Mirrors
-        ops.dtw.dtw_path_stats row for row (same closed forms; prefix
-        sums differ only in float summation order)."""
-        col = jax.lax.broadcasted_iota(jnp.float32, (P, T2), 1)
-        end_col = (col == (n2c - 1.0)).astype(jnp.float32)
-        D = _prefix_sum(read_row(0))
-        L = col + 1.0
-        is_end = (n1c == 1.0).astype(jnp.float32)
-        accp = is_end * jnp.sum(D * end_col, axis=1, keepdims=True)
-        accl = is_end * jnp.sum(L * end_col, axis=1, keepdims=True)
-
-        def row_step(i, carry):
-            D_prev, L_prev, ap, al = carry
-            c = read_row(i)
-            x, diag = _dp_row(c, D_prev)
-            left = _shift_right(x, 1, _BIG)
-            take_diag = (diag <= D_prev) & (diag <= left)
-            not_left = take_diag | ((~take_diag) & (D_prev <= left))
-            # entry length at non-left cells; a run of left-moves
-            # extends its rightmost entry k by (j - k) cells
-            L_diag = _shift_right(L_prev, 1, 0.0)
-            Le = 1.0 + jnp.where(take_diag, L_diag, L_prev)
-            L_cur = col + _last_valid_scan(
-                Le - col, not_left.astype(jnp.float32))
-            i_f = jax.lax.convert_element_type(i, jnp.float32)
-            is_end = (n1c == i_f + 1.0).astype(jnp.float32)
-            ap = ap + is_end * jnp.sum(x * end_col, axis=1, keepdims=True)
-            al = al + is_end * jnp.sum(L_cur * end_col, axis=1,
-                                       keepdims=True)
-            return (x, L_cur, ap, al)
-
-        _, _, accp, accl = jax.lax.fori_loop(
-            1, T1, row_step, (D, L, accp, accl))
-        return accp, accl
+    Layout: ``dist`` is transposed row-major OUTSIDE the kernel and
+    stays in HBM (pl.ANY); the kernel streams one (B, T2) distance row
+    per DP step through a 2-slot double-buffered VMEM slab, so every
+    row op runs at the FULL batch width. (An earlier batch-chunked
+    (P, T1, T2)-slab layout capped P at 64 by VMEM and serialized the
+    work into 16x narrower ops — measured 3.76 s/tile vs the scan's
+    1.94 on hardware; this layout replaces it.) Each distance value is
+    read from HBM exactly once; the DP carries (D, L rows) and the
+    (B, 1) stat accumulators never leave VMEM — vs the scan's ~10
+    (B, T2) row tensors round-tripping HBM per sequential step."""
 
     def kernel(dist_hbm, n1_ref, n2_ref, psum_ref, plen_ref):
         def body(slab, sems):
-            # slab rows [slot*P, slot*P + P) are the slot's buffer (a
-            # flat (2*P, T1, T2) ref: one dynamic pl.ds on the leading
-            # dim instead of a 4-D ref indexed at two dynamic positions)
-            def get_dma(slot, ci):
+            # slab rows [slot*B, slot*B + B) are the slot's buffer (a
+            # flat (2*B, T2) ref: dynamic pl.ds on the sublane dim only)
+            def get_dma(slot, i):
                 return pltpu.make_async_copy(
-                    dist_hbm.at[pl.ds(ci * P, P)],
-                    slab.at[pl.ds(slot * P, P)],
+                    dist_hbm.at[i],
+                    slab.at[pl.ds(slot * B, B)],
                     sems.at[slot])
 
             get_dma(0, 0).start()
+            if T1 > 1:
+                get_dma(1, 1).start()
 
-            def chunk(ci, _):
-                slot = ci % 2
+            # Mosaic's tpu.iota is integer-only: build int32 and convert
+            col = jax.lax.broadcasted_iota(jnp.int32, (B, T2), 1) \
+                .astype(jnp.float32)
+            n1c = n1_ref[:, :]
+            n2c = n2_ref[:, :]
+            end_col = (col == (n2c - 1.0)).astype(jnp.float32)
 
-                @pl.when(ci + 1 < nb)
+            get_dma(0, 0).wait()
+            D = _prefix_sum(slab[pl.ds(0, B), :])
+            L = col + 1.0
+            is_end = (n1c == 1.0).astype(jnp.float32)
+            accp = is_end * jnp.sum(D * end_col, axis=1, keepdims=True)
+            accl = is_end * jnp.sum(L * end_col, axis=1, keepdims=True)
+
+            def row_step(i, carry):
+                D_prev, L_prev, ap, al = carry
+                slot = i % 2
+
+                @pl.when(i + 1 < T1)
                 def _prefetch():
-                    get_dma((ci + 1) % 2, ci + 1).start()
+                    # slot (i+1) % 2 was consumed at step i-1; at most
+                    # two copies are ever in flight
+                    get_dma((i + 1) % 2, i + 1).start()
 
-                get_dma(slot, ci).wait()
-                n1c = n1_ref[pl.ds(ci * P, P), :]
-                n2c = n2_ref[pl.ds(ci * P, P), :]
-                base = slot * P
+                get_dma(slot, i).wait()
+                c = slab[pl.ds(slot * B, B), :]
+                x, diag = _dp_row(c, D_prev)
+                left = _shift_right(x, 1, _BIG)
+                take_diag = (diag <= D_prev) & (diag <= left)
+                not_left = take_diag | ((~take_diag) & (D_prev <= left))
+                # entry length at non-left cells; a run of left-moves
+                # extends its rightmost entry k by (j - k) cells
+                L_diag = _shift_right(L_prev, 1, 0.0)
+                Le = 1.0 + jnp.where(take_diag, L_diag, L_prev)
+                L_cur = col + _last_valid_scan(
+                    Le - col, not_left.astype(jnp.float32))
+                i_f = jax.lax.convert_element_type(i, jnp.float32)
+                is_end = (n1c == i_f + 1.0).astype(jnp.float32)
+                ap = ap + is_end * jnp.sum(x * end_col, axis=1,
+                                           keepdims=True)
+                al = al + is_end * jnp.sum(L_cur * end_col, axis=1,
+                                           keepdims=True)
+                return (x, L_cur, ap, al)
 
-                def read_row(i):
-                    return slab[pl.ds(base, P), i, :]
-
-                accp, accl = compute_chunk(read_row, n1c, n2c)
-                psum_ref[pl.ds(ci * P, P), :] = accp
-                plen_ref[pl.ds(ci * P, P), :] = accl
-                return _
-
-            jax.lax.fori_loop(0, nb, chunk, None)
+            _, _, accp, accl = jax.lax.fori_loop(
+                1, T1, row_step, (D, L, accp, accl))
+            psum_ref[:, :] = accp
+            plen_ref[:, :] = accl
 
         pl.run_scoped(body,
-                      slab=pltpu.VMEM((2 * P, T1, T2), jnp.float32),
+                      slab=pltpu.VMEM((2 * B, T2), jnp.float32),
                       sems=pltpu.SemaphoreType.DMA((2,)))
 
     return kernel
@@ -580,30 +571,39 @@ def dtw_path_stats_pallas(dist: jnp.ndarray, n1: jnp.ndarray,
 
     Why it exists: the ABX tile rows are stats-DP-bound, and the XLA
     scan's row step round-trips ~10 (B, T2) tensors through HBM per
-    sequential step where this kernel reads each ``dist`` value once
-    into a double-buffered VMEM slab and keeps the DP carries on-chip.
+    sequential step where this kernel streams each ``dist`` row through
+    a double-buffered VMEM slab and keeps the DP carries on-chip.
 
-    dist: (B, T1, T2) float32; n1, n2: (B,) true lengths. B is padded
-    internally to the DMA chunk size. Raises when no chunk fits VMEM —
+    dist: (B, T1, T2) float32; n1, n2: (B,) true lengths. B pads to the
+    sublane multiple, T2 to the lane multiple (inert zero columns: the
+    (min,+) recurrence only flows left->right and end_col never selects
+    them). Raises when the (B, T2)-shaped working set exceeds VMEM —
     dispatchers guard with :func:`stats_fits_vmem` and take the XLA
-    scan for such buckets."""
+    scan for such batches."""
     B, T1, T2 = dist.shape
-    P = _pick_stats_block(B, T1, T2)
-    if P is None:
+    if not stats_fits_vmem(B, T1, T2):
         raise ValueError(
-            f"DTW shape (T1={T1}, T2={T2}) exceeds the stats-kernel "
-            "VMEM budget even at chunk=8; use ops.dtw.dtw_path_stats "
-            "(XLA scan) for such buckets")
-    pad = (-B) % P
+            f"stats-kernel working set for (B={B}, T2={T2}) exceeds "
+            "the VMEM budget; use ops.dtw.dtw_path_stats (XLA scan) "
+            "for such batches")
+    pad = (-B) % 8
     if pad:
         dist = jnp.concatenate(
             [dist, jnp.zeros((pad, T1, T2), dist.dtype)], axis=0)
         n1 = jnp.concatenate([n1, jnp.ones((pad,), n1.dtype)])
         n2 = jnp.concatenate([n2, jnp.ones((pad,), n2.dtype)])
     Bp = B + pad
-    nb = Bp // P
+    # Mosaic requires the slab DMA slices' last dim 128-aligned (hit on
+    # hardware at T2=96: "Slice shape along dimension 2 must be aligned
+    # to tiling (128)"). Zero-pad columns (inert, see docstring).
+    T2r = _round_up(T2, 128)
+    if T2r != T2:
+        dist = jnp.concatenate(
+            [dist, jnp.zeros((Bp, T1, T2r - T2), dist.dtype)], axis=2)
+    # row-major so each DP step's (B, T2) row is one contiguous DMA
+    dist_rows = jnp.moveaxis(dist.astype(jnp.float32), 1, 0)
     psum, plen = pl.pallas_call(
-        _make_stats_kernel(P, nb, T1, T2),
+        _make_stats_kernel(Bp, T1, T2r),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # dist stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -614,7 +614,7 @@ def dtw_path_stats_pallas(dist: jnp.ndarray, n1: jnp.ndarray,
         out_shape=[jax.ShapeDtypeStruct((Bp, 1), jnp.float32),
                    jax.ShapeDtypeStruct((Bp, 1), jnp.float32)],
         interpret=interpret,
-    )(dist.astype(jnp.float32),
+    )(dist_rows,
       n1.astype(jnp.float32)[:, None],
       n2.astype(jnp.float32)[:, None])
     return psum[:B, 0], plen[:B, 0]

@@ -17,8 +17,7 @@ import jax.numpy as jnp
 from abnet3_tpu.ops.dtw import (dtw_costs, dtw_path_stats,
                                 moves_from_costs, onpath_from_moves,
                                 path_stats_backend)
-from abnet3_tpu.ops.pallas_dtw import (_pick_stats_block,
-                                       dtw_path_stats_pallas,
+from abnet3_tpu.ops.pallas_dtw import (dtw_path_stats_pallas,
                                        dtw_path_stats_pallas_sharded,
                                        stats_fits_vmem)
 
@@ -72,36 +71,30 @@ def test_stats_kernel_tie_breaking_exact():
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l0))
 
 
-def test_stats_kernel_multi_chunk(monkeypatch):
-    """A shrunk VMEM budget forces the smallest chunk (P=8) so the
-    double-buffered DMA loop runs many iterations; results must match
-    the single-chunk dispatch."""
-    import abnet3_tpu.ops.pallas_dtw as pd
-    dist, n1, n2 = _random_case(3, 40, 16, 24)
-    p_big, l_big = dtw_path_stats_pallas(dist, n1, n2, interpret=True)
-    per_pair = 2 * 16 * 128 * 4
-    refs = 4 * 40 * 128 * 4
-    monkeypatch.setattr(pd, "STATS_VMEM_BUDGET", refs + 8 * per_pair)
-    assert pd._pick_stats_block(40, 16, 24) == 8
-    # the jit cache keys on shapes only, so clear it to retrace with
-    # the patched budget
-    pd.dtw_path_stats_pallas._clear_cache()
-    p_small, l_small = dtw_path_stats_pallas(dist, n1, n2,
-                                             interpret=True)
-    pd.dtw_path_stats_pallas._clear_cache()
-    np.testing.assert_array_equal(np.asarray(l_small), np.asarray(l_big))
-    np.testing.assert_allclose(np.asarray(p_small), np.asarray(p_big),
-                               rtol=1e-6, atol=1e-6)
+def test_stats_kernel_long_sequences():
+    """The kernel streams (B, T2) rows, so T1 only sets the DMA loop
+    length and wide/long shapes the batch-chunked layouts couldn't fit
+    now run: long T1 (many double-buffer iterations) and T2 past one
+    lane tile (column padding + wider log-doubling chains)."""
+    for seed, shape in ((5, (8, 200, 24)), (6, (8, 16, 300))):
+        dist, n1, n2 = _random_case(seed, *shape)
+        p0, l0 = dtw_path_stats(dist, n1, n2)
+        p1, l1 = dtw_path_stats_pallas(dist, n1, n2, interpret=True)
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l0))
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p0),
+                                   rtol=1e-5, atol=1e-5)
 
 
 def test_stats_vmem_guard():
-    """No chunk fits for huge T buckets -> guard False, kernel raises,
-    dispatchers take the XLA scan (ops.dtw.dtw_path_stats_auto)."""
-    assert stats_fits_vmem(1024, 96, 128)
-    assert not stats_fits_vmem(8, 2048, 2048)
-    assert _pick_stats_block(8, 2048, 2048) is None
-    dist = jnp.zeros((8, 2048, 2048), jnp.float32)
-    n = jnp.ones((8,), jnp.int32)
+    """Everything on-chip is (B, T2)-shaped: long-T buckets fit (only
+    the row width matters), too-wide batches don't -> guard False,
+    kernel raises, dispatchers take the XLA scan
+    (ops.dtw.dtw_path_stats_auto)."""
+    assert stats_fits_vmem(1024, 96, 128)   # the ABX tile row shape
+    assert stats_fits_vmem(8, 2048, 2048)   # long buckets now fit
+    assert not stats_fits_vmem(4096, 96, 128)
+    dist = jnp.zeros((4096, 4, 128), jnp.float32)
+    n = jnp.ones((4096,), jnp.int32)
     with pytest.raises(ValueError, match="VMEM"):
         dtw_path_stats_pallas(dist, n, n, interpret=True)
 
