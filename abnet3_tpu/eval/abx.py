@@ -433,26 +433,61 @@ def distance_matrix(bank, distance: str = "dtw_cos",
             fj, nj = bv.take(ids_j, T)
             d = fj.shape[-1]
 
-            def row(_, ids_g):
-                # R anchor rows per step: every anchor of the group
-                # against all block columns in ONE stats-DP batch —
-                # per-pair math is batch-independent, so results are
-                # bitwise equal to the row-at-a-time kernel
-                # (tests/test_abx.py::test_tile_row_batch_bitwise)
-                fi, ni = bv.take(ids_g, T)               # (R, T, d)
-                f1 = jnp.broadcast_to(
-                    fi[:, None], (R, block, T, d)).reshape(R * block, T, d)
-                n1 = jnp.broadcast_to(ni[:, None], (R, block)).reshape(-1)
-                f2 = jnp.broadcast_to(
-                    fj[None], (R, block, T, d)).reshape(R * block, T, d)
-                n2 = jnp.broadcast_to(nj[None], (R, block)).reshape(-1)
-                dist = frame_dist(f1, f2)
-                # forward-only stats DP: no (B, T1, T2) mask/cost tensors
-                # (see make_pair_distance_fn; 94% of tile wall was the
-                # mask route, round-4 profile)
-                psum, plen = dtw_path_stats_auto(dist, n1, n2, mesh=mesh)
-                return None, (psum / jnp.maximum(plen, 1.0)
-                              ).reshape(R, block)
+            if stats_backend == "pallas" and R == 1:
+                from abnet3_tpu.ops.dtw import (anchor_angular_distance_rows,
+                                                anchor_kl_distance_rows)
+                from abnet3_tpu.ops.pallas_dtw import (
+                    dtw_path_stats_rows_pallas,
+                    dtw_path_stats_rows_pallas_sharded)
+                anchor_rows = (anchor_kl_distance_rows
+                               if distance == "dtw_kl"
+                               else anchor_angular_distance_rows)
+
+                def row(_, ids_g):
+                    # anchor form: ONE einsum of the anchor against the
+                    # tile's column tokens emits the distance rows
+                    # (T, block, T) directly in the layout the
+                    # row-streaming stats kernel consumes — no (block,
+                    # T, d) anchor broadcast, no (block, T, T) ->
+                    # (T, block, T) transpose (those measured ~0.4 ms
+                    # of the 1.9 ms scan-route tile row)
+                    fi, ni = bv.take(ids_g, T)           # (1, T, d)
+                    dist_rows = anchor_rows(fi[0], fj)
+                    n1 = jnp.broadcast_to(ni, (block,))
+                    if mesh is not None and mesh.size > 1:
+                        psum, plen = dtw_path_stats_rows_pallas_sharded(
+                            dist_rows, n1, nj, mesh)
+                    else:
+                        psum, plen = dtw_path_stats_rows_pallas(
+                            dist_rows, n1, nj)
+                    return None, (psum
+                                  / jnp.maximum(plen, 1.0))[None]
+            else:
+                def row(_, ids_g):
+                    # R anchor rows per step: every anchor of the group
+                    # against all block columns in ONE stats-DP batch —
+                    # per-pair math is batch-independent, so results are
+                    # bitwise equal to the row-at-a-time kernel
+                    # (tests/test_abx.py::test_tile_row_batch_bitwise)
+                    fi, ni = bv.take(ids_g, T)           # (R, T, d)
+                    f1 = jnp.broadcast_to(
+                        fi[:, None],
+                        (R, block, T, d)).reshape(R * block, T, d)
+                    n1 = jnp.broadcast_to(
+                        ni[:, None], (R, block)).reshape(-1)
+                    f2 = jnp.broadcast_to(
+                        fj[None],
+                        (R, block, T, d)).reshape(R * block, T, d)
+                    n2 = jnp.broadcast_to(
+                        nj[None], (R, block)).reshape(-1)
+                    dist = frame_dist(f1, f2)
+                    # forward-only stats DP: no (B, T1, T2) mask/cost
+                    # tensors (see make_pair_distance_fn; 94% of tile
+                    # wall was the mask route, round-4 profile)
+                    psum, plen = dtw_path_stats_auto(dist, n1, n2,
+                                                     mesh=mesh)
+                    return None, (psum / jnp.maximum(plen, 1.0)
+                                  ).reshape(R, block)
 
             _, rows = jax.lax.scan(row, None,
                                    ids_i.reshape(block // R, R))
@@ -495,6 +530,12 @@ def distance_matrix(bank, distance: str = "dtw_cos",
             "algo": ("path-stats-pallas"
                      if distance != "mean_cos"
                      and stats_backend == "pallas" else "path-stats")}
+    if distance != "mean_cos" and stats_backend == "pallas":
+        # on the pallas backend R selects between the anchor-form rows
+        # route (R=1) and the batched route — different float summation
+        # orders, so resumed tiles must pin it (scan tiles are R-
+        # invariant bitwise and keep their legacy meta)
+        meta["tile_rows"] = R
     if checkpoint_path is not None:
         import json as _json
         import os as _os

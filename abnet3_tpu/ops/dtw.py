@@ -79,6 +79,59 @@ def pairwise_angular_distance(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     return d
 
 
+def anchor_angular_distance_rows(xa: jnp.ndarray, y: jnp.ndarray
+                                 ) -> jnp.ndarray:
+    """Row-major angular distance of ONE anchor against a token block:
+    xa (T1, d), y (B, T2, d) -> (T1, B, T2).
+
+    Same cells as ``pairwise_angular_distance(broadcast(xa), y)``
+    transposed — but computed without materializing the (B, T1, d)
+    anchor broadcast and without a separate (B, T1, T2) -> (T1, B, T2)
+    transpose: one einsum whose leading output dim IS the DP row, the
+    exact layout the row-streaming Pallas stats kernel consumes. This
+    is the ABX tile rows' shape (eval/abx.py: every tile row scores one
+    anchor against the tile's column tokens)."""
+    xa = xa.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    nx = jnp.sqrt(jnp.sum(xa * xa, axis=-1))        # (T1,)
+    ny = jnp.sqrt(jnp.sum(y * y, axis=-1))          # (B, T2)
+    zx = nx == 0.0
+    zy = ny == 0.0
+    dots = jnp.einsum("id,bjd->ibj", xa, y,
+                      preferred_element_type=jnp.float32)
+    denom = (jnp.where(zx, 1.0, nx)[:, None, None]
+             * jnp.where(zy, 1.0, ny)[None])
+    sim = jnp.clip(dots / denom, -1.0, 1.0)
+    d = jnp.arccos(sim) / jnp.pi
+    d = jnp.where(zx[:, None, None] | zy[None], 1.0, d)
+    d = jnp.where(zx[:, None, None] & zy[None], 0.0, d)
+    return d
+
+
+def anchor_kl_distance_rows(xa: jnp.ndarray, y: jnp.ndarray,
+                            eps: float = 1e-10) -> jnp.ndarray:
+    """Row-major symmetrised KL of ONE anchor posteriorgram against a
+    token block: xa (T1, d), y (B, T2, d) -> (T1, B, T2). The anchor
+    twin of :func:`pairwise_kl_distance` (same clipping/renorm), laid
+    out for the row-streaming stats kernel like
+    :func:`anchor_angular_distance_rows`."""
+    p = jnp.clip(xa.astype(jnp.float32), eps, None)
+    q = jnp.clip(y.astype(jnp.float32), eps, None)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    q = q / jnp.sum(q, axis=-1, keepdims=True)
+    logp = jnp.log(p)
+    logq = jnp.log(q)
+    self_p = jnp.sum(p * logp, axis=-1)             # (T1,)
+    self_q = jnp.sum(q * logq, axis=-1)             # (B, T2)
+    cross_pq = jnp.einsum("ik,bjk->ibj", p, logq,
+                          preferred_element_type=jnp.float32)
+    cross_qp = jnp.einsum("ik,bjk->ibj", logp, q,
+                          preferred_element_type=jnp.float32)
+    kl_pq = self_p[:, None, None] - cross_pq
+    kl_qp = self_q[None] - cross_qp
+    return 0.5 * (kl_pq + kl_qp)
+
+
 def pairwise_kl_distance(x: jnp.ndarray, y: jnp.ndarray,
                          eps: float = 1e-10) -> jnp.ndarray:
     """Batched symmetrised KL divergence between posteriorgram frames.

@@ -49,7 +49,8 @@ except Exception:  # pragma: no cover
 __all__ = ["dtw_costs_pallas", "dtw_moves_pallas",
            "dtw_moves_pallas_sharded", "dtw_path_pallas",
            "dtw_path_pallas_sharded", "dtw_path_stats_pallas",
-           "dtw_path_stats_pallas_sharded", "fits_vmem",
+           "dtw_path_stats_pallas_sharded", "dtw_path_stats_rows_pallas",
+           "dtw_path_stats_rows_pallas_sharded", "fits_vmem",
            "stats_fits_vmem"]
 
 _BIG = 1e30  # plain float: jnp constants cannot be captured by a kernel
@@ -561,6 +562,74 @@ def _make_stats_kernel(B: int, T1: int, T2: int):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
+def dtw_path_stats_rows_pallas(dist_rows: jnp.ndarray, n1: jnp.ndarray,
+                               n2: jnp.ndarray, interpret: bool = False):
+    """Row-major core of :func:`dtw_path_stats_pallas`: ``dist_rows``
+    is (T1, B, T2) — each DP step's (B, T2) row is one contiguous DMA.
+    Produce this layout directly where the caller can (the ABX tile
+    rows via ops.dtw.anchor_angular_distance_rows: one einsum, no
+    anchor broadcast, no transpose); the batched wrapper below
+    transposes for callers holding (B, T1, T2)."""
+    T1, B, T2 = dist_rows.shape
+    if not stats_fits_vmem(B, T1, T2):
+        raise ValueError(
+            f"stats-kernel working set for (B={B}, T2={T2}) exceeds "
+            "the VMEM budget; use ops.dtw.dtw_path_stats (XLA scan) "
+            "for such batches")
+    pad = (-B) % 8
+    if pad:
+        dist_rows = jnp.concatenate(
+            [dist_rows, jnp.zeros((T1, pad, T2), dist_rows.dtype)],
+            axis=1)
+        n1 = jnp.concatenate([n1, jnp.ones((pad,), n1.dtype)])
+        n2 = jnp.concatenate([n2, jnp.ones((pad,), n2.dtype)])
+    Bp = B + pad
+    # Mosaic requires the slab DMA slices' last dim 128-aligned (hit on
+    # hardware at T2=96: "Slice shape along dimension 2 must be aligned
+    # to tiling (128)"). Zero-pad columns — inert: the (min,+)
+    # recurrence only flows left->right and end_col (built from the
+    # true n2) never selects a pad column.
+    T2r = _round_up(T2, 128)
+    if T2r != T2:
+        dist_rows = jnp.concatenate(
+            [dist_rows,
+             jnp.zeros((T1, Bp, T2r - T2), dist_rows.dtype)], axis=2)
+    psum, plen = pl.pallas_call(
+        _make_stats_kernel(Bp, T1, T2r),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # dist stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((Bp, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((Bp, 1), jnp.float32)],
+        interpret=interpret,
+    )(dist_rows.astype(jnp.float32),
+      n1.astype(jnp.float32)[:, None],
+      n2.astype(jnp.float32)[:, None])
+    return psum[:B, 0], plen[:B, 0]
+
+
+def dtw_path_stats_rows_pallas_sharded(dist_rows: jnp.ndarray,
+                                       n1: jnp.ndarray, n2: jnp.ndarray,
+                                       mesh, interpret: bool = False):
+    """Rows-layout stats kernel over a multi-device mesh: the batch is
+    dist_rows' MIDDLE axis, sharded over 'data' (same per-pair
+    independence contract as the other sharded twins)."""
+    from jax.sharding import PartitionSpec as P
+
+    f = jax.shard_map(
+        lambda d, a, b: dtw_path_stats_rows_pallas(d, a, b,
+                                                   interpret=interpret),
+        mesh=mesh, in_specs=(P(None, "data", None), P("data"),
+                             P("data")),
+        out_specs=(P("data"), P("data")), check_vma=False)
+    return f(dist_rows, n1, n2)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
 def dtw_path_stats_pallas(dist: jnp.ndarray, n1: jnp.ndarray,
                           n2: jnp.ndarray, interpret: bool = False):
     """(path_sum, path_len) of the DTW backtrace path — the Pallas twin
@@ -575,49 +644,13 @@ def dtw_path_stats_pallas(dist: jnp.ndarray, n1: jnp.ndarray,
     a double-buffered VMEM slab and keeps the DP carries on-chip.
 
     dist: (B, T1, T2) float32; n1, n2: (B,) true lengths. B pads to the
-    sublane multiple, T2 to the lane multiple (inert zero columns: the
-    (min,+) recurrence only flows left->right and end_col never selects
-    them). Raises when the (B, T2)-shaped working set exceeds VMEM —
-    dispatchers guard with :func:`stats_fits_vmem` and take the XLA
-    scan for such batches."""
-    B, T1, T2 = dist.shape
-    if not stats_fits_vmem(B, T1, T2):
-        raise ValueError(
-            f"stats-kernel working set for (B={B}, T2={T2}) exceeds "
-            "the VMEM budget; use ops.dtw.dtw_path_stats (XLA scan) "
-            "for such batches")
-    pad = (-B) % 8
-    if pad:
-        dist = jnp.concatenate(
-            [dist, jnp.zeros((pad, T1, T2), dist.dtype)], axis=0)
-        n1 = jnp.concatenate([n1, jnp.ones((pad,), n1.dtype)])
-        n2 = jnp.concatenate([n2, jnp.ones((pad,), n2.dtype)])
-    Bp = B + pad
-    # Mosaic requires the slab DMA slices' last dim 128-aligned (hit on
-    # hardware at T2=96: "Slice shape along dimension 2 must be aligned
-    # to tiling (128)"). Zero-pad columns (inert, see docstring).
-    T2r = _round_up(T2, 128)
-    if T2r != T2:
-        dist = jnp.concatenate(
-            [dist, jnp.zeros((Bp, T1, T2r - T2), dist.dtype)], axis=2)
+    sublane multiple, T2 to the lane multiple. Raises when the (B, T2)-
+    shaped working set exceeds VMEM — dispatchers guard with
+    :func:`stats_fits_vmem` and take the XLA scan for such batches."""
     # row-major so each DP step's (B, T2) row is one contiguous DMA
-    dist_rows = jnp.moveaxis(dist.astype(jnp.float32), 1, 0)
-    psum, plen = pl.pallas_call(
-        _make_stats_kernel(Bp, T1, T2r),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # dist stays in HBM
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct((Bp, 1), jnp.float32),
-                   jax.ShapeDtypeStruct((Bp, 1), jnp.float32)],
-        interpret=interpret,
-    )(dist_rows,
-      n1.astype(jnp.float32)[:, None],
-      n2.astype(jnp.float32)[:, None])
-    return psum[:B, 0], plen[:B, 0]
+    return dtw_path_stats_rows_pallas(
+        jnp.moveaxis(dist.astype(jnp.float32), 1, 0), n1, n2,
+        interpret=interpret)
 
 
 def dtw_path_stats_pallas_sharded(dist: jnp.ndarray, n1: jnp.ndarray,

@@ -105,6 +105,84 @@ def test_stats_backend_on_cpu_is_scan():
     assert path_stats_backend((1024, 96, 96)) == "scan"
 
 
+def test_anchor_distance_rows_match_pairwise():
+    """anchor_*_distance_rows == the batched pairwise distances of the
+    broadcast anchor, transposed (the ABX tile rows' fast layout)."""
+    from abnet3_tpu.ops.dtw import (anchor_angular_distance_rows,
+                                    anchor_kl_distance_rows,
+                                    pairwise_angular_distance,
+                                    pairwise_kl_distance)
+    rng = np.random.RandomState(7)
+    B, T1, T2, d = 6, 10, 14, 8
+    xa = rng.randn(T1, d).astype(np.float32)
+    y = rng.randn(B, T2, d).astype(np.float32)
+    xa[3] = 0.0   # zero-norm anchor frame
+    y[2, 5] = 0.0  # zero-norm column frame
+    ref = pairwise_angular_distance(
+        jnp.broadcast_to(jnp.asarray(xa)[None], (B, T1, d)),
+        jnp.asarray(y))
+    out = anchor_angular_distance_rows(jnp.asarray(xa), jnp.asarray(y))
+    np.testing.assert_allclose(np.asarray(out),
+                               np.moveaxis(np.asarray(ref), 1, 0),
+                               rtol=1e-6, atol=1e-6)
+    # zero-norm rules exact: 1 vs everything, 0 vs other zero frames
+    o = np.asarray(out)
+    assert o[3, 2, 5] == 0.0 and o[3, 0, 0] == 1.0 and o[0, 2, 5] == 1.0
+
+    pg = np.abs(rng.rand(T1, d)).astype(np.float32)
+    qg = np.abs(rng.rand(B, T2, d)).astype(np.float32)
+    ref_kl = pairwise_kl_distance(
+        jnp.broadcast_to(jnp.asarray(pg)[None], (B, T1, d)),
+        jnp.asarray(qg))
+    out_kl = anchor_kl_distance_rows(jnp.asarray(pg), jnp.asarray(qg))
+    np.testing.assert_allclose(np.asarray(out_kl),
+                               np.moveaxis(np.asarray(ref_kl), 1, 0),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_rows_route_matches_tile_row_math():
+    """The ABX tile's pallas rows branch (anchor einsum + rows kernel)
+    computes the same normalized distances as the scan branch's
+    broadcast + batched stats route (eval/abx.py tile_impl)."""
+    from abnet3_tpu.ops.dtw import (anchor_angular_distance_rows,
+                                    pairwise_angular_distance)
+    from abnet3_tpu.ops.pallas_dtw import dtw_path_stats_rows_pallas
+    rng = np.random.RandomState(8)
+    block, T, d = 16, 12, 8
+    fa = jnp.asarray(rng.randn(T, d).astype(np.float32))
+    fj = jnp.asarray(rng.randn(block, T, d).astype(np.float32))
+    na = 10
+    nj = jnp.asarray(rng.randint(4, T + 1, block), jnp.int32)
+    # scan branch
+    dist = pairwise_angular_distance(
+        jnp.broadcast_to(fa[None], (block, T, d)), fj)
+    p0, l0 = dtw_path_stats(dist, jnp.full((block,), na, jnp.int32), nj)
+    # rows branch
+    rows = anchor_angular_distance_rows(fa, fj)
+    p1, l1 = dtw_path_stats_rows_pallas(
+        rows, jnp.full((block,), na, jnp.int32), nj, interpret=True)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l0))
+    np.testing.assert_allclose(np.asarray(p1) / np.asarray(l1),
+                               np.asarray(p0) / np.asarray(l0),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_rows_sharded_matches_single_device():
+    from abnet3_tpu.parallel import make_mesh
+    from abnet3_tpu.ops.pallas_dtw import (
+        dtw_path_stats_rows_pallas, dtw_path_stats_rows_pallas_sharded)
+    dist, n1, n2 = _random_case(9, 16, 12, 20)
+    rows = jnp.moveaxis(dist, 1, 0)
+    p0, l0 = dtw_path_stats_rows_pallas(rows, n1, n2, interpret=True)
+    for mesh in (make_mesh(n_data=8, n_model=1),
+                 make_mesh(n_data=4, n_model=2)):
+        p1, l1 = dtw_path_stats_rows_pallas_sharded(rows, n1, n2, mesh,
+                                                    interpret=True)
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l0))
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p0),
+                                   rtol=1e-6, atol=1e-6)
+
+
 def test_stats_sharded_matches_single_device():
     from abnet3_tpu.parallel import make_mesh
     dist, n1, n2 = _random_case(4, 16, 12, 20)
