@@ -422,11 +422,25 @@ def distance_matrix(bank, distance: str = "dtw_cos",
                       else pairwise_angular_distance)
         view = bank.view() if hasattr(bank, "view") else bank
         R = _tile_rows_per_step(block, T)
-        from abnet3_tpu.ops.dtw import path_stats_backend
-        # scan vs Pallas stats differ in float summation order (~1e-6
-        # psum); the checkpoint algo field pins the flavor so resumed
-        # tiles never mix with fresh ones computed the other way
-        stats_backend = path_stats_backend((R * block, T, T), mesh=mesh)
+        # the anchor-form rows kernel beats the scan 1.42 vs 1.94
+        # s/tile warm (N=4096 A/B, BASELINE.md) but costs ~85 s more
+        # remote compile on this cache-less service, so it only pays
+        # from ~170 tiles up (~N>=18k at block 1024); gate BEFORE
+        # path_stats_backend so small runs skip the probe compile too.
+        # ABNET3_PALLAS_TILES_MIN overrides (0 forces the rows route
+        # everywhere the kernel fits).
+        import os
+        nt_total = -(-N // block)
+        nt_total = nt_total * (nt_total + 1) // 2
+        min_tiles = int(os.environ.get("ABNET3_PALLAS_TILES_MIN", "170"))
+        stats_backend = "scan"
+        if R == 1 and nt_total >= min_tiles:
+            from abnet3_tpu.ops.dtw import path_stats_backend
+            # scan vs Pallas stats differ in float summation order
+            # (~1e-6 psum); the checkpoint algo field pins the flavor
+            # so resumed tiles never mix with fresh ones computed the
+            # other way
+            stats_backend = path_stats_backend((block, T, T), mesh=mesh)
 
         @jax.jit
         def tile_impl(bv, ids_i, ids_j):

@@ -387,10 +387,19 @@ def _stats_pallas_available() -> bool:
 
 
 def path_stats_backend(shape, mesh=None) -> str:
-    """Which implementation :func:`dtw_path_stats_auto` will run for a
-    (B, T1, T2) problem: ``'pallas'`` or ``'scan'``. Exposed so callers
-    whose artifacts must not mix float-rounding flavors (the ABX tile
-    checkpoints' ``algo`` field) can record the dispatch."""
+    """Whether the row-streaming Pallas stats kernel is available and
+    fits for a (B, T1, T2) stats problem: ``'pallas'`` or ``'scan'``.
+
+    Consulted by the ABX tile dispatcher (eval/abx.py), which routes to
+    the anchor-form rows kernel only at tile counts where the kernel's
+    extra remote compile amortizes (measured N=4096, block=1024, T=96:
+    rows route 1.42 s/tile warm vs 1.94 scan, but ~85 s more compile —
+    the win is real from ~170 tiles up). The general
+    :func:`dtw_path_stats_auto` stays on the XLA scan: outside the
+    anchor-form tile layout the kernel measured only ~1.07x warm
+    (batched transpose feed), which the compile cost erases. NOTE the
+    first 'pallas' verdict per process probes the kernel with a real
+    (tiny) compile."""
     B, T1, T2 = shape
     if mesh is not None and mesh.size > 1:
         n_data = dict(mesh.shape).get("data", 1)
@@ -569,19 +578,16 @@ def dtw_path_stats(dist: jnp.ndarray, n1: jnp.ndarray, n2: jnp.ndarray
 def dtw_path_stats_auto(dist: jnp.ndarray, n1: jnp.ndarray,
                         n2: jnp.ndarray, mesh=None
                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """:func:`dtw_path_stats`, dispatched to the Pallas stats kernel
-    where it compiles and fits VMEM (``path_len`` identical; ``path_
-    sum`` differs only in float summation order — callers that pin
-    artifact numerics record :func:`path_stats_backend`), else the XLA
-    scan; sharded over the mesh 'data' axis when a >1-device mesh is
-    given (the DP is independent per pair; the batch must divide the
-    axis, same contract as the Pallas dispatchers)."""
-    backend = path_stats_backend(dist.shape, mesh=mesh)
+    """:func:`dtw_path_stats` (XLA scan), sharded over the mesh 'data'
+    axis when a >1-device mesh is given (the DP is independent per
+    pair; the batch must divide the axis, same contract as the Pallas
+    dispatchers). Deliberately NOT dispatched to the Pallas stats
+    kernel: fed a batched (B, T1, T2) tensor (transpose on the way in),
+    the kernel measured only ~1.07x warm while costing ~2 min of extra
+    remote compile — the kernel's real win is the anchor-form row-major
+    tile layout, which the ABX tile dispatcher routes to explicitly
+    (see :func:`path_stats_backend`)."""
     if mesh is not None and mesh.size > 1:
-        if backend == "pallas":
-            from abnet3_tpu.ops.pallas_dtw import (
-                dtw_path_stats_pallas_sharded)
-            return dtw_path_stats_pallas_sharded(dist, n1, n2, mesh)
         from jax.sharding import PartitionSpec as P
 
         spec = P("data")
@@ -593,9 +599,6 @@ def dtw_path_stats_auto(dist: jnp.ndarray, n1: jnp.ndarray,
                           in_specs=(spec, spec, spec),
                           out_specs=(spec, spec), check_vma=False)
         return f(dist, n1, n2)
-    if backend == "pallas":
-        from abnet3_tpu.ops.pallas_dtw import dtw_path_stats_pallas
-        return dtw_path_stats_pallas(dist, n1, n2)
     return dtw_path_stats(dist, n1, n2)
 
 

@@ -491,7 +491,7 @@ def _make_stats_kernel(B: int, T1: int, T2: int):
     (B, 1) stat accumulators never leave VMEM — vs the scan's ~10
     (B, T2) row tensors round-tripping HBM per sequential step."""
 
-    def kernel(dist_hbm, n1_ref, n2_ref, psum_ref, plen_ref):
+    def kernel(t1_ref, dist_hbm, n1_ref, n2_ref, psum_ref, plen_ref):
         def body(slab, sems):
             # slab rows [slot*B, slot*B + B) are the slot's buffer (a
             # flat (2*B, T2) ref: dynamic pl.ds on the sublane dim only)
@@ -512,6 +512,14 @@ def _make_stats_kernel(B: int, T1: int, T2: int):
             n2c = n2_ref[:, :]
             end_col = (col == (n2c - 1.0)).astype(jnp.float32)
 
+            # dynamic trip count (the static T1 rides in SMEM): a
+            # statically-bounded fori_loop gets UNROLLED by the Mosaic
+            # lowering — ~80 vector ops x T1 rows to schedule, measured
+            # 450-675 s remote compiles at T1=96 vs 54 s at T1=8,
+            # compile time scaling with T1 and not B. The dynamic bound
+            # forces a real loop; warm runtime is unchanged.
+            t1d = t1_ref[0]
+
             get_dma(0, 0).wait()
             D = _prefix_sum(slab[pl.ds(0, B), :])
             L = col + 1.0
@@ -523,7 +531,7 @@ def _make_stats_kernel(B: int, T1: int, T2: int):
                 D_prev, L_prev, ap, al = carry
                 slot = i % 2
 
-                @pl.when(i + 1 < T1)
+                @pl.when(i + 1 < t1d)
                 def _prefetch():
                     # slot (i+1) % 2 was consumed at step i-1; at most
                     # two copies are ever in flight
@@ -550,7 +558,7 @@ def _make_stats_kernel(B: int, T1: int, T2: int):
                 return (x, L_cur, ap, al)
 
             _, _, accp, accl = jax.lax.fori_loop(
-                1, T1, row_step, (D, L, accp, accl))
+                1, t1d, row_step, (D, L, accp, accl))
             psum_ref[:, :] = accp
             plen_ref[:, :] = accl
 
@@ -597,6 +605,8 @@ def dtw_path_stats_rows_pallas(dist_rows: jnp.ndarray, n1: jnp.ndarray,
     psum, plen = pl.pallas_call(
         _make_stats_kernel(Bp, T1, T2r),
         in_specs=[
+            # T1 as an SMEM scalar: dynamic loop bound (see kernel)
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # dist stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -606,7 +616,8 @@ def dtw_path_stats_rows_pallas(dist_rows: jnp.ndarray, n1: jnp.ndarray,
         out_shape=[jax.ShapeDtypeStruct((Bp, 1), jnp.float32),
                    jax.ShapeDtypeStruct((Bp, 1), jnp.float32)],
         interpret=interpret,
-    )(dist_rows.astype(jnp.float32),
+    )(jnp.full((1,), T1, jnp.int32),
+      dist_rows.astype(jnp.float32),
       n1.astype(jnp.float32)[:, None],
       n2.astype(jnp.float32)[:, None])
     return psum[:B, 0], plen[:B, 0]
