@@ -476,6 +476,38 @@ def _last_valid_scan(v, c):
     return v
 
 
+def _last_valid_encode_limit(T1: int, T2: int):
+    """Multiplier M for the encoded last-valid prefix-max, or None when
+    (T2-1)*M + payload would leave float32's exact-integer range
+    (2^24). The payload v = Le[k] - k + T2 lies in [1, T1 + 2*T2]."""
+    limit = T1 + 2 * T2 + 2
+    M = 1
+    while M < limit:
+        M *= 2
+    if (T2 - 1) * M + limit >= (1 << 24):
+        return None
+    return M
+
+
+def _last_valid_scan_encoded(v, c, col, M):
+    """:func:`_last_valid_scan` as ONE prefix-max over position-encoded
+    floats: e[k] = k*M + (v[k] + offset) for valid k (else -1); the
+    running max's dominant term is the largest valid position and the
+    payload rides exactly (all integers < 2^24 in f32). 19 vector
+    passes vs the select-chain's 28 — and max is order-exact, so the
+    result is still bitwise the XLA copy_scan's. ``col`` is the iota
+    the caller already has; offset T2-sized keeps payloads positive."""
+    T2 = v.shape[1]
+    e = jnp.where(c > 0, col * jnp.float32(M) + (v + jnp.float32(T2)),
+                  jnp.float32(-1.0))
+    shift = 1
+    while shift < T2:
+        e = jnp.maximum(e, _shift_right(e, shift, -1.0))
+        shift *= 2
+    k = jnp.floor(e / jnp.float32(M))
+    return e - k * jnp.float32(M) - jnp.float32(T2)
+
+
 def _make_stats_kernel(B: int, T1: int, T2: int):
     """Build the single-body stats kernel for a row-major (T1, B, T2)
     problem.
@@ -490,6 +522,8 @@ def _make_stats_kernel(B: int, T1: int, T2: int):
     read from HBM exactly once; the DP carries (D, L rows) and the
     (B, 1) stat accumulators never leave VMEM — vs the scan's ~10
     (B, T2) row tensors round-tripping HBM per sequential step."""
+
+    M_enc = _last_valid_encode_limit(T1, T2)
 
     def kernel(t1_ref, dist_hbm, n1_ref, n2_ref, psum_ref, plen_ref):
         def body(slab, sems):
@@ -518,6 +552,11 @@ def _make_stats_kernel(B: int, T1: int, T2: int):
             # 450-675 s remote compiles at T1=96 vs 54 s at T1=8,
             # compile time scaling with T1 and not B. The dynamic bound
             # forces a real loop; warm runtime is unchanged.
+            # (A per-row @pl.when emit gate was measured and REVERTED:
+            # conditional output-ref accumulation inside the loop took
+            # the kernel compile from 136 s to 391 s for a warm win of
+            # only ~0.12 s/tile — a net loss from any realistic tile
+            # count. Emits stay unconditional carry math.)
             t1d = t1_ref[0]
 
             get_dma(0, 0).wait()
@@ -547,8 +586,12 @@ def _make_stats_kernel(B: int, T1: int, T2: int):
                 # extends its rightmost entry k by (j - k) cells
                 L_diag = _shift_right(L_prev, 1, 0.0)
                 Le = 1.0 + jnp.where(take_diag, L_diag, L_prev)
-                L_cur = col + _last_valid_scan(
-                    Le - col, not_left.astype(jnp.float32))
+                nl = not_left.astype(jnp.float32)
+                if M_enc is not None:
+                    L_cur = col + _last_valid_scan_encoded(
+                        Le - col, nl, col, M_enc)
+                else:
+                    L_cur = col + _last_valid_scan(Le - col, nl)
                 i_f = jax.lax.convert_element_type(i, jnp.float32)
                 is_end = (n1c == i_f + 1.0).astype(jnp.float32)
                 ap = ap + is_end * jnp.sum(x * end_col, axis=1,
