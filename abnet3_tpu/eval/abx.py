@@ -300,6 +300,31 @@ def _tile_rows_per_step(block: int, T: int) -> int:
     return r
 
 
+def _checkpoint_pinned_algo(checkpoint_path, layout: Dict):
+    """The ``algo`` a layout-compatible checkpoint was computed with
+    (``None`` when there is no checkpoint or its LAYOUT differs — a
+    genuine layout change still reads as stale downstream). Lets
+    :func:`distance_matrix` force the recorded stats backend on resume
+    instead of letting env knobs or a transient probe failure flip the
+    backend, mismatch the meta, and truncate completed tiles."""
+    if checkpoint_path is None:
+        return None
+    import json as _json
+    import os as _os
+    prog_path = checkpoint_path + ".tiles.json"
+    if not (_os.path.exists(prog_path)
+            and _os.path.exists(checkpoint_path + ".npy")):
+        return None
+    try:
+        with open(prog_path) as f:
+            prog = _json.load(f)
+    except Exception:
+        return None
+    if {k: prog.get(k) for k in layout} != layout:
+        return None
+    return prog.get("algo")
+
+
 def distance_matrix(bank, distance: str = "dtw_cos",
                     batch_size: int = 1024, mesh=None,
                     max_frames: Optional[int] = None,
@@ -433,21 +458,46 @@ def distance_matrix(bank, distance: str = "dtw_cos",
         nt_total = -(-N // block)
         nt_total = nt_total * (nt_total + 1) // 2
         min_tiles = int(os.environ.get("ABNET3_PALLAS_TILES_MIN", "170"))
-        stats_backend = "scan"
-        if R == 1 and nt_total >= min_tiles:
+        # a layout-compatible checkpoint PINS the backend: scan vs
+        # Pallas stats differ in float summation order (~1e-6 psum;
+        # rare DP tie flips), and the backend choice depends on env
+        # knobs and a fallible runtime probe — without the pin, a
+        # resume after e.g. a transient probe-compile failure would
+        # read as "stale layout" and TRUNCATE hours of computed tiles
+        pinned = _checkpoint_pinned_algo(
+            checkpoint_path, {"N": N, "block": block,
+                              "dtype": np.dtype(out_dtype).name,
+                              "distance": distance,
+                              "max_frames": max_frames, "T": T,
+                              "wire": "u16" if u16_wire else "f32"})
+        if pinned == "path-stats":
+            stats_backend = "scan"
+        elif pinned == "path-stats-pallas":
             from abnet3_tpu.ops.dtw import path_stats_backend
-            # scan vs Pallas stats differ in float summation order
-            # (~1e-6 psum); the checkpoint algo field pins the flavor
-            # so resumed tiles never mix with fresh ones computed the
-            # other way
-            stats_backend = path_stats_backend((block, T, T), mesh=mesh)
+            if R != 1 or path_stats_backend((block, T, T),
+                                            mesh=mesh) != "pallas":
+                raise RuntimeError(
+                    f"checkpoint {checkpoint_path} was computed with "
+                    "the Pallas stats backend, which is unavailable in "
+                    "this run (probe failed, ABNET3_PALLAS_DTW=0, "
+                    "ABNET3_TILE_ROWS != 1, or a mesh the batch does "
+                    "not divide) — re-enable it or delete the "
+                    "checkpoint; refusing to mix backends or discard "
+                    "completed tiles")
+            stats_backend = "pallas"
+        else:
+            stats_backend = "scan"
+            if R == 1 and nt_total >= min_tiles:
+                from abnet3_tpu.ops.dtw import path_stats_backend
+                stats_backend = path_stats_backend((block, T, T),
+                                                   mesh=mesh)
 
         @jax.jit
         def tile_impl(bv, ids_i, ids_j):
             fj, nj = bv.take(ids_j, T)
             d = fj.shape[-1]
 
-            if stats_backend == "pallas" and R == 1:
+            if stats_backend == "pallas":  # selected only when R == 1
                 from abnet3_tpu.ops.dtw import (anchor_angular_distance_rows,
                                                 anchor_kl_distance_rows)
                 from abnet3_tpu.ops.pallas_dtw import (
@@ -544,12 +594,6 @@ def distance_matrix(bank, distance: str = "dtw_cos",
             "algo": ("path-stats-pallas"
                      if distance != "mean_cos"
                      and stats_backend == "pallas" else "path-stats")}
-    if distance != "mean_cos" and stats_backend == "pallas":
-        # on the pallas backend R selects between the anchor-form rows
-        # route (R=1) and the batched route — different float summation
-        # orders, so resumed tiles must pin it (scan tiles are R-
-        # invariant bitwise and keep their legacy meta)
-        meta["tile_rows"] = R
     if checkpoint_path is not None:
         import json as _json
         import os as _os

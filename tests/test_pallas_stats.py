@@ -105,6 +105,64 @@ def test_stats_backend_on_cpu_is_scan():
     assert path_stats_backend((1024, 96, 96)) == "scan"
 
 
+def test_stats_kernel_unencoded_fallback():
+    """Rows too wide for the exact-integer encoding (M_enc None, e.g.
+    T2=4096 where (T2-1)*M leaves f32's 2^24 range) take the
+    select-chain _last_valid_scan — reachable in production (the shape
+    fits VMEM) and must match the scan like the encoded path."""
+    from abnet3_tpu.ops.pallas_dtw import _last_valid_encode_limit
+    assert _last_valid_encode_limit(16, 4096) is None
+    assert stats_fits_vmem(8, 16, 4096)
+    dist, n1, n2 = _random_case(11, 8, 16, 4096)
+    p0, l0 = dtw_path_stats(dist, n1, n2)
+    p1, l1 = dtw_path_stats_pallas(dist, n1, n2, interpret=True)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l0))
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p0),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_checkpoint_pins_stats_backend(tmp_path, monkeypatch):
+    """A layout-compatible checkpoint forces its recorded stats
+    backend on resume: tiles computed the other way are never mixed
+    in, and a backend the resume can't honor refuses LOUDLY instead of
+    truncating the memmap (review finding: a transient probe failure
+    or env flip used to read as 'stale layout' and zero hours of
+    tiles)."""
+    import jax
+    import abnet3_tpu.eval.abx as abx
+    from abnet3_tpu.ops.bank import TokenBank
+
+    rng = np.random.RandomState(12)
+    feats = {i: rng.randn(rng.randint(6, 13), 8).astype(np.float32)
+             for i in range(48)}
+    bank = TokenBank(feats)
+    ck = str(tmp_path / "ck")
+    D1 = abx.distance_matrix(bank, "dtw_cos", strategy="tiles",
+                             batch_size=16, checkpoint_path=ck)
+    import json
+    prog = json.load(open(ck + ".tiles.json"))
+    assert prog["algo"] == "path-stats"  # scan flavor on CPU
+    # resume under env that WOULD pick pallas had the run been fresh:
+    # the pin must keep the scan backend (no truncation, same matrix)
+    monkeypatch.setenv("ABNET3_PALLAS_TILES_MIN", "0")
+    assert abx._checkpoint_pinned_algo(
+        ck, {k: prog[k] for k in ("N", "block", "dtype", "distance",
+                                  "max_frames", "T", "wire")}) \
+        == "path-stats"
+    D2 = abx.distance_matrix(bank, "dtw_cos", strategy="tiles",
+                             batch_size=16, checkpoint_path=ck)
+    np.testing.assert_array_equal(D2, D1)
+    # a pallas-flavor checkpoint that this run cannot honor must raise
+    prog["algo"] = "path-stats-pallas"
+    json.dump(prog, open(ck + ".tiles.json", "w"))
+    monkeypatch.setenv("ABNET3_PALLAS_DTW", "0")
+    with pytest.raises(RuntimeError, match="Pallas stats backend"):
+        abx.distance_matrix(bank, "dtw_cos", strategy="tiles",
+                            batch_size=16, checkpoint_path=ck)
+    # and the refusal left the checkpoint intact
+    assert json.load(open(ck + ".tiles.json"))["done"]
+
+
 def test_anchor_distance_rows_match_pairwise():
     """anchor_*_distance_rows == the batched pairwise distances of the
     broadcast anchor, transposed (the ABX tile rows' fast layout)."""
