@@ -85,10 +85,16 @@ does) and the scorer gathers straight from it. A host matrix
 in row chunks.
 
 Scale note: the ``within`` task bins per (ca, cx, SPEAKER) cell, so it
-fetches one (Crows, Ccols) bin pair per speaker — fine at word-
-inventory class counts; at |C| in the thousands with MANY speakers the
-host scorer's ``n_jobs`` pool may fetch less (the across task, the
-ZeroSpeech headline, fetches one bin pair total).
+fetches one (Crows, Ccols) bin pair per speaker, and by-conditioned
+runs fetch composite-row bins whose row count is the SUM of per-group
+class counts. Both fetches compact to the OCCUPIED anchor rows first
+when those are a minority (< half the rows): the occupied set is known
+analytically from the cell-count histogram, a device-side gather (one
+fixed-shape executable shared by every speaker pass, rows padded to a
+power-of-2 bucket with the dump row) pulls just those rows, and the
+host scatters them back into a zero matrix. Bit-identical by
+construction — counts can only land in a non-occupied anchor row via
+the (ca, ca) diagonal dump cells, which are never read.
 """
 
 from __future__ import annotations
@@ -233,6 +239,21 @@ def _chunk_kernel(Crows: int, Ccols: int, max_b: int, max_x: int,
     donate = () if jax.default_backend() == "cpu" else (10,)
     fn = jax.jit(step, donate_argnums=donate)
     _KERNEL_CACHE[key] = fn
+    return fn
+
+
+def _row_gather(R: int, Ccols: int):
+    """Jitted ``(gt_bins, eq_bins, ridx(R,)) -> ((R, Ccols) x 2)``
+    occupied-row gather, memoized per shape so every speaker pass of a
+    within-task run reuses ONE executable (fresh shapes would each pay
+    a remote compile through the dev tunnel, CLAUDE.md)."""
+    import jax
+
+    key = ("rowgather", R, Ccols, jax.default_backend())
+    fn = _KERNEL_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(lambda gt, eq, ridx: (gt[ridx], eq[ridx]))
+        _KERNEL_CACHE[key] = fn
     return fn
 
 
@@ -490,9 +511,13 @@ def abx_error_device(D, labels: Sequence, speakers: Sequence,
         cls, b_ids, b_cnt, x_ids, x_seg, x_cnt.astype(np.int32)))
     by_pool = [np.flatnonzero(pool_of == p) for p in range(n_pools)]
 
-    def run_bins(pool_list) -> Tuple[np.ndarray, np.ndarray]:
+    def run_bins(pool_list, occ_rows=None) -> Tuple[np.ndarray,
+                                                    np.ndarray]:
         """Score the anchors of the given pools into fresh bins;
-        returns host float64 (Crows, Ccols) greater/equal counts."""
+        returns host float64 (Crows, Ccols) greater/equal counts.
+        ``occ_rows`` (sorted int32 anchor rows with any triplets, padded
+        to a shared bucket length with the dump row ``Crows``) compacts
+        the d2h fetch to just those rows (module docstring)."""
         sels: List[np.ndarray] = []
         valids: List[np.ndarray] = []
         pool_ids: List[int] = []
@@ -530,9 +555,26 @@ def abx_error_device(D, labels: Sequence, speakers: Sequence,
         for _ in range(n_chunks):
             state = kernel(dm.array, *statics, *chunk_tabs, state)
         gt_bins, eq_bins, _ = state
-        gt = _fetch_rows(gt_bins, Crows + 1, Ccols)[:Crows]
-        eq = _fetch_rows(eq_bins, Crows + 1, Ccols)[:Crows]
+        if occ_rows is not None:
+            R = len(occ_rows)
+            sub = _row_gather(R, Ccols)(gt_bins, eq_bins,
+                                        jax.device_put(occ_rows))
+            m = occ_rows < Crows      # drop dump-row padding
+            gt = np.zeros((Crows, Ccols), np.float32)
+            eq = np.zeros((Crows, Ccols), np.float32)
+            gt[occ_rows[m]] = _fetch_rows(sub[0], R, Ccols)[m]
+            eq[occ_rows[m]] = _fetch_rows(sub[1], R, Ccols)[m]
+        else:
+            gt = _fetch_rows(gt_bins, Crows + 1, Ccols)[:Crows]
+            eq = _fetch_rows(eq_bins, Crows + 1, Ccols)[:Crows]
         return gt.astype(np.float64), eq.astype(np.float64)
+
+    def pad_occ(rows: np.ndarray, R: int) -> np.ndarray:
+        """Pad one occupied-row set to the shared bucket length with the
+        dump row (so every pass reuses one gather executable)."""
+        out = np.full(R, Crows, np.int32)
+        out[:len(rows)] = rows
+        return out
 
     def group_scores_across(err: np.ndarray, g: int) -> np.ndarray:
         """Group g's occupied-cell scores in sorted (ca, cx) order —
@@ -557,7 +599,12 @@ def abx_error_device(D, labels: Sequence, speakers: Sequence,
                 for a, x in zip(*np.nonzero(cnt > 0))]
 
     if task == "across":
-        gt, eq = run_bins(range(n_pools))
+        occ = np.concatenate(
+            [np.flatnonzero((cnts[g] > 0).any(axis=1)) + row_off[g]
+             for g in range(G)])
+        R = pow2_bucket(len(occ), minimum=8)
+        gt, eq = run_bins(range(n_pools),
+                          pad_occ(occ, R) if R < Crows else None)
         err = gt + 0.5 * eq
         if by is None:
             scores = group_scores_across(err, 0)
@@ -591,12 +638,19 @@ def abx_error_device(D, labels: Sequence, speakers: Sequence,
     per_group: List[List[Tuple[Tuple, float, int]]] = [[] for _ in
                                                        range(G)]
     trip_group = [0] * G
+    occ_by_s = [np.concatenate(
+        [np.flatnonzero((cnts[g][:, :, s] > 0).any(axis=1)) + row_off[g]
+         for g in range(G)]) for s in range(S)]
+    Rb = pow2_bucket(max((len(r) for r in occ_by_s), default=1),
+                     minimum=8)
+    compact = Rb < Crows
     for s in range(S):
         pools_s = [p for p in range(n_pools) if pool_spk[p] == s]
         if not any((cnts[gid[by_pool[p][0]]][:, :, s] > 0).any()
                    for p in pools_s if len(by_pool[p])):
             continue
-        gt, eq = run_bins(pools_s)
+        gt, eq = run_bins(pools_s,
+                          pad_occ(occ_by_s[s], Rb) if compact else None)
         err = gt + 0.5 * eq
         for p in pools_s:
             if not len(by_pool[p]):

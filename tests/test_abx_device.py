@@ -298,8 +298,31 @@ def test_device_by_many_small_groups_packs_slots():
     _assert_same(host, dev)
     # pool sizes are tiny, so A shrinks below chunk and P packs > 1
     from abnet3_tpu.eval import abx_device as mod
-    keys = [k for k in mod._KERNEL_CACHE if k[4] > 1]
+    keys = [k for k in mod._KERNEL_CACHE
+            if isinstance(k[0], int) and k[4] > 1]
     assert keys, "expected a packed (P > 1) kernel signature"
+
+
+def test_device_occupied_row_compaction():
+    """Sparse occupancy at high class count: the d2h fetch compacts to
+    the occupied anchor rows through the shared rowgather executable
+    and stays bit-identical to the host scorer (both tasks)."""
+    rng = np.random.RandomState(21)
+    n = 80
+    D = _quantized_matrix(rng, n, levels=32)
+    # 60 singleton classes (never anchors) + 5 multi-speaker classes:
+    # occupied rows are a small minority, so pow2_bucket(occ) < Crows
+    labels = [f"solo{i:03d}" for i in range(60)] + \
+             [f"big{i % 5}" for i in range(20)]
+    speakers = [f"s{i % 2}" for i in range(n)]
+    from abnet3_tpu.eval import abx_device as mod
+    mod._KERNEL_CACHE.clear()
+    for task in ("across", "within"):
+        host = abx_error(D, labels, speakers, task=task)
+        dev = abx_error_device(D, labels, speakers, task=task)
+        _assert_same(host, dev)
+    assert any(k[0] == "rowgather" for k in mod._KERNEL_CACHE), \
+        "expected the compacted-fetch gather executable to be used"
 
 
 def test_device_by_u16_wire(tmp_path):
