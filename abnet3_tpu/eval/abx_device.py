@@ -87,14 +87,16 @@ in row chunks.
 Scale note: the ``within`` task bins per (ca, cx, SPEAKER) cell, so it
 fetches one (Crows, Ccols) bin pair per speaker, and by-conditioned
 runs fetch composite-row bins whose row count is the SUM of per-group
-class counts. Both fetches compact to the OCCUPIED anchor rows first
-when those are a minority (< half the rows): the occupied set is known
-analytically from the cell-count histogram, a device-side gather (one
-fixed-shape executable shared by every speaker pass, rows padded to a
-power-of-2 bucket with the dump row) pulls just those rows, and the
-host scatters them back into a zero matrix. Bit-identical by
-construction — counts can only land in a non-occupied anchor row via
-the (ca, ca) diagonal dump cells, which are never read.
+class counts. Both fetches compact to the OCCUPIED anchor rows and
+X-class columns first: the occupied sets are known analytically from
+the cell-count histogram, a device-side gather (one fixed-shape
+executable shared by every speaker pass; indices padded to power-of-2
+buckets with sentinels — the dump row for rows, the clamped ``Ccols``
+for columns) pulls just the occupied submatrix, and the host scatters
+it back into a zero matrix. Bit-identical by construction — every cell
+the scorer reads has a positive analytic count and therefore sits
+inside the occupied grid; counts outside it are never-read (ca, ca)
+diagonal dump cells.
 """
 
 from __future__ import annotations
@@ -242,17 +244,21 @@ def _chunk_kernel(Crows: int, Ccols: int, max_b: int, max_x: int,
     return fn
 
 
-def _row_gather(R: int, Ccols: int):
-    """Jitted ``(gt_bins, eq_bins, ridx(R,)) -> ((R, Ccols) x 2)``
-    occupied-row gather, memoized per shape so every speaker pass of a
-    within-task run reuses ONE executable (fresh shapes would each pay
-    a remote compile through the dev tunnel, CLAUDE.md)."""
+def _sub_gather(R: int, Cc: int):
+    """Jitted ``(gt_bins, eq_bins, ridx(R,), cidx(Cc,)) ->
+    ((R, Cc) x 2)`` occupied-submatrix gather, memoized per shape so
+    every speaker pass of a within-task run reuses ONE executable
+    (fresh shapes would each pay a remote compile through the dev
+    tunnel, CLAUDE.md). Row padding indexes the dump row; column
+    padding uses the sentinel ``Ccols``, which jax's clamping gather
+    maps to the last column — both discarded host-side."""
     import jax
 
-    key = ("rowgather", R, Ccols, jax.default_backend())
+    key = ("subgather", R, Cc, jax.default_backend())
     fn = _KERNEL_CACHE.get(key)
     if fn is None:
-        fn = jax.jit(lambda gt, eq, ridx: (gt[ridx], eq[ridx]))
+        fn = jax.jit(lambda gt, eq, ridx, cidx: (gt[ridx][:, cidx],
+                                                 eq[ridx][:, cidx]))
         _KERNEL_CACHE[key] = fn
     return fn
 
@@ -511,13 +517,14 @@ def abx_error_device(D, labels: Sequence, speakers: Sequence,
         cls, b_ids, b_cnt, x_ids, x_seg, x_cnt.astype(np.int32)))
     by_pool = [np.flatnonzero(pool_of == p) for p in range(n_pools)]
 
-    def run_bins(pool_list, occ_rows=None) -> Tuple[np.ndarray,
-                                                    np.ndarray]:
+    def run_bins(pool_list, occ_rows=None,
+                 occ_cols=None) -> Tuple[np.ndarray, np.ndarray]:
         """Score the anchors of the given pools into fresh bins;
         returns host float64 (Crows, Ccols) greater/equal counts.
-        ``occ_rows`` (sorted int32 anchor rows with any triplets, padded
-        to a shared bucket length with the dump row ``Crows``) compacts
-        the d2h fetch to just those rows (module docstring)."""
+        ``occ_rows`` / ``occ_cols`` (sorted int32 anchor rows / local
+        class columns with any triplets, padded to shared bucket
+        lengths with the ``Crows`` / ``Ccols`` sentinels) compact the
+        d2h fetch to the occupied submatrix (module docstring)."""
         sels: List[np.ndarray] = []
         valids: List[np.ndarray] = []
         pool_ids: List[int] = []
@@ -555,26 +562,39 @@ def abx_error_device(D, labels: Sequence, speakers: Sequence,
         for _ in range(n_chunks):
             state = kernel(dm.array, *statics, *chunk_tabs, state)
         gt_bins, eq_bins, _ = state
-        if occ_rows is not None:
-            R = len(occ_rows)
-            sub = _row_gather(R, Ccols)(gt_bins, eq_bins,
-                                        jax.device_put(occ_rows))
-            m = occ_rows < Crows      # drop dump-row padding
+        if occ_rows is not None or occ_cols is not None:
+            rs = (occ_rows if occ_rows is not None
+                  else np.arange(Crows, dtype=np.int32))
+            cs = (occ_cols if occ_cols is not None
+                  else np.arange(Ccols, dtype=np.int32))
+            sub = _sub_gather(len(rs), len(cs))(
+                gt_bins, eq_bins, jax.device_put(rs),
+                jax.device_put(cs))
+            mr, mc = rs < Crows, cs < Ccols   # drop sentinel padding
+            grid = np.ix_(rs[mr], cs[mc])
             gt = np.zeros((Crows, Ccols), np.float32)
             eq = np.zeros((Crows, Ccols), np.float32)
-            gt[occ_rows[m]] = _fetch_rows(sub[0], R, Ccols)[m]
-            eq[occ_rows[m]] = _fetch_rows(sub[1], R, Ccols)[m]
+            gt[grid] = _fetch_rows(sub[0], len(rs), len(cs))[mr][:, mc]
+            eq[grid] = _fetch_rows(sub[1], len(rs), len(cs))[mr][:, mc]
         else:
             gt = _fetch_rows(gt_bins, Crows + 1, Ccols)[:Crows]
             eq = _fetch_rows(eq_bins, Crows + 1, Ccols)[:Crows]
         return gt.astype(np.float64), eq.astype(np.float64)
 
-    def pad_occ(rows: np.ndarray, R: int) -> np.ndarray:
-        """Pad one occupied-row set to the shared bucket length with the
-        dump row (so every pass reuses one gather executable)."""
-        out = np.full(R, Crows, np.int32)
-        out[:len(rows)] = rows
+    def pad_occ(idx: np.ndarray, R: int, sentinel: int) -> np.ndarray:
+        """Pad one occupied-index set to the shared bucket length with
+        the sentinel (so every pass reuses one gather executable)."""
+        out = np.full(R, sentinel, np.int32)
+        out[:len(idx)] = idx
         return out
+
+    def occ_cols_of(blocks) -> np.ndarray:
+        """Union of occupied LOCAL class columns over per-group count
+        blocks ((Cg, Cg) each)."""
+        cm = np.zeros(Ccols, bool)
+        for blk in blocks:
+            cm[np.flatnonzero((blk > 0).any(axis=0))] = True
+        return np.flatnonzero(cm)
 
     def group_scores_across(err: np.ndarray, g: int) -> np.ndarray:
         """Group g's occupied-cell scores in sorted (ca, cx) order —
@@ -602,9 +622,13 @@ def abx_error_device(D, labels: Sequence, speakers: Sequence,
         occ = np.concatenate(
             [np.flatnonzero((cnts[g] > 0).any(axis=1)) + row_off[g]
              for g in range(G)])
+        occ_c = occ_cols_of(cnts)
         R = pow2_bucket(len(occ), minimum=8)
-        gt, eq = run_bins(range(n_pools),
-                          pad_occ(occ, R) if R < Crows else None)
+        Rc = pow2_bucket(len(occ_c), minimum=8)
+        gt, eq = run_bins(
+            range(n_pools),
+            pad_occ(occ, R, Crows) if R < Crows else None,
+            pad_occ(occ_c, Rc, Ccols) if Rc < Ccols else None)
         err = gt + 0.5 * eq
         if by is None:
             scores = group_scores_across(err, 0)
@@ -641,16 +665,22 @@ def abx_error_device(D, labels: Sequence, speakers: Sequence,
     occ_by_s = [np.concatenate(
         [np.flatnonzero((cnts[g][:, :, s] > 0).any(axis=1)) + row_off[g]
          for g in range(G)]) for s in range(S)]
+    occ_c_by_s = [occ_cols_of([cnts[g][:, :, s] for g in range(G)])
+                  for s in range(S)]
     Rb = pow2_bucket(max((len(r) for r in occ_by_s), default=1),
                      minimum=8)
-    compact = Rb < Crows
+    Rc = pow2_bucket(max((len(c) for c in occ_c_by_s), default=1),
+                     minimum=8)
+    compact, compact_c = Rb < Crows, Rc < Ccols
     for s in range(S):
         pools_s = [p for p in range(n_pools) if pool_spk[p] == s]
         if not any((cnts[gid[by_pool[p][0]]][:, :, s] > 0).any()
                    for p in pools_s if len(by_pool[p])):
             continue
-        gt, eq = run_bins(pools_s,
-                          pad_occ(occ_by_s[s], Rb) if compact else None)
+        gt, eq = run_bins(
+            pools_s,
+            pad_occ(occ_by_s[s], Rb, Crows) if compact else None,
+            pad_occ(occ_c_by_s[s], Rc, Ccols) if compact_c else None)
         err = gt + 0.5 * eq
         for p in pools_s:
             if not len(by_pool[p]):

@@ -321,7 +321,7 @@ def test_device_occupied_row_compaction():
         host = abx_error(D, labels, speakers, task=task)
         dev = abx_error_device(D, labels, speakers, task=task)
         _assert_same(host, dev)
-    assert any(k[0] == "rowgather" for k in mod._KERNEL_CACHE), \
+    assert any(k[0] == "subgather" for k in mod._KERNEL_CACHE), \
         "expected the compacted-fetch gather executable to be used"
 
 
