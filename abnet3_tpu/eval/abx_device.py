@@ -101,6 +101,7 @@ diagonal dump cells.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -121,6 +122,13 @@ _CHUNK = 256
 # orders of magnitude smaller (the N=30k synthetic inventory averages
 # 43 triplets/cell) — the guard refuses loudly instead of rounding.
 _F32_EXACT = 1 << 24
+
+
+def _compact_enabled() -> bool:
+    """Occupied-submatrix fetch compaction opt-out (escape hatch /
+    A/B): ``ABNET3_ABX_COMPACT=0`` forces full-bin fetches. Results
+    are bit-identical either way (module docstring)."""
+    return os.environ.get("ABNET3_ABX_COMPACT", "1") != "0"
 
 
 class DeviceMatrix:
@@ -625,6 +633,8 @@ def abx_error_device(D, labels: Sequence, speakers: Sequence,
         occ_c = occ_cols_of(cnts)
         R = pow2_bucket(len(occ), minimum=8)
         Rc = pow2_bucket(len(occ_c), minimum=8)
+        if not _compact_enabled():
+            R, Rc = Crows, Ccols
         gt, eq = run_bins(
             range(n_pools),
             pad_occ(occ, R, Crows) if R < Crows else None,
@@ -672,6 +682,8 @@ def abx_error_device(D, labels: Sequence, speakers: Sequence,
     Rc = pow2_bucket(max((len(c) for c in occ_c_by_s), default=1),
                      minimum=8)
     compact, compact_c = Rb < Crows, Rc < Ccols
+    if not _compact_enabled():
+        compact = compact_c = False
     for s in range(S):
         pools_s = [p for p in range(n_pools) if pool_spk[p] == s]
         if not any((cnts[gid[by_pool[p][0]]][:, :, s] > 0).any()

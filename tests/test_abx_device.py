@@ -323,6 +323,18 @@ def test_device_occupied_row_compaction():
         _assert_same(host, dev)
     assert any(k[0] == "subgather" for k in mod._KERNEL_CACHE), \
         "expected the compacted-fetch gather executable to be used"
+    # opt-out knob: dense fetches, same bits
+    import os
+    os.environ["ABNET3_ABX_COMPACT"] = "0"
+    try:
+        mod._KERNEL_CACHE.clear()
+        for task in ("across", "within"):
+            host = abx_error(D, labels, speakers, task=task)
+            dev = abx_error_device(D, labels, speakers, task=task)
+            _assert_same(host, dev)
+        assert not any(k[0] == "subgather" for k in mod._KERNEL_CACHE)
+    finally:
+        del os.environ["ABNET3_ABX_COMPACT"]
 
 
 def test_device_by_u16_wire(tmp_path):
