@@ -1081,11 +1081,15 @@ def evaluate(features_path: str, classes_path: str,
       over the device-resident distance matrix
       (``distance_matrix(device_out=True)`` — no matrix re-upload on
       fresh tiles runs). Bit-identical error.
-    - ``'auto'`` (default): device for the across task at tile-strategy
+    - ``'auto'`` (default): device for both tasks at tile-strategy
       scale (N >= 2048, where serial host scoring dominated the round-4
-      hardware runs: 892 s vs 787 s of distance at N=30k), host
-      otherwise; falls back to the host scorer if the device scorer
-      declines the inventory (a single cell >= 2^24 triplets)."""
+      hardware runs: 892 s vs 787 s of distance at N=30k across; the
+      within task's per-speaker bin fetches compact to the occupied
+      submatrix — 5.2x measured at N=8192/C=2000/S=20, BASELINE.md —
+      and the device path never fetches the N x N matrix at all), host
+      below that scale; falls back to the host scorer if the device
+      scorer declines the inventory (a single cell >= 2^24
+      triplets)."""
     from abnet3_tpu.io.h5f import iter_h5features
     from abnet3_tpu.ops.bank import TokenBank
     from abnet3_tpu.sampler import SamplerClusterSiamese
@@ -1168,7 +1172,7 @@ def evaluate(features_path: str, classes_path: str,
     assert score_backend in ("auto", "host", "device")
     bank = TokenBank(token_feats, max_frames=max_frames)
     use_device = (score_backend == "device"
-                  or (score_backend == "auto" and task == "across"
+                  or (score_backend == "auto"
                       and len(bank) >= _TILE_MIN_TOKENS))
     if use_device:
         from abnet3_tpu.eval.abx_device import (abx_error_device,
@@ -1264,8 +1268,8 @@ def main():
                         help="where triplet aggregation runs: 'device' "
                              "scores on the TPU over the device-"
                              "resident distance matrix (bit-identical "
-                             "error); 'auto' picks device for across "
-                             "tasks at tile scale (N >= 2048)")
+                             "error); 'auto' picks device at tile "
+                             "scale (N >= 2048), both tasks")
     parser.add_argument("--checkpoint", type=str, default=None,
                         help="make the (tiles-strategy) distance matrix "
                              "resumable: tiles land in <path>.npy + "

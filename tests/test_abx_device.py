@@ -268,6 +268,15 @@ def test_evaluate_score_backend_device(tmp_path):
     assert dev["error"] == host["error"]
     assert dev["n_cells"] == host["n_cells"]
     assert dev["n_triplets"] == host["n_triplets"]
+    # the within task rides the same wiring (auto now picks device for
+    # it at tile scale — the compacted fetch made that profitable)
+    hw = evaluate(fp, cp, spkid_file=spk, task="within",
+                  score_backend="host")
+    dw = evaluate(fp, cp, spkid_file=spk, task="within",
+                  score_backend="device")
+    assert dw["error"] == hw["error"]
+    assert dw["n_cells"] == hw["n_cells"]
+    assert dw["n_triplets"] == hw["n_triplets"]
 
 
 @pytest.mark.parametrize("task", ["across", "within"])
