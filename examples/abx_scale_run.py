@@ -68,6 +68,12 @@ def main():
     ap.add_argument("--dim", type=int, default=100)
     ap.add_argument("--distance", default="dtw_cos",
                     choices=("dtw_cos", "dtw_kl", "mean_cos"))
+    ap.add_argument("--task", default="across",
+                    choices=("across", "within"),
+                    help="ABX task; 'within' bins per (ca, cx, speaker)"
+                         " cell (device backend compacts its per-"
+                         "speaker bin fetches to the occupied "
+                         "submatrix)")
     ap.add_argument("--checkpoint", default=None,
                     help="resumable tile checkpoint path (memmap + log)")
     ap.add_argument("--score-backend", default="device",
@@ -132,16 +138,17 @@ def main():
 
     t0 = time.time()
     if use_device:
-        res = abx_error_device(handle, labels, speakers, task="across")
+        res = abx_error_device(handle, labels, speakers, task=args.task)
     else:
-        res = abx_error(D, labels, speakers, task="across",
+        res = abx_error(D, labels, speakers, task=args.task,
                         n_jobs=args.n_jobs)
     stages["score_s"] = round(time.time() - t0, 1)
-    print(f"[score] across-speaker ABX {res['error']:.4f} over "
+    print(f"[score] {args.task}-speaker ABX {res['error']:.4f} over "
           f"{res['n_triplets']:,} triplets / {res['n_cells']:,} cells "
           f"in {stages['score_s']}s")
 
-    stages.update(n=args.n, distance=args.distance, abx=res["error"],
+    stages.update(n=args.n, distance=args.distance, task=args.task,
+                  abx=res["error"],
                   n_triplets=res["n_triplets"],
                   score_backend=args.score_backend)
     if args.out:
