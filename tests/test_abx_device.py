@@ -426,3 +426,86 @@ def test_device_cells_match_host_by(task):
         assert tuple(hk) == tuple(dk)
         assert hc == dc
         assert hv == dv, (hk, hv, dv)
+
+
+@pytest.mark.parametrize("task", ["across", "within"])
+def test_device_row_blocked_matrix(task):
+    """A row-blocked DeviceMatrix (the > one-HBM-buffer layout) scores
+    bit-identically: anchor slots partition by owning block and the
+    bins thread through every block's chunk sequence."""
+    rng = np.random.RandomState(30)
+    n = 70
+    D = _quantized_matrix(rng, n, levels=32)
+    labels, speakers = _inventory(rng, n, 8, 3)
+    host = abx_error(D, labels, speakers, task=task, return_cells=True)
+    dm = upload_matrix(D, rows_per_block=24)   # 3 blocks, last padded
+    assert len(dm.blocks) == 3 and dm.rows_per_block == 24
+    assert dm.row_starts == [0, 24, 48]
+    dev = abx_error_device(dm, labels, speakers, task=task,
+                           return_cells=True)
+    _assert_same(host, dev)
+    for (hk, hv, hc), (dk, dv, dc) in zip(host["cells"], dev["cells"]):
+        assert tuple(hk) == tuple(dk) and hc == dc and hv == dv
+
+
+def test_device_row_blocked_by_conditioning():
+    rng = np.random.RandomState(31)
+    n = 60
+    D = _quantized_matrix(rng, n, levels=16)
+    labels, speakers = _inventory(rng, n, 5, 3)
+    by = [("g%d" % (i % 3),) for i in range(n)]
+    host = abx_error(D, labels, speakers, task="across", by=by)
+    dev = abx_error_device(upload_matrix(D, rows_per_block=16),
+                           labels, speakers, task="across", by=by)
+    _assert_same(host, dev)
+
+
+def test_device_row_blocked_equal_heights_one_executable():
+    """Equal block heights: one kernel signature serves every block
+    (jit shape-specializes per block height — unequal heights would
+    each pay a remote compile through the dev tunnel)."""
+    dm = upload_matrix(np.zeros((50, 50), np.float32),
+                       rows_per_block=16)
+    assert [b.shape for b in dm.blocks] == [(16, 50)] * 4
+
+
+@pytest.mark.parametrize("task", ["across", "within"])
+def test_device_mesh_sharded_matrix(task):
+    """A mesh-sharded DeviceMatrix (rows over 'data') scores
+    bit-identically — GSPMD inserts the cross-device row gathers."""
+    from abnet3_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh(n_data=4, n_model=1)
+    rng = np.random.RandomState(32)
+    n = 66                       # not divisible by 4: rows zero-pad
+    D = _quantized_matrix(rng, n, levels=32)
+    labels, speakers = _inventory(rng, n, 7, 3)
+    host = abx_error(D, labels, speakers, task=task)
+    dm = upload_matrix(D, mesh=mesh)
+    assert dm.mesh is mesh and dm.blocks[0].shape[0] == 68
+    dev = abx_error_device(dm, labels, speakers, task=task)
+    _assert_same(host, dev)
+
+
+def test_device_within_one_pass_many_speakers():
+    """S=25 speakers: the within task is ONE pass with ONE fetch
+    (occupied (speaker, class) bin rows), not a per-speaker loop —
+    and still bit-identical to the host scorer."""
+    from abnet3_tpu.eval import abx_device as mod
+    rng = np.random.RandomState(33)
+    n = 150
+    D = _quantized_matrix(rng, n, levels=24)
+    labels = [f"c{v:02d}" for v in rng.randint(0, 6, n)]
+    speakers = [f"s{v:02d}" for v in rng.randint(0, 25, n)]
+    host = abx_error(D, labels, speakers, task="within",
+                     return_cells=True)
+    mod._KERNEL_CACHE.clear()
+    dev = abx_error_device(D, labels, speakers, task="within",
+                           return_cells=True)
+    _assert_same(host, dev)
+    for (hk, hv, hc), (dk, dv, dc) in zip(host["cells"], dev["cells"]):
+        assert tuple(hk) == tuple(dk) and hc == dc and hv == dv
+    # one pass: exactly one chunk-kernel signature and at most one
+    # subgather signature were compiled for all 25 speakers
+    ckeys = [k for k in mod._KERNEL_CACHE if isinstance(k[0], int)]
+    gkeys = [k for k in mod._KERNEL_CACHE if k[0] == "subgather"]
+    assert len(ckeys) == 1 and len(gkeys) <= 1
