@@ -509,3 +509,90 @@ def test_device_within_one_pass_many_speakers():
     ckeys = [k for k in mod._KERNEL_CACHE if isinstance(k[0], int)]
     gkeys = [k for k in mod._KERNEL_CACHE if k[0] == "subgather"]
     assert len(ckeys) == 1 and len(gkeys) <= 1
+
+
+def test_distance_matrix_device_blocked_assembly():
+    """device_rows_per_block: tiles assemble into equal-height row
+    blocks (transpose mirrors landing in the column-owner block) whose
+    concatenation decodes exactly to the host matrix; scoring the
+    blocked handle is bit-identical."""
+    rng = np.random.RandomState(34)
+    n = 40
+    feats = {i: rng.randn(rng.randint(6, 20), 12).astype(np.float32)
+             for i in range(n)}
+    bank = TokenBank(feats)
+    D, handle = distance_matrix(bank, batch_size=8, strategy="tiles",
+                                device_out=True,
+                                device_rows_per_block=16)
+    assert len(handle.blocks) > 1
+    assert len({b.shape for b in handle.blocks}) == 1
+    q = np.concatenate([np.asarray(b) for b in handle.blocks],
+                       axis=0)[:n, :n]
+    dec = (q.astype(np.float32)
+           * np.float32(1.0 / 65535.0)).astype(D.dtype)
+    np.testing.assert_array_equal(dec, D)
+    labels = [f"c{i % 5}" for i in range(n)]
+    speakers = [f"s{i % 3}" for i in range(n)]
+    _assert_same(abx_error(D, labels, speakers),
+                 abx_error_device(handle, labels, speakers))
+
+
+def test_distance_matrix_device_blocked_fetch_free():
+    """host_out=False + row blocks: fetch-free tiles land only in the
+    blocked device matrix; scores match a host-fetched run."""
+    rng = np.random.RandomState(35)
+    n = 36
+    feats = {i: rng.randn(rng.randint(5, 14), 10).astype(np.float32)
+             for i in range(n)}
+    D = distance_matrix(TokenBank(feats), batch_size=8,
+                        strategy="tiles")
+    none_D, handle = distance_matrix(TokenBank(feats), batch_size=8,
+                                     strategy="tiles", device_out=True,
+                                     host_out=False,
+                                     device_rows_per_block=16)
+    assert none_D is None and len(handle.blocks) > 1
+    labels = [f"c{i % 4}" for i in range(n)]
+    speakers = [f"s{i % 3}" for i in range(n)]
+    _assert_same(abx_error(D, labels, speakers),
+                 abx_error_device(handle, labels, speakers))
+    _assert_same(abx_error(D, labels, speakers, task="within"),
+                 abx_error_device(handle, labels, speakers,
+                                  task="within"))
+
+
+def test_distance_matrix_device_mesh_sharded_assembly():
+    """On a multi-device mesh the device matrix assembles ROW-SHARDED
+    over 'data' and the scorer is bit-identical to the host path."""
+    from abnet3_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh(n_data=4, n_model=1)
+    rng = np.random.RandomState(36)
+    n = 40
+    feats = {i: rng.randn(rng.randint(6, 16), 10).astype(np.float32)
+             for i in range(n)}
+    D = distance_matrix(TokenBank(feats), batch_size=8,
+                        strategy="tiles")
+    none_D, handle = distance_matrix(TokenBank(feats), batch_size=8,
+                                     strategy="tiles", mesh=mesh,
+                                     device_out=True, host_out=False)
+    assert none_D is None and handle.mesh is mesh
+    from jax.sharding import NamedSharding
+    sh = handle.array.sharding
+    assert isinstance(sh, NamedSharding) and sh.spec[0] == "data"
+    labels = [f"c{i % 5}" for i in range(n)]
+    speakers = [f"s{i % 3}" for i in range(n)]
+    for task in ("across", "within"):
+        _assert_same(abx_error(D, labels, speakers, task=task),
+                     abx_error_device(handle, labels, speakers,
+                                      task=task))
+
+
+def test_auto_block_fetch_cap_only_when_fetching():
+    """host_out=False drops the 2 MB fetch cap (nothing is fetched):
+    tile sides are bounded by HBM/batch only."""
+    from abnet3_tpu.eval.abx import _auto_block
+    # T small enough that the HBM cap exceeds the fetch cap
+    capped = _auto_block(20000, 32, 4096, itemsize=2, fetch_capped=True)
+    free = _auto_block(20000, 32, 4096, itemsize=2, fetch_capped=False)
+    assert capped == 1024 and free == 4096
+    # the guards still bound the fetch-free side
+    assert _auto_block(20000, 256, 8192, fetch_capped=False) == 1024
