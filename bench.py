@@ -42,6 +42,76 @@ B_DIFF = 64
 T = 96  # ~1s word tokens at 100 fps
 
 
+# ---------------------------------------------------------------------------
+# MFU (round-5): every metric line also reports model-FLOPs utilisation —
+# analytic FLOPs of the work the metric's executable performs, divided by
+# measured (fetch-terminated) wall time and the chip's peak. Conventions
+# (see BASELINE.md "MFU decomposition" for the roofline split):
+# - FLOPs count the MATMUL terms (towers fwd/bwd, cosine matrices) plus the
+#   O(T^2) DTW DP; elementwise/optimizer work is excluded, so the reported
+#   MFU is slightly CONSERVATIVE.
+# - the denominator is the chip's dense bf16 MXU peak (its headline
+#   number). The towers run f32-precision matmuls (XLA issues them as
+#   multi-pass bf16 on TPU), so speed-of-light for this step is ~1/3 of
+#   that peak — also noted in BASELINE.md.
+# - unknown chips (this tunnel's 'axon' plug reports a generic kind) fall
+#   back to ABNET3_PEAK_TFLOPS or the v5e figure, and the line says which.
+
+_CHIP_PEAKS_TFLOPS = {
+    # dense bf16 peak per chip, from published TPU specs
+    "TPU v4": 275.0,
+    "TPU v5 lite": 197.0, "TPU v5e": 197.0,
+    "TPU v5": 459.0, "TPU v5p": 459.0,
+    "TPU v6 lite": 918.0, "TPU v6e": 918.0,
+}
+
+
+def _chip_peak_flops():
+    """(peak_flops_per_sec, source_str). Detection order: exact
+    device_kind match, ABNET3_PEAK_TFLOPS override, v5e assumption."""
+    import os
+
+    import jax
+    kind = jax.devices()[0].device_kind
+    for name, tf in _CHIP_PEAKS_TFLOPS.items():
+        if kind.lower().startswith(name.lower()):
+            return tf * 1e12, kind
+    env = os.environ.get("ABNET3_PEAK_TFLOPS")
+    if env:
+        return float(env) * 1e12, f"{kind} (ABNET3_PEAK_TFLOPS={env})"
+    return 197.0e12, f"{kind} (unrecognized; assuming v5e 197 TF bf16)"
+
+
+_TOWER_MATMUL_PARAMS = DIM_IN * HID + HID * HID + HID * OUT  # 440k
+
+
+def train_step_flops() -> float:
+    """Analytic FLOPs of ONE optimizer step of the matrix-loss train
+    recipe (what bench_ours/bench_trainer_loop execute per chained
+    sub-step):
+
+    - towers: every frame of every token embeds once (matrix mode);
+      fwd = 2 * params_matmul per frame, bwd = 2x fwd -> 6 * P * F
+      with F = (B_SAME + B_DIFF) * 2 * T padded frames;
+    - DTW alignment (same pairs): input-space cosine matrix
+      2 * T^2 * DIM_IN (fwd only — alignment is stop-grad) + ~20 T^2
+      VPU ops for the fused fwd+reverse path-mask DP;
+    - matrix loss (same pairs): embedding cosine matrix 2 * T^2 * OUT
+      fwd + two matmuls in its cotangent -> 6 * T^2 * OUT
+      (diff pairs reduce to diagonal cosines — negligible)."""
+    frames = (B_SAME + B_DIFF) * 2 * T
+    towers = 6.0 * _TOWER_MATMUL_PARAMS * frames
+    align = B_SAME * (2.0 * T * T * DIM_IN + 20.0 * T * T)
+    mloss = B_SAME * 6.0 * T * T * OUT
+    return towers + align + mloss
+
+
+def embed_chunk_flops(chunk: int) -> float:
+    """Analytic FLOPs of one forward-only embed chunk (int8 encode's
+    elementwise work excluded — conservative)."""
+    return 2.0 * _TOWER_MATMUL_PARAMS * chunk
+
+
 def _make_batch(seed=0):
     rng = np.random.RandomState(seed)
     f1s = np.asarray(rng.randn(B_SAME, T, DIM_IN), np.float32)
@@ -391,12 +461,17 @@ def main():
     ours_sps, shared = bench_ours(batch)
     _, _, _, enet, eparams, estate = shared
     base_sps = _median_of(lambda: bench_torch_baseline(batch))
+    peak, chip = _chip_peak_flops()
+    step_fl = train_step_flops()
+    frame_fl = embed_chunk_flops(1)
     print(json.dumps({
         "metric": ("siamese train throughput/chip: DTW-aligned frame pairs "
                    "through a full train step (align+fwd+bwd+update)"),
         "value": round(ours_sps * frames, 1),
         "unit": "frame-pairs/s",
         "vs_baseline": round(ours_sps / base_sps, 2),
+        "mfu": round(ours_sps * step_fl / peak, 5),
+        "chip": chip,
     }), flush=True)
     # metric 1's trained tower feeds both export cases: exports ship the
     # TRAINED output distribution, not init noise; one shared forward
@@ -421,6 +496,7 @@ def main():
         "value": round(embed_fps, 1),
         "unit": "frames/s",
         "vs_baseline": round(embed_fps / embed_base, 2),
+        "mfu": round(embed_fps * frame_fl / peak, 6),
     }), flush=True)
     loop_sps = bench_trainer_loop(shared)
     print(json.dumps({
@@ -430,6 +506,7 @@ def main():
         "value": round(loop_sps * frames, 1),
         "unit": "frame-pairs/s",
         "vs_baseline": round(loop_sps / base_sps, 2),
+        "mfu": round(loop_sps * step_fl / peak, 5),
     }), flush=True)
     worst_fps = bench_embed_ours("random", eparams, estate, enet,
                                  forward=embed_forward)
@@ -442,6 +519,7 @@ def main():
         "value": round(worst_fps, 1),
         "unit": "frames/s",
         "vs_baseline": round(worst_fps / embed_base, 2),
+        "mfu": round(worst_fps * frame_fl / peak, 6),
     }), flush=True)
 
 

@@ -85,6 +85,19 @@ def main():
                          "occupied-cell scorer")
     ap.add_argument("--n-jobs", type=int, default=1,
                     help="host-backend scoring workers (fork pool)")
+    ap.add_argument("--device-rows-per-block", type=int, default=None,
+                    help="store the device matrix as equal-height row "
+                         "blocks (single-chip > one-HBM-buffer layout; "
+                         "auto past ABNET3_ABX_DEVMAT_GB = 6 GiB)")
+    ap.add_argument("--crosscheck", type=int, default=0, metavar="K",
+                    help="after the device-scored run, subsample K "
+                         "tokens, fetch their submatrix off the device "
+                         "matrix and assert the host scorer and the "
+                         "device scorer agree bit-for-bit on it")
+    ap.add_argument("--batch-size", type=int, default=1024,
+                    help="tile-side cap (fetch-free runs size tiles "
+                         "without the 2 MB fetch cap, so > 1024 takes "
+                         "effect there)")
     ap.add_argument("--out", default=None, help="write stage timings JSON")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
@@ -118,6 +131,10 @@ def main():
     result = distance_matrix(bank, distance=args.distance,
                              checkpoint_path=args.checkpoint,
                              strategy="tiles", device_out=use_device,
+                             batch_size=args.batch_size,
+                             device_rows_per_block=(
+                                 args.device_rows_per_block
+                                 if use_device else None),
                              # without a checkpoint a device-scored run
                              # never fetches the tiles at all
                              host_out=(not use_device
@@ -125,10 +142,18 @@ def main():
     D, handle = result if use_device else (result, None)
     if handle is not None and D is None:
         # fetch-free mode: force the in-flight tail so the distance
-        # stage's clock covers its own work (value probe, not
-        # block_until_ready — the axon block can return early)
-        np.asarray(handle.array[:1, :1])
+        # stage's clock covers its own work (value probe on EVERY
+        # storage block, not block_until_ready — the axon block can
+        # return early)
+        for blk in handle.blocks:
+            np.asarray(blk[:1, :1])
     stages["distance_s"] = round(time.time() - t0, 1)
+    if handle is not None and len(handle.blocks) > 1:
+        hb = handle.blocks
+        print(f"[matrix] {len(hb)} row blocks x "
+              f"({hb[0].shape[0]}, {hb[0].shape[1]}) "
+              f"{np.dtype(hb[0].dtype).name} = "
+              f"{sum(b.nbytes for b in hb) / 1e9:.2f} GB device-resident")
     n_pairs = args.n * (args.n - 1) // 2
     print(f"[distance] {n_pairs / 1e6:.1f}M token pairs ({args.distance}, "
           f"tiles) in {stages['distance_s']}s = "
@@ -143,9 +168,53 @@ def main():
         res = abx_error(D, labels, speakers, task=args.task,
                         n_jobs=args.n_jobs)
     stages["score_s"] = round(time.time() - t0, 1)
+    if res["n_cells"] == 0:
+        print(f"[score] WARNING: 0 occupied cells — with --task within "
+              f"every (class, speaker) needs >= 2 tokens; at --n "
+              f"{args.n} / --classes {args.classes} / --speakers "
+              f"{args.speakers} the expected tokens per (c, s) is "
+              f"{args.n / (args.classes * args.speakers):.2f}; raise "
+              "--n or shrink --classes/--speakers")
     print(f"[score] {args.task}-speaker ABX {res['error']:.4f} over "
           f"{res['n_triplets']:,} triplets / {res['n_cells']:,} cells "
           f"in {stages['score_s']}s")
+
+    if args.crosscheck and handle is not None:
+        import jax
+        t0 = time.time()
+        rng = np.random.RandomState(args.seed + 1)
+        sub = np.sort(rng.choice(args.n, size=min(args.crosscheck,
+                                                  args.n),
+                                 replace=False)).astype(np.int32)
+        # gather the subsampled wire submatrix off the device blocks
+        # (block-local row picks, global column picks; <= 2 MB fetches)
+        take = jax.jit(lambda B, r, c: B[r][:, c])
+        parts = []
+        rows_pb = handle.rows_per_block
+        for b, blk in enumerate(handle.blocks):
+            lo = handle.row_starts[b]
+            loc = sub[(sub >= lo) & (sub < lo + rows_pb)] - lo
+            if len(loc):
+                parts.append(np.asarray(
+                    take(blk, jax.device_put(loc), jax.device_put(sub))))
+        D_sub = np.concatenate(parts, axis=0)
+        from abnet3_tpu.eval.abx_device import upload_matrix
+        labels_s = [labels[i] for i in sub]
+        spk_s = [speakers[i] for i in sub]
+        wire_f32 = (D_sub.astype(np.float32) / np.float32(65535.0)
+                    if D_sub.dtype == np.uint16
+                    else D_sub.astype(np.float32))
+        h = abx_error(wire_f32, labels_s, spk_s, task=args.task)
+        dv = abx_error_device(upload_matrix(D_sub), labels_s, spk_s,
+                              task=args.task)
+        assert dv["error"] == h["error"], (dv, h)
+        assert dv["n_triplets"] == h["n_triplets"]
+        stages["crosscheck_s"] = round(time.time() - t0, 1)
+        stages["crosscheck_n"] = int(len(sub))
+        print(f"[crosscheck] host == device bit-identical on a "
+              f"{len(sub)}-token subsample (ABX {h['error']:.4f}, "
+              f"{h['n_triplets']:,} triplets) in "
+              f"{stages['crosscheck_s']}s")
 
     stages.update(n=args.n, distance=args.distance, task=args.task,
                   abx=res["error"],
