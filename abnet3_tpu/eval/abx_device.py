@@ -807,13 +807,15 @@ def abx_error_device(D, labels: Sequence, speakers: Sequence,
                 for a, x in zip(*np.nonzero(cnt > 0))]
 
     if task == "across":
-        occ = np.concatenate(
-            [np.flatnonzero((cnts[g] > 0).any(axis=1)) + row_off[g]
-             for g in range(G)])
-        occ_c = occ_cols_of(cnts)
-        R = pow2_bucket(len(occ), minimum=8)
-        Rc = pow2_bucket(len(occ_c), minimum=8)
-        if not _compact_enabled():
+        if _compact_enabled():
+            occ = np.concatenate(
+                [np.flatnonzero((cnts[g] > 0).any(axis=1)) + row_off[g]
+                 for g in range(G)])
+            occ_c = occ_cols_of(cnts)
+            R = pow2_bucket(len(occ), minimum=8)
+            Rc = pow2_bucket(len(occ_c), minimum=8)
+        else:  # skip the occupancy scans nothing would use
+            occ = occ_c = None
             R, Rc = Crows, Ccols
         gt, eq = run_bins(
             pad_occ(occ, R, Crows) if R < Crows else None,
@@ -848,10 +850,12 @@ def abx_error_device(D, labels: Sequence, speakers: Sequence,
 
     # within: cells are (ca, cx, s); the bins already hold every
     # speaker's cells (occupied (s, ca) rows — one pass, one fetch)
-    occ_c = occ_cols_of([(cnts[g] > 0).any(axis=2) for g in range(G)])
-    Rc = pow2_bucket(len(occ_c), minimum=8)
-    if not _compact_enabled():
-        Rc = Ccols
+    if _compact_enabled():
+        occ_c = occ_cols_of([(cnts[g] > 0).any(axis=2)
+                             for g in range(G)])
+        Rc = pow2_bucket(len(occ_c), minimum=8)
+    else:  # skip the O(C^2 S) occupancy scan nothing would use
+        occ_c, Rc = None, Ccols
     gt, eq = run_bins(
         None, pad_occ(occ_c, Rc, Ccols) if Rc < Ccols else None)
     err = gt + 0.5 * eq
