@@ -33,7 +33,7 @@ import numpy as np
 
 
 def synth_corpus(n_tokens, n_classes, n_speakers, dim, t_min=48, t_max=96,
-                 seed=0):
+                 seed=0, noise=0.5):
     """STD-like inventory: class = a smooth trajectory through random
     waypoints, token = that trajectory resampled to a random length with
     a speaker offset + noise. Same recipe family as tests/test_quality.
@@ -54,7 +54,7 @@ def synth_corpus(n_tokens, n_classes, n_speakers, dim, t_min=48, t_max=96,
         frac = (pos - lo)[:, None].astype(np.float32)
         traj = class_way[c][lo] * (1 - frac) + class_way[c][hi] * frac
         feats[i] = (traj + spk_off[s]
-                    + rng.randn(T, dim).astype(np.float32) * 0.5)
+                    + rng.randn(T, dim).astype(np.float32) * noise)
         labels.append(c)
         speakers.append(s)
     return feats, labels, speakers
@@ -99,6 +99,9 @@ def main():
                          "without the 2 MB fetch cap, so > 1024 takes "
                          "effect there)")
     ap.add_argument("--out", default=None, help="write stage timings JSON")
+    ap.add_argument("--noise", type=float, default=0.5,
+                    help="per-frame noise scale of the synthetic corpus "
+                         "(larger -> classes overlap -> nonzero ABX)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -110,7 +113,8 @@ def main():
     t0 = time.time()
     feats, labels, speakers = synth_corpus(args.n, args.classes,
                                            args.speakers, args.dim,
-                                           seed=args.seed)
+                                           seed=args.seed,
+                                           noise=args.noise)
     stages["synth_s"] = round(time.time() - t0, 1)
     print(f"[synth] {args.n} tokens, {args.classes} classes x "
           f"{args.speakers} speakers, d={args.dim}: {stages['synth_s']}s")
