@@ -528,16 +528,21 @@ def distance_matrix(bank, distance: str = "dtw_cos",
         view = bank.view() if hasattr(bank, "view") else bank
         R = _tile_rows_per_step(block, T)
         # the anchor-form rows kernel beats the scan 1.42 vs 1.94
-        # s/tile warm (N=4096 A/B, BASELINE.md) but costs ~85 s more
-        # remote compile on this cache-less service, so it only pays
-        # from ~170 tiles up (~N>=18k at block 1024); gate BEFORE
-        # path_stats_backend so small runs skip the probe compile too.
+        # s/tile warm (N=4096 A/B, BASELINE.md). The gate is about
+        # amortizing its extra remote compile: round-4 measured +85 s
+        # cold and projected a ~170-tile crossover; the round-5 honest
+        # A/B at N=8192 (36 tiles, fetch-free) measured the rows route
+        # FASTER INCLUDING COMPILE — 48.2 s vs the scan's 73.6 (696k
+        # vs 456k pairs/s, identical scores) — so the default is the
+        # measured 36-tile win point. Below it the per-tile saving
+        # (~0.6 s) cannot cover a cold-service compile, so small runs
+        # stay on the scan and skip the probe compile too.
         # ABNET3_PALLAS_TILES_MIN overrides (0 forces the rows route
         # everywhere the kernel fits).
         import os
         nt_total = -(-N // block)
         nt_total = nt_total * (nt_total + 1) // 2
-        min_tiles = int(os.environ.get("ABNET3_PALLAS_TILES_MIN", "170"))
+        min_tiles = int(os.environ.get("ABNET3_PALLAS_TILES_MIN", "36"))
         # a layout-compatible checkpoint PINS the backend: scan vs
         # Pallas stats differ in float summation order (~1e-6 psum;
         # rare DP tie flips), and the backend choice depends on env
