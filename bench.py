@@ -277,13 +277,23 @@ EMBED_CHUNK = 4096
 EMBED_CHUNKS = 48  # ~200k frames
 
 
+_CHUNK_FN_CACHE = {}
+
+
 def _smooth_chunk_fn():
     """Jitted k -> (EMBED_CHUNK, DIM_IN) temporally-smooth corpus chunk:
     coarse Gaussian knots linearly interpolated x8 (~12.5 Hz modulation
     at 100 fps — the smoothness scale of real stacked-fbank speech
-    features; random per chunk, so the tunnel replay cache never hits)."""
+    features; random per chunk, so the tunnel replay cache never hits).
+    Memoized: the round-5 median-of-3 export sampling calls
+    bench_embed_ours repeatedly, and a fresh jit per call would pay the
+    remote compile service each time."""
     import jax
     import jax.numpy as jnp
+
+    fn = _CHUNK_FN_CACHE.get("smooth")
+    if fn is not None:
+        return fn
 
     @jax.jit
     def chunk(k):
@@ -295,6 +305,7 @@ def _smooth_chunk_fn():
         frac = (t - i0)[:, None]
         return coarse[i0] * (1.0 - frac) + coarse[i0 + 1] * frac
 
+    _CHUNK_FN_CACHE["smooth"] = chunk
     return chunk
 
 
@@ -332,11 +343,14 @@ def bench_embed_ours(corpus="realistic", params=None, state=None, net=None,
     if corpus == "realistic":
         chunk_fn = _smooth_chunk_fn()
     else:
-        @jax.jit
-        def chunk_fn(k):
-            return jax.random.normal(
-                jax.random.fold_in(jax.random.PRNGKey(1), k),
-                (EMBED_CHUNK, DIM_IN), jnp.float32)
+        chunk_fn = _CHUNK_FN_CACHE.get("random")
+        if chunk_fn is None:
+            @jax.jit
+            def chunk_fn(k):
+                return jax.random.normal(
+                    jax.random.fold_in(jax.random.PRNGKey(1), k),
+                    (EMBED_CHUNK, DIM_IN), jnp.float32)
+            _CHUNK_FN_CACHE["random"] = chunk_fn
 
     chunks = [chunk_fn(k) for k in range(EMBED_CHUNKS)]
     for c in chunks:  # scalar fetches: force the corpus materialized
@@ -484,9 +498,34 @@ def main():
         out, _ = enet.forward_once(p, estate, x, train=False)
         return encode_transfer(out, "int8")
 
-    embed_fps = bench_embed_ours("realistic", eparams, estate, enet,
-                                 forward=embed_forward)
+    # The export metrics ride the tunnel's d2h, whose bandwidth swings
+    # 12-45 MB/s over MINUTES (round-5: the same code measured 153k in
+    # one window and 340k a few minutes later in one bench run). Each
+    # export case is therefore the MEDIAN of 3 samples SPREAD across
+    # the run (back-to-back samples would share one window); the timed
+    # region per sample is seconds, so the spread costs little.
+    embed_samples = [bench_embed_ours("realistic", eparams, estate,
+                                      enet, forward=embed_forward)]
     embed_base = _median_of(bench_embed_torch)
+    worst_samples = [bench_embed_ours("random", eparams, estate, enet,
+                                      forward=embed_forward, n_warm=0)]
+    loop_sps = bench_trainer_loop(shared)
+    embed_samples.append(bench_embed_ours("realistic", eparams, estate,
+                                          enet, forward=embed_forward,
+                                          n_warm=0))
+    worst_samples.append(bench_embed_ours("random", eparams, estate,
+                                          enet, forward=embed_forward,
+                                          n_warm=0))
+    base_sps2 = _median_of(lambda: bench_torch_baseline(batch), n=1)
+    del base_sps2  # spacer workload between the d2h samples
+    embed_samples.append(bench_embed_ours("realistic", eparams, estate,
+                                          enet, forward=embed_forward,
+                                          n_warm=0))
+    worst_samples.append(bench_embed_ours("random", eparams, estate,
+                                          enet, forward=embed_forward,
+                                          n_warm=0))
+    embed_fps = sorted(embed_samples)[1]
+    worst_fps = sorted(worst_samples)[1]
     print(json.dumps({
         "metric": ("embedding-export throughput/chip: trained-tower "
                    "embeddings of a speech-like (temporally smooth) "
@@ -497,8 +536,8 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(embed_fps / embed_base, 2),
         "mfu": round(embed_fps * frame_fl / peak, 6),
+        "samples": [round(v, 1) for v in embed_samples],
     }), flush=True)
-    loop_sps = bench_trainer_loop(shared)
     print(json.dumps({
         "metric": ("trainer-loop throughput/chip: as metric 1 plus the "
                    "host side of every dispatch (fresh id-batch assembly "
@@ -508,8 +547,6 @@ def main():
         "vs_baseline": round(loop_sps / base_sps, 2),
         "mfu": round(loop_sps * step_fl / peak, 5),
     }), flush=True)
-    worst_fps = bench_embed_ours("random", eparams, estate, enet,
-                                 forward=embed_forward)
     print(json.dumps({
         "metric": ("embedding-export worst case: same path on an "
                    "incompressible i.i.d.-Gaussian corpus — wire entropy "
@@ -520,6 +557,7 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(worst_fps / embed_base, 2),
         "mfu": round(worst_fps * frame_fl / peak, 6),
+        "samples": [round(v, 1) for v in worst_samples],
     }), flush=True)
 
 
