@@ -596,3 +596,61 @@ def test_auto_block_fetch_cap_only_when_fetching():
     assert capped == 1024 and free == 4096
     # the guards still bound the fetch-free side
     assert _auto_block(20000, 256, 8192, fetch_capped=False) == 1024
+
+
+def test_device_rows_per_block_policy():
+    """Splitting policy: multiples of the tile block, None for a
+    fitting single buffer, env-budget auto-split."""
+    import os
+    from abnet3_tpu.eval.abx import _device_rows_per_block
+    # explicit request rounds down to the block grid
+    assert _device_rows_per_block(8192, 1024, 2, 3000) == 2048
+    assert _device_rows_per_block(8192, 1024, 2, 1000) == 1024
+    # request >= Np means one buffer
+    assert _device_rows_per_block(4096, 1024, 2, 4096) is None
+    # auto: under budget -> single buffer
+    assert _device_rows_per_block(4096, 1024, 2, None) is None
+    # auto: over a tiny budget -> block-aligned split
+    os.environ["ABNET3_ABX_DEVMAT_GB"] = "0.00001"
+    try:
+        rows = _device_rows_per_block(4096, 1024, 2, None)
+        assert rows == 1024  # floor at one tile block
+    finally:
+        del os.environ["ABNET3_ABX_DEVMAT_GB"]
+
+
+def test_evaluate_device_rows_per_block(tmp_path):
+    """evaluate(device_rows_per_block=...) scores bit-identically to
+    the host backend through the full file-based pipeline."""
+    from abnet3_tpu.eval.abx import evaluate
+    from abnet3_tpu.io.h5f import write_h5features
+
+    rng = np.random.RandomState(40)
+    items, labs, feats, lines = [], [], [], []
+    tid = 0
+    for c in range(5):
+        tokens = []
+        for k in range(6):
+            name = f"f{tid:02d}"
+            T = rng.randint(8, 16)
+            items.append(name)
+            labs.append(np.arange(T, dtype=np.float64) * 0.01 + 0.005)
+            feats.append(rng.randn(T, 6).astype(np.float32))
+            tokens.append(f"{name} 0.0 {T * 0.01:.3f}")
+            tid += 1
+        lines.append("Class %d\n%s\n" % (c, "\n".join(tokens)))
+    fp = str(tmp_path / "f.h5f")
+    write_h5features(fp, "features", items, labs, feats)
+    cp = str(tmp_path / "c.classes")
+    with open(cp, "w") as f:
+        f.write("\n".join(lines))
+    spk = str(tmp_path / "spk.txt")
+    with open(spk, "w") as f:
+        for i in range(tid):
+            f.write(f"f{i:02d} spk{i % 3}\n")
+    host = evaluate(fp, cp, spkid_file=spk, score_backend="host",
+                    batch_size=8)
+    dev = evaluate(fp, cp, spkid_file=spk, score_backend="device",
+                   batch_size=8, device_rows_per_block=8)
+    assert dev["error"] == host["error"]
+    assert dev["n_triplets"] == host["n_triplets"]
