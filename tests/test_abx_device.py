@@ -654,3 +654,25 @@ def test_evaluate_device_rows_per_block(tmp_path):
                    batch_size=8, device_rows_per_block=8)
     assert dev["error"] == host["error"]
     assert dev["n_triplets"] == host["n_triplets"]
+
+
+@pytest.mark.parametrize("task", ["across", "within"])
+def test_device_mesh_sharded_by_conditioning(task):
+    """by-conditioning (composite bin rows) over a mesh-sharded matrix:
+    the GSPMD gathers and the composite/occupied-row machinery compose
+    bit-identically."""
+    from abnet3_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh(n_data=4, n_model=1)
+    rng = np.random.RandomState(41)
+    n = 72
+    D = _quantized_matrix(rng, n, levels=24)
+    labels, speakers = _inventory(rng, n, 6, 3)
+    by = [("g%d" % (i % 3),) for i in range(n)]
+    host = abx_error(D, labels, speakers, task=task, by=by,
+                     return_cells=True)
+    dev = abx_error_device(upload_matrix(D, mesh=mesh), labels,
+                           speakers, task=task, by=by,
+                           return_cells=True)
+    _assert_same(host, dev)
+    for (hk, hv, hc), (dk, dv, dc) in zip(host["cells"], dev["cells"]):
+        assert tuple(hk) == tuple(dk) and hc == dc and hv == dv
