@@ -827,10 +827,13 @@ def distance_matrix(bank, distance: str = "dtw_cos",
                                                 upload_matrix)
         if dev_stale:
             # a resumed checkpoint restored tiles the device never saw
-            return D, upload_matrix(
-                np.asarray(D),
-                rows_per_block=(rows_pb if dev_blocks is not None
-                                else None))
+            if dev_blocks is not None:
+                # lazy host-backed blocks straight over the checkpoint
+                # memmap: no full-matrix RAM copy, and HBM only ever
+                # holds one block — the N-larger-than-HBM scoring path
+                return D, upload_matrix(D, rows_per_block=rows_pb,
+                                        lazy=True)
+            return D, upload_matrix(np.asarray(D))
         if dev_blocks is not None:
             dev_blocks = [zero_diag_b(b, np.int32(s))
                           for b, s in zip(dev_blocks, dev_starts)]

@@ -91,6 +91,14 @@ handle:
   GSPMD inserts the cross-device gathers. Scoring arithmetic is
   unchanged, so results stay bit-identical (asserted on the virtual
   8-CPU mesh in tests and the driver dryrun).
+- LAZY HOST-BACKED BLOCKS (``upload_matrix(rows_per_block=...,
+  lazy=True)``; automatic on blocked checkpoint resumes): the blocks
+  stay numpy/memmap views on the host and each one is staged onto the
+  device only for its own chunk sequence, then freed — HBM holds ONE
+  block at a time, so a matrix larger than the chip's memory (N=100k
+  u16 = 20 GB) scores on a single chip straight off the
+  ``distance_matrix`` checkpoint memmap, at the price of one blocked
+  h2d re-upload per scoring pass.
 
 Bit-identical to the host scorer
 --------------------------------
@@ -177,7 +185,8 @@ class DeviceMatrix:
     sharding."""
 
     def __init__(self, array=None, n: int = 0, blocks=None,
-                 row_starts: Optional[Sequence[int]] = None, mesh=None):
+                 row_starts: Optional[Sequence[int]] = None, mesh=None,
+                 lazy: bool = False):
         if blocks is None:
             assert array is not None
             blocks = [array]
@@ -187,9 +196,17 @@ class DeviceMatrix:
         self.row_starts = [int(r) for r in row_starts]
         self.n = int(n)
         self.mesh = mesh
+        # lazy: blocks are HOST arrays (numpy / np.memmap slices); the
+        # scorer stages each block onto the device only for its own
+        # chunk sequence and frees it after — the matrix as a whole
+        # never has to fit HBM (N=100k u16 = 20 GB scores on a 16 GB
+        # chip straight off the checkpoint memmap)
+        self.lazy = bool(lazy)
         if mesh is not None:
             assert len(self.blocks) == 1, \
                 "mesh sharding and host-side row blocks are exclusive"
+            assert not lazy, "mesh sharding and lazy blocks are " \
+                             "exclusive"
 
     @property
     def array(self):
@@ -232,7 +249,8 @@ def _stage(x, mesh):
 
 
 def upload_matrix(D: np.ndarray, chunk_rows: int = 4096, mesh=None,
-                  rows_per_block: Optional[int] = None) -> DeviceMatrix:
+                  rows_per_block: Optional[int] = None,
+                  lazy: bool = False) -> DeviceMatrix:
     """Host (N, N) matrix -> device, in row chunks (one h2d RPC each; a
     single multi-GB transfer is where the dev tunnel misbehaves).
     float64 downcasts to float32; every other dtype uploads as-is so
@@ -240,13 +258,28 @@ def upload_matrix(D: np.ndarray, chunk_rows: int = 4096, mesh=None,
 
     ``mesh``: row-shard the uploaded matrix over the mesh 'data' axis
     (rows zero-pad to divide it). ``rows_per_block``: store as
-    equal-height host-side row blocks instead (the > one-HBM-buffer
-    path; exclusive with ``mesh``)."""
+    equal-height row blocks instead (the > one-HBM-buffer path;
+    exclusive with ``mesh``). ``lazy`` (with ``rows_per_block``): keep
+    the blocks HOST-resident — numpy views of ``D``, which may be an
+    ``np.memmap`` (a ``distance_matrix`` checkpoint) — and let the
+    scorer stage one block at a time, so matrices LARGER THAN HBM
+    score on a single chip; the per-pass h2d re-upload is the price
+    (see the module docstring)."""
     import jax
     import jax.numpy as jnp
 
     if D.dtype == np.float64:
         D = D.astype(np.float32)
+    if lazy:
+        assert rows_per_block is not None and mesh is None, \
+            "lazy needs rows_per_block (and no mesh)"
+        N = D.shape[0]
+        rows_per_block = min(rows_per_block, N)
+        blocks = [D[r:r + rows_per_block]
+                  for r in range(0, N, rows_per_block)]
+        starts = list(range(0, N, rows_per_block))
+        return DeviceMatrix(blocks=blocks, row_starts=starts, n=N,
+                            lazy=True)
     N = D.shape[0]
     if mesh is not None and mesh.size > 1:
         assert rows_per_block is None, \
@@ -280,6 +313,24 @@ def upload_matrix(D: np.ndarray, chunk_rows: int = 4096, mesh=None,
     parts = [jax.device_put(np.ascontiguousarray(D[r:r + chunk_rows]))
              for r in range(0, N, chunk_rows)]
     return DeviceMatrix(jnp.concatenate(parts, axis=0), N)
+
+
+def _stage_lazy_block(blk: np.ndarray, rows_pb: int,
+                      chunk_rows: int = 4096):
+    """Host row block (numpy / memmap view) -> one device buffer,
+    padded to the shared block height (so every block reuses one
+    compiled kernel) and uploaded in row chunks (single multi-GB h2d
+    transfers misbehave through the dev tunnel)."""
+    import jax
+    import jax.numpy as jnp
+
+    parts = [jax.device_put(np.ascontiguousarray(blk[r:r + chunk_rows]))
+             for r in range(0, blk.shape[0], chunk_rows)]
+    short = rows_pb - blk.shape[0]
+    if short > 0:
+        parts.append(jnp.zeros((short, blk.shape[1]), blk.dtype))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts,
+                                                            axis=0)
 
 
 def _compare_dtype(wire_dtype):
@@ -744,9 +795,21 @@ def abx_error_device(D, labels: Sequence, speakers: Sequence,
             row_off_d = _stage(np.int32(dm.row_starts[b]), mesh)
             state = (state[0], state[1],
                      _stage(np.zeros((), np.int32), mesh))
+            if dm.lazy:
+                # host-backed block: stage for THIS pass only (chunked
+                # h2d; padded to the shared height so one executable
+                # serves every block), freed before the next block
+                blk_dev = _stage_lazy_block(dm.blocks[b], rows_pb)
+            else:
+                blk_dev = dm.blocks[b]
             for _ in range(n_chunks):
-                state = kernel(dm.blocks[b], row_off_d, *statics,
+                state = kernel(blk_dev, row_off_d, *statics,
                                *chunk_tabs, state)
+            if dm.lazy:
+                # the bins fetch below waits on the whole chain; drop
+                # the only reference so HBM frees as soon as this
+                # block's last chunk retires
+                del blk_dev
         if not any_slots:
             z = np.zeros((n_rows, Ccols), np.float64)
             return z, z.copy()

@@ -676,3 +676,60 @@ def test_device_mesh_sharded_by_conditioning(task):
     _assert_same(host, dev)
     for (hk, hv, hc), (dk, dv, dc) in zip(host["cells"], dev["cells"]):
         assert tuple(hk) == tuple(dk) and hc == dc and hv == dv
+
+
+@pytest.mark.parametrize("task", ["across", "within"])
+def test_device_lazy_blocks(task):
+    """Lazy host-backed row blocks (the > HBM path): blocks stage one
+    at a time during scoring and results stay bit-identical — including
+    off an np.memmap (the checkpoint matrix)."""
+    rng = np.random.RandomState(42)
+    n = 70
+    D = _quantized_matrix(rng, n, levels=24)
+    labels, speakers = _inventory(rng, n, 8, 3)
+    host = abx_error(D, labels, speakers, task=task)
+    dm = upload_matrix(D, rows_per_block=32, lazy=True)
+    assert dm.lazy and len(dm.blocks) == 3
+    assert isinstance(dm.blocks[0], np.ndarray)  # host-resident
+    _assert_same(host, abx_error_device(dm, labels, speakers,
+                                        task=task))
+
+
+def test_device_lazy_blocks_memmap(tmp_path):
+    """Scoring straight off a checkpoint-style memmap, ragged last
+    block padded at stage time."""
+    rng = np.random.RandomState(43)
+    n = 50
+    D = _quantized_matrix(rng, n, levels=16)
+    p = str(tmp_path / "dm.npy")
+    m = np.lib.format.open_memmap(p, mode="w+", dtype=np.float32,
+                                  shape=(n, n))
+    m[:] = D
+    m.flush()
+    mm = np.load(p, mmap_mode="r")
+    labels, speakers = _inventory(rng, n, 6, 2)
+    host = abx_error(D, labels, speakers)
+    dm = upload_matrix(mm, rows_per_block=16, lazy=True)
+    assert dm.lazy and len(dm.blocks) == 4  # last block ragged (2 rows)
+    _assert_same(host, abx_error_device(dm, labels, speakers))
+
+
+def test_device_out_resume_blocked_is_lazy(tmp_path):
+    """A resumed checkpoint with the blocked layout returns a LAZY
+    handle over the memmap (no RAM copy, one block in HBM at a time) —
+    bit-identical scoring."""
+    rng = np.random.RandomState(44)
+    n = 36
+    feats = {i: rng.randn(10, 8).astype(np.float32) for i in range(n)}
+    ck = str(tmp_path / "dm")
+    distance_matrix(TokenBank(feats), batch_size=8, strategy="tiles",
+                    checkpoint_path=ck)
+    D2, handle = distance_matrix(TokenBank(feats), batch_size=8,
+                                 strategy="tiles", checkpoint_path=ck,
+                                 device_out=True,
+                                 device_rows_per_block=16)
+    assert handle.lazy and len(handle.blocks) > 1
+    labels = [f"c{i % 4}" for i in range(n)]
+    speakers = [f"s{i % 2}" for i in range(n)]
+    _assert_same(abx_error(np.asarray(D2), labels, speakers),
+                 abx_error_device(handle, labels, speakers))
