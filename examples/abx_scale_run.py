@@ -154,10 +154,12 @@ def main():
     stages["distance_s"] = round(time.time() - t0, 1)
     if handle is not None and len(handle.blocks) > 1:
         hb = handle.blocks
+        where = ("host-resident (lazy: staged one block at a time)"
+                 if handle.lazy else "device-resident")
         print(f"[matrix] {len(hb)} row blocks x "
               f"({hb[0].shape[0]}, {hb[0].shape[1]}) "
               f"{np.dtype(hb[0].dtype).name} = "
-              f"{sum(b.nbytes for b in hb) / 1e9:.2f} GB device-resident")
+              f"{sum(b.nbytes for b in hb) / 1e9:.2f} GB {where}")
     n_pairs = args.n * (args.n - 1) // 2
     print(f"[distance] {n_pairs / 1e6:.1f}M token pairs ({args.distance}, "
           f"tiles) in {stages['distance_s']}s = "
